@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Bench harness: runs the headline query set on one warm SparkSession.
+
+Protocol (BASELINE.md §3): per-query DuckDB baseline time at sf0.1 is
+0.004-0.26 s while a Spark session costs ~6 s to start, so the bench
+amortizes startup: one session, one untimed warm-up pass (JIT + codegen +
+parquet footer caches), then a timed pass per query. Prints ONE JSON line:
+
+    {"metric": "...", "value": <whole-set sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from big_data__instagram_analysis_spark.registry import get_specs
+    from big_data__instagram_analysis_spark.session import get_spark
+
+    specs = get_specs()
+    bench_names = [n for n, s in sorted(specs.items()) if "bench" in s.tags or "flagship" in s.tags]
+
+    spark = get_spark("iga-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warm-up: run every bench query once (codegen, broadcast, IO cache).
+    for name in bench_names:
+        specs[name].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

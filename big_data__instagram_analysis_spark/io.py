@@ -1,0 +1,83 @@
+"""Fixture table loaders and temp-view registration.
+
+Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file each under
+``{sf_dir}/{name}.parquet``.
+
+Load is a plain columnar parquet scan: Catalyst handles column pruning and
+predicate pushdown into the scan, so query code never pre-projects "for
+performance" — it states the full plan declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any plausible scale factor.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (schema-on-read from the parquet footer).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL). We read it via the legacy nanos-as-long
+    path and rebuild: ``ts`` as a µs-precision timestamp (floor-truncated,
+    matching what Spark would do natively) plus ``ts_ns`` keeping the exact
+    int64 epoch-nanos for queries that need full precision to match DuckDB.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        return raw.select(
+            "event_id",
+            F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql entry)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_dir(sub: str = "") -> str:
+    """Writable scratch under the repo (we must not touch paths outside it)."""
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+    path = os.path.join(base, sub) if sub else base
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -1,0 +1,45 @@
+"""Query definitions. Importing this package registers every query.
+
+Module ↔ SURVEY.md §2 section map:
+    core.py            A1-A3, A6, A10, O1-O3 (flagship + relational core)
+    projections.py     P1-P6
+    joins.py           J1-J10 (as-of in operators/asof.py)
+    aggregates.py      A4, A5, A7-A9
+    windows.py         W1-W6
+    setops.py          T1-T4
+    scalars.py         F1-F9
+    sources_sinks.py   S1-S9
+    llm_text.py        L4, L6, L8 + text-analysis extension
+    llm_dedup.py       L1, L2 + simhash/ngram-jaccard extension
+    llm_similarity.py  L3 + ANN extension
+    llm_multimodal.py  L7 + binary-column extension
+    udfs.py            U1-U6
+    streaming.py       X1-X8
+"""
+
+from . import core  # noqa: F401
+
+_MODULES = [core]
+
+for _mod_name in (
+    "projections",
+    "joins",
+    "aggregates",
+    "windows",
+    "setops",
+    "scalars",
+    "sources_sinks",
+    "llm_text",
+    "llm_dedup",
+    "llm_similarity",
+    "llm_multimodal",
+    "udfs",
+    "streaming",
+):
+    try:
+        _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])
+        _MODULES.append(_mod)
+    except ModuleNotFoundError as exc:
+        # Module not written yet (incremental build) — only swallow our own.
+        if _mod_name not in str(exc):
+            raise
