@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (SURVEY.md §2 L3, J6).
+
+Design for 100 TB:
+  - ``cosine_topk`` streams the big side (A) partition-by-partition through an
+    Arrow-batched ``mapInPandas`` while the small side (B — the query set, or
+    the dedup candidate set) is a task broadcast of a dense float64 matrix.
+    Each task computes a numpy matmul block and keeps only a chunk-local
+    top-k (plus a rounding-margin band), so the shuffle carries O(k) rows per
+    task regardless of |A|. The global top-k is a TakeOrderedAndProject.
+  - The exact-HOF variant (``cosine_allpairs_hof``) keeps everything in
+    Catalyst expressions — bit-exact vs DuckDB's sequential list_sum, but
+    the expression fold is interpreted (no codegen): use it for parity
+    checks at small scale, not as the scale path.
+  - The LSH scale path for all-pairs near-neighbor lives in
+    ``bucketed_random_projection`` (pyspark.ml), which replaces the
+    quadratic pair space with per-bucket joins.
+
+Parity note: the final ROUND + (sim, ids) ordering happens in Spark
+expressions (same HALF_UP semantics as the DuckDB oracle); the UDF emits raw
+doubles and keeps every pair within ROUND_MARGIN of its chunk's k-th best so
+rounding can never change which rows survive chunk pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Keep chunk-local candidates within this raw-sim margin of the k-th best —
+#: wide enough that 1e-6 rounding plus float noise cannot evict a global
+#: top-k contender during chunk pruning.
+ROUND_MARGIN = 1e-5
+
+
+def _to_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+
+
+def cosine_topk_allpairs(
+    emb: DataFrame,
+    spark: SparkSession,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs cosine top-k (id_a < id_b), vectorized.
+
+    B (the whole table) is broadcast as a dense matrix — valid while one side
+    fits in executor memory (the query-set contract); A streams through
+    mapInPandas in Arrow batches. Emits (vec_a, vec_b, sim) with sim rounded
+    via Spark's ROUND so the oracle comparison shares rounding semantics.
+    """
+    b_pdf = emb.select(id_col, vec_col).toPandas()
+    b_ids = b_pdf[id_col].to_numpy().astype(np.int64)
+    b_mat = _to_matrix(b_pdf, vec_col)
+    b_norm = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, b_norm))
+
+    out_schema = "vec_a long, vec_b long, sim double"
+
+    def chunk_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, nb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            a_mat = _to_matrix(pdf, vec_col)
+            na = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = na @ nb.T  # (chunk, |B|)
+            mask = a_ids[:, None] < ids_b[None, :]
+            flat = sims[mask]
+            if flat.size == 0:
+                continue
+            ai, bi = np.nonzero(mask)
+            if flat.size > k:
+                kth = np.partition(flat, flat.size - k)[flat.size - k]
+                keep = flat >= kth - ROUND_MARGIN
+            else:
+                keep = np.ones_like(flat, dtype=bool)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai[keep]],
+                    "vec_b": ids_b[bi[keep]],
+                    "sim": flat[keep],
+                }
+            )
+
+    candidates = emb.select(id_col, vec_col).mapInPandas(chunk_topk, out_schema)
+    return (
+        candidates.select(
+            "vec_a", "vec_b", F.round(F.col("sim"), round_digits).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "vec_a", "vec_b")
+        .limit(k)
+    )
+
+
+def cosine_topk_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    spark: SparkSession,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k corpus neighbors per query vector (ANN brute-force baseline).
+
+    Broadcast the query matrix; stream the corpus; per-task top-k per query;
+    global rank window cuts to k. Output (query_id, neighbor_id, sim, rank).
+    """
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy().astype(np.int64)
+    q_mat = _to_matrix(q_pdf, vec_col)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, nq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy().astype(np.int64)
+            c_mat = _to_matrix(pdf, vec_col)
+            nc = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = nq @ nc.T  # (|Q|, chunk)
+            mask = ids_q[:, None] != c_ids[None, :]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                row = sims[qi]
+                valid = np.nonzero(mask[qi])[0]
+                if valid.size == 0:
+                    continue
+                take = valid
+                if valid.size > k:
+                    vals = row[valid]
+                    kth = np.partition(vals, vals.size - k)[vals.size - k]
+                    take = valid[vals >= kth - ROUND_MARGIN]
+                out_q.append(np.full(take.size, ids_q[qi]))
+                out_n.append(c_ids[take])
+                out_s.append(row[take])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    from pyspark.sql.window import Window
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(chunk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_r"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), round_digits).alias("sim_r"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("sim_r").alias("sim"), "rank"
+        )
+    )
+
+
+def cosine_allpairs_hof(emb: DataFrame, *, threshold: float) -> DataFrame:
+    """Catalyst-only all-pairs cosine ≥ threshold (bit-exact parity variant).
+
+    zip_with + aggregate folds run left-to-right like DuckDB list_sum —
+    bit-identical doubles — at the cost of interpreted evaluation. Quadratic:
+    small candidate sets only.
+    """
+    ed = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+        )
+
+    a, b = ed.alias("a"), ed.alias("b")
+    sim = dot(F.col("a.emb"), F.col("b.emb")) / (
+        norm(F.col("a.emb")) * norm(F.col("b.emb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -355,44 +355,13 @@ LIMIT 10
 def embed_knn_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force all-pairs cosine top-10 over 64-d embeddings.
 
-    Theta self-join (vec_id <) → BroadcastNestedLoopJoin with the deduped
-    vector table broadcast; the dot product stays JVM-side via higher-order
-    functions (zip_with + aggregate), no Python in the hot path. All math in
-    double with left-to-right folds so DuckDB's list_sum matches bit-exact;
-    sim rounded to 6 so the top-10 cut is deterministic on both engines.
+    Scale path (operators/similarity.py): broadcast the vector matrix, stream
+    the table through Arrow-batched mapInPandas doing a numpy matmul block
+    with chunk-local top-k — shuffle carries O(k) rows per task regardless of
+    pair count. Final ROUND + (sim, vec ids) ordering in Spark expressions to
+    share rounding semantics with the DuckDB oracle.
     """
+    from ..operators.similarity import cosine_topk_allpairs
+
     e = load(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-
-    def norm(a):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-            )
-        )
-
-    a = ed.alias("a")
-    b = ed.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-    sim = F.round(
-        dot(F.col("a.emb"), F.col("b.emb"))
-        / (norm(F.col("a.emb")) * norm(F.col("b.emb"))),
-        6,
-    )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
-        .orderBy(F.desc("sim"), "vec_a", "vec_b")
-        .limit(10)
-    )
+    return cosine_topk_allpairs(e, spark, k=10)
