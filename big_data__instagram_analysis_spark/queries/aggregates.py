@@ -1,0 +1,253 @@
+"""Aggregation queries beyond the core set (SURVEY.md §2.4: A2, A4, A6-A10,
+plus CUBE/GROUPING SETS variants of A5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "global_totals",
+    category="A2",
+    oracle="""
+SELECT count(*)                              AS n_rows,
+       round(sum(l_quantity), 2)             AS total_qty,
+       round(sum(l_extendedprice), 2)        AS total_price,
+       round(min(l_discount), 4)             AS min_disc,
+       round(max(l_discount), 4)             AS max_disc,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+FROM lineitem
+""",
+)
+def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless global aggregate (single-row result, map-side partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_discount"), 4).alias("max_disc"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+@query("approx_count_distinct", category="A4")  # rows-only: HLL sketch is engine-specific
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type — the 100 TB path for
+    count-distinct. Not hash-checkable across engines (sketch internals
+    differ); the ε-accuracy property |approx-exact|/exact ≤ 3·rsd is
+    asserted in tests/test_properties.py."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "conditional_agg",
+    category="A6",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation: sum(CASE WHEN …), count_if."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_big"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("finished_value"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "percentiles",
+    category="A7",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(median(l_extendedprice), 4)         AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont; both linear interpolation). approx_percentile is the
+    100 TB path but isn't cross-engine-checkable, so the declared query uses
+    the exact form."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_aggs",
+    category="A8",
+    oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 4)               AS sd_qty,
+       round(var_samp(l_extendedprice), 2)             AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6)    AS covar_qty_disc
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "collect_set_sorted",
+    category="A9",
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT)                 AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic emission: sort_array + string join
+    (set order is engine-dependent, so the output is canonicalized)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "having_filter",
+    category="A10",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+ORDER BY o_custkey
+""",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING ≡ .agg().where())."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "cube_counts",
+    category="A5",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over two dimensions."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "grouping_sets",
+    category="A5",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via SQL — DataFrame API exposes only
+    rollup/cube; the SQL entry point is part of the declared surface)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
