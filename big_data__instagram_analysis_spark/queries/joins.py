@@ -1,0 +1,251 @@
+"""Join queries (SURVEY.md §2.3: J2-J4, J6-J8, J10; J1/J5/J9 in core.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..operators.asof import asof_join
+from ..registry import query
+
+
+@query(
+    "left_join_order_counts",
+    category="J2",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+""",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders (count of a right
+    column, not count(*), so unmatched rows count as 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "full_outer_activity",
+    category="J3",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey, count(*) AS n95 FROM orders
+  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, count(*) AS n96 FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+       CAST(coalesce(a.n95, 0) AS BIGINT) AS n95,
+       CAST(coalesce(b.n96, 0) AS BIGINT) AS n96
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY custkey
+""",
+)
+def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: symmetric diff of per-year activity."""
+    o = load(spark, sf_dir, "orders")
+
+    def per_year(year: int, out: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = per_year(1995, "n95").alias("a")
+    b = per_year(1996, "n96").alias("b")
+    return (
+        a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+            F.coalesce(F.col("n95"), F.lit(0)).cast("long").alias("n95"),
+            F.coalesce(F.col("n96"), F.lit(0)).cast("long").alias("n96"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "semi_join_purchasers",
+    category="J4",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+)
+""",
+)
+def semi_join_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (≡ WHERE EXISTS): customers with ≥1 purchase event."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return c.join(
+        e, c.c_custkey == e.user_id, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "cross_join_region_nation",
+    category="J6",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE r.r_regionkey <> n.n_regionkey
+""",
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product with a non-equi residual predicate
+    (BroadcastNestedLoopJoin; both sides are broadcast-sized dims)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .where(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "range_join_value_bands",
+    category="J7,S4",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('xs', 0.0, 25.0), ('s', 25.0, 75.0), ('m', 75.0, 125.0),
+         ('l', 125.0, 175.0), ('xl', 175.0, 1e9)
+)
+SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) join: fact value routed into an in-memory band dim
+    (also exercises S4 createDataFrame source). The band table is broadcast,
+    so the non-equi predicate never becomes a shuffled NLJ at scale."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("xs", 0.0, 25.0),
+            ("s", 25.0, 75.0),
+            ("m", 75.0, 125.0),
+            ("l", 125.0, 175.0),
+            ("xl", 175.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "self_join_cohour_pairs",
+    category="J10",
+    oracle="""
+WITH hourly AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(hour(ts) AS INTEGER) AS h, user_id
+  FROM events
+)
+SELECT a.d, a.h, CAST(count(*) AS BIGINT) AS n_pairs
+FROM hourly a JOIN hourly b
+  ON a.d = b.d AND a.h = b.h AND a.user_id < b.user_id
+GROUP BY a.d, a.h
+ORDER BY a.d, a.h
+""",
+)
+def self_join_cohour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: distinct user pairs co-active in the same hour (the
+    follower-graph-ish shape). Equi-join on the hour bucket keys the shuffle;
+    the pair predicate is a cheap residual."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        "user_id",
+    ).distinct()
+    a, b = hourly.alias("a"), hourly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("d", "h")
+    )
+
+
+@query(
+    "asof_latest_order",
+    category="J8",
+    oracle="""
+WITH right_dedup AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_totalprice) AS last_order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS last_order_date,
+       r.last_order_price
+FROM events e
+ASOF JOIN right_dedup r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""",
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event per user
+    (operators/asof.py union+window composition; DuckDB native ASOF JOIN is
+    the oracle). Right side pre-deduped per (key, ts) for tie determinism."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders")
+    right = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_totalprice").alias("last_order_price")
+    )
+    # Carry the order date as a string payload so no raw timestamp reaches
+    # the hashed output.
+    right2 = right.select(
+        "o_custkey",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+        "last_order_price",
+    )
+    return asof_join(
+        e,
+        right2,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["last_order_date", "last_order_price"],
+        how="inner",
+    ).select("event_id", "user_id", "last_order_date", "last_order_price")

@@ -1,0 +1,173 @@
+"""Window function queries (SURVEY.md §2.5 W1, W3-W6; W2 in core.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "ranking_functions",
+    category="W1",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per nation, fully tie-broken."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "lag_lead_gaps",
+    category="W3",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+)
+SELECT event_id, user_id, ts_sec,
+       ts_sec - lag(ts_sec) OVER w AS gap_sec,
+       lead(event_type) OVER w     AS next_type
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+""",
+)
+def lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap (lag) and next action (lead) per user. Timestamps are
+    floored to epoch seconds on BOTH engines before any arithmetic — the ns
+    vs µs precision mismatch makes raw ts diffs unhashable (SURVEY.md §5.4);
+    ordering ties broken by event_id."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return t.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "first_last_order",
+    category="W4",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+       strftime(last_value(o_orderdate)  OVER w, '%Y-%m-%d') AS last_date,
+       first_value(o_orderkey) OVER w AS first_orderkey,
+       last_value(o_orderkey)  OVER w AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit unbounded frame (the default frame would
+    make last_value see only up to the current row)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_date"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
+
+
+@query(
+    "running_revenue",
+    category="W5",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7
+FROM orders
+""",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum + 7-row moving average (ROWS frames). Frame order is
+    total (date + key tiebreak) so both engines fold in the same order."""
+    o = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-6, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg_7"),
+    )
+
+
+@query(
+    "trailing_hour_value",
+    category="W6",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+)
+SELECT event_id, user_id, ts_sec,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts_sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_value,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts_sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_1h_events
+FROM t
+""",
+)
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-1-hour sum/count per user.
+    RANGE includes ts_sec peers in the frame on both engines, so ties need
+    no break; epoch-second flooring avoids the ns/µs mismatch."""
+    e = load(spark, sf_dir, "events")
+    t = e.select("event_id", "user_id", "value", F.col("ts").cast("long").alias("ts_sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
+    )
