@@ -1,0 +1,210 @@
+"""Deduplication operators for the LLM-data-pipeline extension
+(SURVEY.md §2.10 L1/L2 + mandated dedup variants).
+
+Cross-engine determinism: every hash that reaches checked output derives
+from md5/sha2 (stable everywhere), never Spark's murmur3 ``hash()`` or
+DuckDB's ``hash()`` (engine-specific).
+
+Scale notes per operator are in each docstring; the common theme is that
+candidate generation is always key-bucketed (hash group, LSH band, SimHash
+band) so the pair space is per-bucket quadratic, never global quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 60-bit SimHash (15 hex chars of md5) — fits signed int64, and 60 = 4
+#: bands × 15 bits for the banded near-dup join.
+SIMHASH_BITS = 60
+HEX_DIGITS = "0123456789abcdef"
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical text form for exact dedup: lower, trim, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: sha2-group, survivor = min id.
+
+    One shuffle on the 256-bit hash; group sizes are bounded by true
+    duplicate multiplicity so no skew mitigation is needed at 100 TB.
+    Returns (survivor id, content_hash, n_copies).
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.sha2(F.encode(normalize_text(F.col(text_col)), "UTF-8"), 256).alias(
+            "content_hash"
+        ),
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        hashed.select(
+            "content_hash",
+            F.col(id_col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("content_hash")).alias("n_copies"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), "content_hash", F.col("n_copies").cast("long"))
+    )
+
+
+def token_shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct n-token shingles of a document as an array<string>."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+    )
+    # Spark sequence(1, k) is DESCENDING for k < 1 — guard short docs.
+    return F.when(F.size(toks) >= n, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shared-shingle equi-join.
+
+    explode(shingles) → self-join on the shingle → per-pair intersection
+    count → Jaccard. The join is keyed on shingle values, so only documents
+    that share at least one shingle ever meet — the 100 TB-safe candidate
+    generation (a hot shingle is a skew key; AQE skew-join splits it).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(token_shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+    return (
+        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def bit_table(spark) -> DataFrame:
+    """60-row broadcast dim: bit index → (1-based hex char position within an
+    md5 string, in-char power 1/2/4/8, exact BIGINT 2^b weight). Powers are
+    computed in Python ints — never float pow, which loses bits past 2^53."""
+    rows = [(b, b // 4 + 1, 1 << (b % 4), 1 << b) for b in range(SIMHASH_BITS)]
+    return spark.createDataFrame(
+        rows, "b int, char_pos int, wb_pow long, pow2 long"
+    )
+
+
+def simhash(
+    df: DataFrame, spark, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document from md5(token) bit votes.
+
+    Pipeline: explode tokens (with multiplicity — repeated tokens vote
+    repeatedly) → md5 hex → broadcast-join the 60-row bit table → per-bit
+    ±1 votes in exact integer math (hex char via strpos/conv, bit via
+    DIV/% against the table's powers) → per-(doc, bit) sums → weighted
+    reassembly into one BIGINT. The only shuffles are the two keyed aggs;
+    the 60× expansion is a broadcast join inside one codegen stage.
+    Cross-engine-stable because md5 is the only hash involved.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("t"),
+    ).select("doc", F.md5(F.encode("t", "UTF-8")).alias("h"))
+
+    bits = bit_table(spark)
+    votes = toks.join(F.broadcast(bits)).select(
+        "doc",
+        "b",
+        "pow2",
+        (
+            (
+                (
+                    F.conv(F.substring("h", F.col("char_pos"), 1), 16, 10).cast("long")
+                    / F.col("wb_pow")
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc", "b", "pow2").agg(F.sum("vote").alias("v"))
+    return (
+        bit_sums.groupBy("doc")
+        .agg(
+            F.sum(F.when(F.col("v") > 0, F.col("pow2")).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("simhash")
+        )
+        .select(F.col("doc").alias(id_col), "simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    sh: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, with banded candidate
+    generation: 60 bits → 4 bands of 15; any pair within Hamming ≤ 3 shares
+    at least one identical band (pigeonhole), so the equi-join on
+    (band_idx, band_value) finds exactly the same pairs as a quadratic scan
+    — per-band-bucket cost instead of |N|² at scale.
+    """
+    n_bands = 4
+    band_bits = SIMHASH_BITS // n_bands
+    # shiftright with a Python-literal bit count keeps the math in exact
+    # integer ops (a `/` here would detour through double and drop low bits).
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.shiftright("simhash", i * band_bits) % (1 << band_bits)).alias("val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col).alias("doc"), "simhash", F.explode(bands).alias("bb")
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

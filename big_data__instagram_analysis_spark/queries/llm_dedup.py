@@ -1,0 +1,213 @@
+"""Dedup queries (SURVEY.md §2.10 L1, L2 + mandated variants: SimHash,
+n-gram Jaccard, embedding-cosine near-dup). MinHash-LSH (seed/hash-bucket
+dependent) is rows-only checked here, property-tested in tests/."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from ..registry import query
+
+
+@query(
+    "exact_dedup_docs",
+    category="L1,P5",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_copies
+FROM norm
+GROUP BY content_hash
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower/trim/collapse-ws) → sha256 → min-id
+    survivor per hash group (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id")
+
+
+@query(
+    "ngram_jaccard_neardup",
+    category="L2",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (x.n_sh + y.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
+""",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shared-shingle
+    equi-join candidate generation (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@query(
+    "simhash_docs",
+    category="L2",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(t) AS h FROM tok
+), bits AS (
+  SELECT b, b // 4 + 1 AS char_pos,
+         (1 << (b % 4)) AS wb_pow,
+         (CAST(1 AS BIGINT) << b) AS pow2
+  FROM range({SIMHASH_BITS}) AS r(b)
+), votes AS (
+  SELECT doc_id, b, pow2,
+         ((strpos('0123456789abcdef', substr(h, char_pos, 1)) - 1) // wb_pow) % 2 * 2 - 1 AS vote
+  FROM hashed CROSS JOIN bits
+), bit_sums AS (
+  SELECT doc_id, b, pow2, sum(vote) AS v FROM votes GROUP BY doc_id, b, pow2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+FROM bit_sums
+GROUP BY doc_id
+""",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (operators/dedup.py):
+    md5-derived bit votes with exact integer math on both engines."""
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, spark, text_col="text", id_col="doc_id")
+
+
+@query(
+    "simhash_neardup_pairs",
+    category="L2",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(t) AS h FROM tok
+), bits AS (
+  SELECT b, b // 4 + 1 AS char_pos,
+         (1 << (b % 4)) AS wb_pow,
+         (CAST(1 AS BIGINT) << b) AS pow2
+  FROM range({SIMHASH_BITS}) AS r(b)
+), votes AS (
+  SELECT doc_id, b, pow2,
+         ((strpos('0123456789abcdef', substr(h, char_pos, 1)) - 1) // wb_pow) % 2 * 2 - 1 AS vote
+  FROM hashed CROSS JOIN bits
+), bit_sums AS (
+  SELECT doc_id, b, pow2, sum(vote) AS v FROM votes GROUP BY doc_id, b, pow2
+), sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+  FROM bit_sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3. Spark side uses banded LSH
+    candidate generation (4 bands × 15 bits — pigeonhole-COMPLETE for
+    Hamming ≤ 3: a differing-bit budget of 3 cannot touch all 4 bands);
+    oracle is the plain quadratic scan — results must be identical."""
+    d = load(spark, sf_dir, "documents")
+    sh = simhash(d, spark, text_col="text", id_col="doc_id")
+    return simhash_neardup_pairs(sh, max_hamming=3)
+
+
+@query("minhash_lsh_neardup", category="L2")  # rows-only: MinHash seeds are engine-specific
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates via pyspark.ml (shingle → HashingTF →
+    MinHashLSH.approxSimilarityJoin). The scale path for Jaccard dedup; not
+    hash-checkable (hash seeds engine-internal), so rows-only here and the
+    'every reported pair really exceeds the Jaccard threshold' property is
+    asserted against exact Jaccard in tests/test_properties.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..operators.dedup import token_shingles
+
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id", token_shingles(F.col("text"), 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    ).transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "embedding_cosine_neardup",
+    category="L2,L3",
+    oracle="""
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), s AS (
+  SELECT vec_a, vec_b,
+         list_sum(list_transform(range(1, 1 + len(ea)), i -> ea[i] * eb[i])) AS dot,
+         sqrt(list_sum(list_transform(ea, x -> x * x))) AS na,
+         sqrt(list_sum(list_transform(eb, x -> x * x))) AS nb
+  FROM p
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS sim
+FROM s
+WHERE round(dot / (na * nb), 6) >= 0.55
+""",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.55 via the bit-exact
+    Catalyst higher-order-function path (operators/similarity.py). The
+    threshold is tuned to the fixture's similarity distribution so the
+    result is non-empty; the vectorized/LSH variants are the scale path."""
+    from ..operators.similarity import cosine_allpairs_hof
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_allpairs_hof(e, threshold=0.55)

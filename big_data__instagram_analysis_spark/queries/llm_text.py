@@ -1,0 +1,335 @@
+"""Text-analysis pipeline over the documents corpus (SURVEY.md §2.10:
+L4, L5, L6, L8, plus the mandated text-analysis extension: language-ID,
+quality scoring, BPE-ish token counting, document fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import query
+
+#: Tiny per-language marker lists for the n-gram/stopword language-ID
+#: heuristic. The fixture corpus shares one analytics vocabulary across
+#: langs, so this demonstrates the operator's shape (deterministic scoring +
+#: argmax with tiebreak), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "value"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "los", "y", "datos"),
+    "fr": ("le", "la", "les", "et", "vite"),
+    "zh": ("shi", "de", "da", "xiao", "biao"),
+}
+
+
+@query(
+    "token_frequency_top20",
+    category="L4",
+    oracle="""
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+WHERE t <> ''
+GROUP BY t
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: split → explode → count (top-20, tie-broken).
+    At 100 TB the explode feeds a map-side-combined agg — no row blowup
+    survives past the partial aggregate."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    category="L5",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term <> '' GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3 AND doc_id < 50
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as a declarative DataFrame composition (explode → tf/df aggs →
+    broadcast df join → rank window): fully oracle-checkable, unlike
+    HashingTF whose bucket hashing is engine-specific. Top-3 terms per doc
+    for a stable doc subset."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "lang_partition_stats",
+    category="L6",
+    oracle="""
+SELECT lang, count(*) AS docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE lang IN ('en', 'de', 'zh')
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def lang_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language routing/filtering stats (the partitioned-corpus shape:
+    at scale this is the partitionBy('lang') sink's planning query)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("lang").isin("en", "de", "zh"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "quality_filter",
+    category="L8",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_unique
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+       round(n_unique * 1.0 / n_tokens, 6) AS uniq_ratio
+FROM m
+WHERE n_chars BETWEEN 150 AND 400
+  AND n_tokens >= 25
+  AND n_unique * 1.0 / n_tokens >= 0.3
+""",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus quality gate: length bounds + token count + lexical
+    diversity ratio (the standard cheap pre-training filters)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+    uniq_ratio = F.col("n_unique") / F.col("n_tokens")
+    return (
+        m.where(
+            F.col("n_chars").between(150, 400)
+            & (F.col("n_tokens") >= 25)
+            & (uniq_ratio >= 0.3)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        )
+    )
+
+
+def _marker_score(lang: str) -> F.Column:
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast("long")
+
+
+@query(
+    "language_id_heuristic",
+    category="L4,L6",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+    {", ".join(
+        "CAST(len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join("'" + m + "'" for m in ms)
+        + "], t))) AS BIGINT) AS score_" + lang
+        for lang, ms in LANG_MARKERS.items()
+    )}
+  FROM documents
+)
+SELECT doc_id, actual_lang, score_en, score_de, score_es, score_fr, score_zh,
+       CASE
+         WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+         WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
+         WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+         WHEN score_fr >= score_zh THEN 'fr'
+         ELSE 'zh' END AS predicted_lang
+FROM scored
+""",
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: per-language overlap scores + deterministic
+    argmax (ties resolve in fixed lang order). The operator shape for
+    corpus routing; accuracy is bounded by the fixture's shared vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[_marker_score(lang).alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    predicted = (
+        F.when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"], s["zh"]), "en")
+        .when(s["de"] >= F.greatest(s["es"], s["fr"], s["zh"]), "de")
+        .when(s["es"] >= F.greatest(s["fr"], s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
+        "score_zh",
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "quality_score",
+    category="L8",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_unique,
+         n_chars
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.4 * (n_unique * 1.0 / n_tokens)
+           + 0.2 * least(n_chars / 300.0, 1.0), 6) AS quality
+FROM m
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length, diversity and char-volume terms —
+    a deterministic analogue of fasttext-style quality classifiers."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        "n_chars",
+    )
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.4 * (F.col("n_unique") / F.col("n_tokens"))
+        + 0.2 * F.least(F.col("n_chars") / 300.0, F.lit(1.0))
+    )
+    return m.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@query(
+    "token_count_bpe_ish",
+    category="L4",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') ) AS BIGINT) AS n_bpe_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_estimate
+FROM documents
+""",
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: a BPE-ish regex segmentation count and the
+    chars/4 heuristic every LLM pipeline uses for budgeting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_tokens_estimate"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    category="L1,L4",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                        i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS hashes
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(hashes) > 0 THEN list_min(hashes) ELSE NULL END AS fingerprint
+FROM sh
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: md5 over every 5-token shingle, keep the
+    lexicographic minimum. Shingles stay inside one higher-order expression —
+    no explode, no shuffle; md5 is the cross-engine-stable hash."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # Guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # short docs must short-circuit to NULL before building the sequence.
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, F.lit(5))), "UTF-8")),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.size(toks) >= 5, F.array_min(hashes)).alias("fingerprint"),
+    )

@@ -1,0 +1,110 @@
+"""Source/sink round-trip queries (SURVEY.md §2.1 S2-S7; S1 is exercised by
+every other query, S8/S9 by queries/streaming.py).
+
+Each query writes to repo-local scratch, reads back, and emits a result the
+DuckDB oracle reproduces from the ORIGINAL table — proving the round trip
+was lossless."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+from ..sources.readers_writers import (
+    roundtrip_csv,
+    roundtrip_json,
+    roundtrip_parquet,
+    roundtrip_partitioned,
+)
+
+
+@query(
+    "csv_roundtrip_nation",
+    category="S2,S6",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink (header) → CSV source (explicit schema): int/string columns
+    survive the text round trip exactly."""
+    n = load(spark, sf_dir, "nation")
+    return roundtrip_csv(n, spark, "csv_nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "json_roundtrip_region",
+    category="S3",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def json_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON sink → json source with explicit schema."""
+    r = load(spark, sf_dir, "region")
+    return roundtrip_json(r, spark, "json_region", sf_dir).select(
+        "r_regionkey", "r_name"
+    )
+
+
+@query(
+    "inline_values_source",
+    category="S4",
+    oracle="""
+SELECT * FROM (VALUES ('view', 1, 0.5), ('purchase', 2, 2.0),
+                      ('signup', 3, 1.0), ('error', 4, 0.0))
+       AS t(event_type, priority, weight)
+""",
+)
+def inline_values_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory source: createDataFrame over literal rows (Arrow path)."""
+    return spark.createDataFrame(
+        [("view", 1, 0.5), ("purchase", 2, 2.0), ("signup", 3, 1.0), ("error", 4, 0.0)],
+        "event_type string, priority int, weight double",
+    )
+
+
+@query(
+    "parquet_roundtrip_returns",
+    category="S5",
+    oracle="""
+SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def parquet_roundtrip_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink → source round trip on a filtered fact slice, then agg
+    over the re-read data (binary-exact round trip)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    back = roundtrip_parquet(li, spark, "parquet_returns", sf_dir)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "partitioned_sink_events",
+    category="S7",
+    oracle="""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+ORDER BY event_type, d
+""",
+)
+def partitioned_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink by event_type → re-read → per-partition daily
+    counts. At scale the re-read scan prunes partitions by event_type; the
+    partition column round-trips through the directory layout."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    back = roundtrip_partitioned(e, spark, "part_events", sf_dir, "event_type")
+    return (
+        back.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "d")
+    )
