@@ -1,0 +1,313 @@
+"""Structured Streaming queries (SURVEY.md §2.9: X1-X8, S8, S9).
+
+Each query REALLY runs Structured Streaming: file-replay source over the
+events fixture (streaming/harness.py), micro-batch execution with
+Trigger.AvailableNow, memory sink. The declared result is the final sink
+contents, which for the oracle-checked shapes below is provably equal to the
+batch twin regardless of replay chunking (SURVEY.md §5.3.2):
+
+  - complete-mode aggregations re-emit full state each trigger → final table
+    == batch aggregation (X1, X2, X3, X7, X8-complete);
+  - append-mode dedup emits each surviving row exactly once → sink rows ==
+    batch DISTINCT ON (X5, X8-append);
+  - update-mode stateful emissions are monotone per key, so max-per-key over
+    the sink == final state == batch aggregate (X6, X8-update).
+
+Watermark-dependent late-data behavior (X4) is inherently replay-order
+sensitive, so it's declared rows-only; its property check (emitted windows ⊆
+batch windows, values equal where emitted) lives in tests/test_streaming.py.
+
+At 100 TB the memory sink becomes a partitioned parquet sink (S7) and the
+file source becomes Kafka; the query graphs — windowed state, watermark
+eviction, stream-static broadcast join — are unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+from ..streaming.harness import events_stream, run_available_now
+
+
+def _fmt(col):  # second-precision ISO string: ns-vs-µs safe (SURVEY.md §5.4)
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- X1 + S8/S9: tumbling window aggregation (complete mode) -----------------
+
+
+@query(
+    "stream_tumbling_counts",
+    category="X1,S8,S9,X8",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 10-min × event_type counts, complete-mode sink.
+
+    Window state lives in the per-partition state store keyed by (window,
+    type); complete mode re-emits all state per trigger, so the final sink
+    equals the batch twin bucket-for-bucket.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+        .select(
+            _fmt(F.col("window.start")).alias("win_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# --- X2: sliding window aggregation ------------------------------------------
+
+
+@query(
+    "stream_sliding_value",
+    category="X2,X8",
+    oracle="""
+WITH b AS (
+  SELECT value,
+         time_bucket(INTERVAL '5 minutes', ts) AS tb
+  FROM events
+), w AS (
+  SELECT value, unnest([tb, tb - INTERVAL '5 minutes']) AS win
+  FROM b
+)
+SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM w
+GROUP BY win_start
+ORDER BY win_start
+""",
+)
+def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min: each event lands in 2 windows.
+
+    The oracle materializes the same two bucket starts per event via unnest —
+    the batch-twin identity for slide = length/2.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(_fmt(F.col("window.start")).alias("win_start"), "n", "total_value")
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("win_start")
+
+
+# --- X3: session windows ------------------------------------------------------
+
+
+@query(
+    "stream_session_stats",
+    category="X3,X8",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap), complete mode.
+
+    Spark's session_window merges overlapping [ts, ts+gap) intervals in the
+    state store; the oracle reconstructs identical sessions with the classic
+    lag-gap + running-sum session-id rewrite (W3+W5 composition).
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            _fmt(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# --- X4: watermark + late data (rows-only; property-checked in tests) --------
+
+
+@query("stream_watermark_tumbling", category="X4")
+def stream_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling agg under a 1-hour watermark.
+
+    Multi-trigger replay (1 file per trigger): a window is emitted only once
+    the watermark (max seen ts − 1 h) passes its end, and later arrivals for
+    emitted windows are dropped. Emission set depends on replay order ⇒
+    rows-only; tests/test_streaming.py asserts emitted ⊆ batch and
+    value-equality on emitted windows.
+    """
+    s = events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+        .select(
+            _fmt(F.col("window.start")).alias("win_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    return run_available_now(agg, output_mode="append").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# --- X5: streaming dedup ------------------------------------------------------
+
+
+@query(
+    "stream_dedup_events",
+    category="X5,X8",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within a 1-h watermark, append mode.
+
+    dropDuplicates emits each first-seen key immediately (watermark only
+    bounds state retention), so the sink holds exactly the distinct events;
+    a batch count over the sink is then SQL-checkable.
+
+    The replay files are hash-partitioned, not time-ordered, so each file
+    spans the whole fixture time range — a short watermark would classify
+    most of every later micro-batch as late and drop it. The watermark is
+    therefore set beyond the fixture span (state eviction still exercised,
+    nothing dropped, result deterministic); the *late-drop* behavior is X4's
+    job, not X5's.
+    """
+    s = events_stream(spark, sf_dir, max_files_per_trigger=2)
+    deduped = s.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
+    sink = run_available_now(deduped, output_mode="append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+# --- X6: arbitrary stateful per-key logic ------------------------------------
+
+
+@query(
+    "stream_stateful_user_counter",
+    category="X6,X8",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user running (count, sum) state machine.
+
+    State (n, total) persists in the state store across micro-batches; each
+    trigger emits the updated state per touched key (update mode). Emissions
+    are monotone in n, so the max-n row per user is the final state and must
+    equal the batch aggregate — that reduction happens batch-side on the sink.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def counter(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    s = events_stream(spark, sf_dir, max_files_per_trigger=2)
+    updates = s.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        counter,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_available_now(updates, output_mode="update")
+    final = sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("tv"),
+    )
+    return final.select(
+        "user_id", "n_events", F.round("tv", 2).alias("total_value")
+    ).orderBy("user_id")
+
+
+# --- X7: stream-static join ---------------------------------------------------
+
+
+@query(
+    "stream_static_join_revenue",
+    category="X7,X8",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def stream_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with the static customer dim, then aggregate.
+
+    The static side is broadcast once and re-used every micro-batch (no
+    stream-side shuffle for the join); the complete-mode agg makes the final
+    sink equal the batch join+agg.
+    """
+    s = events_stream(spark, sf_dir)
+    dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    agg = (
+        s.join(dim, s.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("c_mktsegment")

@@ -1,0 +1,83 @@
+"""File-replay streaming harness over the events fixture.
+
+The fixture is one parquet file per table, but a stream source wants a
+directory of files it can treat as arriving batches. ``events_stream``
+materializes the events table (ts already normalized to µs by io.load, exact
+nanos kept in ts_ns) into N scratch files once per (sf_dir, N), then returns
+a ``readStream`` over that directory with an explicit schema — the file
+source lists files and replays them as micro-batches.
+
+``run_available_now`` executes a streaming DataFrame to completion with the
+Trigger.AvailableNow semantics (process everything that exists, then stop)
+into a uniquely-named in-memory sink table. With ``max_files_per_trigger``
+set, replay happens over multiple micro-batches so watermarks and state
+actually advance between batches — without it the whole directory is one
+batch and stateful semantics degenerate to the batch case.
+
+Determinism contract for oracle-checked streaming queries (SURVEY.md §5.3):
+complete-mode aggregations and append-mode dedup are replay-order-independent
+— their final sink contents equal the batch-twin result regardless of how
+files are chunked into triggers. Only those shapes get SQL oracles; anything
+watermark-dependent (late-data drop) is a rows-only/property check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load, scratch_dir
+
+_sink_counter = itertools.count()
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the events table, replayed from n_files scratch files.
+
+    ``max_files_per_trigger`` (a *source* option) chunks the replay into
+    multiple micro-batches so watermarks/state advance between triggers.
+    """
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{n_files}".encode()).hexdigest()[:12]
+    replay_dir = scratch_dir(f"stream_events_{key}")
+    marker = os.path.join(replay_dir, "_SPARK_GRAFT_READY")
+    if not os.path.exists(marker):
+        batch = load(spark, sf_dir, "events")
+        batch.repartition(n_files).write.mode("overwrite").parquet(replay_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = load(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(replay_dir)
+
+
+def run_available_now(
+    sdf: DataFrame,
+    *,
+    output_mode: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a streaming DF to a memory sink until no input remains; return it.
+
+    Memory sink is driver-local — correct here because every streaming query
+    in the declared surface ends in an aggregation/dedup whose result is
+    small; a production sink would be S7's partitioned parquet writer.
+    """
+    name = f"sg_sink_{next(_sink_counter)}"
+    writer = sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
