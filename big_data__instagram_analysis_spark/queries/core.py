@@ -21,7 +21,7 @@ from ..registry import query
 
 @query(
     "pricing_summary",
-    category="A1",
+    category="S1,A1",
     tags=("flagship", "bench"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
@@ -276,6 +276,41 @@ def json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
+    )
+
+
+# --- O1-O3: global sort / limit / top-k --------------------------------------
+
+
+@query(
+    "orderby_nulls_topk",
+    category="O1,O2,O3",
+    oracle="""
+SELECT c_custkey, c_name,
+       nullif(round(c_acctbal, 2), 0) AS bal
+FROM customer
+ORDER BY bal DESC NULLS LAST, c_custkey
+LIMIT 50
+""",
+)
+def orderby_nulls_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with NULLS LAST + LIMIT → TakeOrderedAndProject.
+
+    Spark plans ORDER BY+LIMIT as a per-partition top-k with a k-row merge on
+    the driver — no global sort shuffle ever materializes, which is the only
+    acceptable top-k shape at 100 TB. c_custkey is the unique tiebreak
+    (SURVEY.md §5.4); the nullif manufactures NULLs so the NULLS LAST path is
+    actually exercised.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.nullif(F.round("c_acctbal", 2), F.lit(0)).alias("bal"),
+        )
+        .orderBy(F.desc_nulls_last("bal"), F.asc("c_custkey"))
+        .limit(50)
     )
 
 

@@ -1,0 +1,231 @@
+"""Similarity-search extension (SURVEY.md §2.10 L3 + ANN scale paths).
+
+Three tiers over the embeddings table (64-d float vectors):
+
+  1. ``ann_topk_queries`` — exact brute-force top-k for a query subset,
+     SQL-oracle-checked. The correctness baseline.
+  2. ``ann_lsh_bucketed`` — BucketedRandomProjectionLSH (pyspark.ml): the
+     100 TB path for *all-pairs* near-neighbor, replacing the quadratic pair
+     space with per-bucket joins. Hash-seeded → rows-only; recall vs the
+     exact baseline is asserted in tests/test_ann.py.
+  3. ``ann_ivf_probe`` — IVF-style coarse quantization: KMeans centroids
+     (broadcast), route every corpus vector to its cell, probe only the
+     query's nearest cells. One shuffle on cell id; candidate count per
+     query drops from |corpus| to |corpus|·(nprobe/ncells) at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..operators.similarity import cosine_topk_queries
+from ..registry import query
+
+#: Every 25th vector is a "query"; the rest are corpus. Deterministic split.
+QUERY_MOD = 25
+TOPK = 5
+
+
+def _split(emb: DataFrame):
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return emb, queries
+
+
+# --- L3 baseline: exact top-k per query, SQL-checked --------------------------
+
+
+@query(
+    "ann_topk_queries",
+    category="L3",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, 1 + len(qe)), i -> qe[i] * ce[i]))
+           / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+              * sqrt(list_sum(list_transform(ce, x -> x * x)))) AS sim_raw
+  FROM q, c
+  WHERE query_id != neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim_raw, 6) DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+""",
+)
+def ann_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per query vector (brute-force baseline).
+
+    Query matrix broadcasts; corpus streams through Arrow-batched mapInPandas
+    (numpy matmul per chunk, chunk-local top-k) — shuffle volume is O(k·|Q|)
+    rows however large the corpus (operators/similarity.py).
+    """
+    corpus, queries = _split(load(spark, sf_dir, "embeddings"))
+    out = cosine_topk_queries(corpus, queries, spark, k=TOPK)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --- LSH-bucketed scale path --------------------------------------------------
+
+
+@query("ann_lsh_bucketed", category="L3,L2")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-neighbor via BucketedRandomProjectionLSH (rows-only).
+
+    Vectors land in random-hyperplane buckets; approxSimilarityJoin joins
+    only within buckets, so pair candidates scale with bucket occupancy, not
+    |corpus|². Fixed seed keeps the run reproducible, but the hash family is
+    model state, not portable SQL → rows-only here; recall ≥ 0.8 against the
+    exact all-pairs baseline is asserted in tests/test_ann.py.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    # L2-normalize first so euclidean LSH distance orders like cosine.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double") / norm)
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.25,
+        numHashTables=6,
+        seed=42,
+    )
+    model = lsh.fit(vecs)
+    # ||a-b||² = 2-2cos(a,b) for unit vectors → dist 1.05 ≈ cosine 0.45.
+    # The fixture vectors are near-isotropic (pairwise cos ~ N(0, 1/64), max
+    # ≈ 0.48 measured), so 0.45 is ≈3.6σ — "near-duplicate" for this corpus.
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.05, distCol="dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    )
+
+
+# --- IVF-style coarse-quantization probe --------------------------------------
+
+
+@query("ann_ivf_probe", category="L3")
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: route corpus to KMeans cells, probe 3 nearest cells/query.
+
+    The centroid table is tiny and broadcasts; cell routing is one
+    mapInPandas pass (numpy argmin over centroids); candidate generation is
+    an equi-join on cell_id — the shuffle key — instead of a cross join.
+    Approximate (a true neighbor can live in an unprobed cell): rows-only,
+    recall asserted in tests/test_ann.py.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    # Deterministic coarse centroids: seeded numpy k-means (few iters is fine
+    # for routing; exactness comes from the in-cell brute force).
+    rng = np.random.default_rng(7)
+    ncells = 8
+    cents = mat[rng.choice(len(mat), ncells, replace=False)]
+    for _ in range(10):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(ncells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "cell": np.argmax(m @ cent.T, axis=1)}
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(route, "vec_id long, cell int")
+    corpus_cells = emb.join(cells, "vec_id")
+
+    # Queries probe their top-3 cells (nprobe=3 of 8 — the fixture vectors
+    # are isotropic, so routing correlation is weak and a real corpus with
+    # cluster structure would need fewer probes for the same recall).
+    q_ids = ids[ids % QUERY_MOD == 0]
+    q_mat = mat[ids % QUERY_MOD == 0]
+    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :3]
+    probe_rows = [
+        (int(q), int(c)) for qi, q in enumerate(q_ids) for c in probe[qi]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    q_vecs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).where(F.col("query_id") % QUERY_MOD == 0)
+
+    cand = (
+        probes.join(corpus_cells, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_vecs), "query_id")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def nrm(a):
+        return F.sqrt(dot(a, a))
+
+    sim = dot("q_emb", "embedding") / (nrm("q_emb") * nrm("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

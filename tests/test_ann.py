@@ -1,0 +1,47 @@
+"""Recall property checks for the approximate ANN paths (SURVEY.md §5.3.3).
+
+The LSH and IVF queries are rows-only in the driver (hash family / centroid
+state isn't portable SQL), so their quality gate lives here: recall against
+the exact brute-force baseline on the same fixture.
+"""
+
+from __future__ import annotations
+
+from big_data__instagram_analysis_spark.registry import get_specs
+
+
+def _exact_topk(spark, sf_dir):
+    spec = get_specs()["ann_topk_queries"]
+    out = {}
+    for r in spec.fn(spark, sf_dir).collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=2/8 cells must recover ≥60% of exact top-5 overall."""
+    exact = _exact_topk(spark, sf_dir)
+    got = {}
+    for r in get_specs()["ann_ivf_probe"].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
+def test_lsh_finds_top_pairs(spark, sf_dir):
+    """LSH candidate pairs must include most of the global exact top pairs.
+
+    Uses the exact all-pairs top-10 (embed_knn_allpairs) as ground truth and
+    requires ≥80% of those pairs to surface in the LSH join output.
+    """
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in get_specs()["embed_knn_allpairs"].fn(spark, sf_dir).collect()
+    }
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in get_specs()["ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+    }
+    hit = len(exact_pairs & lsh_pairs)
+    assert hit / len(exact_pairs) >= 0.8, f"LSH recall {hit}/{len(exact_pairs)}"
