@@ -33,7 +33,11 @@ def main() -> None:
         sf = -1.0
 
     from big_data__instagram_analysis_spark.registry import get_specs
-    from big_data__instagram_analysis_spark.session import get_spark
+    from big_data__instagram_analysis_spark.session import enable_bench_tuning, get_spark
+
+    # Small-file scan parallelism + low shuffle fan-out for the MB-scale bench
+    # tier (see session.enable_bench_tuning docstring — not the 100 TB confs).
+    enable_bench_tuning()
 
     specs = get_specs()
     bench_names = [n for n, s in sorted(specs.items()) if "bench" in s.tags or "flagship" in s.tags]
@@ -41,14 +45,18 @@ def main() -> None:
     spark = get_spark("iga-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up executes one DataFrame instance per query (JIT/codegen caches,
-    # broadcast hydration, FS cache). The timed pass executes a SEPARATELY
-    # built instance: same logical plan but fresh lineage, so the scheduler
-    # cannot skip stages via still-registered shuffle outputs — the timed run
-    # does the full scan/shuffle/agg work. Timing covers analysis + execution
-    # + Arrow collection; Py4J plan-construction chatter stays outside.
-    for name in bench_names:
-        specs[name].fn(spark, sf_dir).toPandas()
+    # Warm-up executes fresh DataFrame instances per query (JIT/codegen
+    # caches, broadcast hydration, FS cache). Two passes: C2-tier JIT of the
+    # hot codegen'd loops needs more than one execution to reach the steady
+    # state the BASELINE's "warm" (second-run) DuckDB numbers represent.
+    # The timed pass executes a SEPARATELY built instance: same logical plan
+    # but fresh lineage, so the scheduler cannot skip stages via
+    # still-registered shuffle outputs — the timed run does the full
+    # scan/shuffle/agg work. Timing covers analysis + execution + Arrow
+    # collection; Py4J plan-construction chatter stays outside.
+    for _ in range(3):
+        for name in bench_names:
+            specs[name].fn(spark, sf_dir).toPandas()
     dfs_timed = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
 
     timings: dict[str, float] = {}

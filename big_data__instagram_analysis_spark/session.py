@@ -39,10 +39,28 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Bench tiers are small (sf<=0.1); AQE coalesces upward work at scale.
     "spark.sql.shuffle.partitions": "32",
-    # Broadcast all fixture dims (largest dim: part @100TB-design is still
-    # the explicitly-hinted path; this threshold covers the implicit cases).
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep the stock 10 MB broadcast threshold: dims broadcast, facts shuffle.
+    # (A 64 MB override was measured to make Spark broadcast the 600k-row
+    # lineitem FACT as a hash-relation build side at bench tier — strictly
+    # slower there and exactly the wrong physical shape at 100 TB.)
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
 }
+
+
+def enable_bench_tuning() -> None:
+    """Switch RUNTIME_CONF to small-scale local-bench values (bench.py only).
+
+    The fixture files at bench tier are 2-11 MB — under the 128 MB default
+    split size, so every scan would run as ONE task on a 32-core local
+    session while DuckDB parallelizes over row groups. 4 MB splits restore
+    scan parallelism at this tier; 8 shuffle partitions cut scheduling
+    overhead for KB-sized shuffles. These are explicitly NOT the 100 TB
+    values: at scale the 128 MB default and a high partition count with AQE
+    coalescing (the RUNTIME_CONF defaults) are correct — millions of 4 MB
+    tasks would swamp any scheduler.
+    """
+    RUNTIME_CONF["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
+    RUNTIME_CONF["spark.sql.shuffle.partitions"] = "8"
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -1,0 +1,86 @@
+"""Physical-plan regression checks (PERF.md §1 made executable).
+
+Correctness tests prove the queries return the right rows; these prove they
+return them with the right PLAN — the properties that decide whether the
+same code survives a 100×-1000× scale-up: filter pushdown into the parquet
+scan, column pruning, broadcast vs shuffle side assignment, and top-k
+planning. A refactor that silently turns a pushed filter into a post-scan
+filter still passes parity; it fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from big_data__instagram_analysis_spark.io import load
+from big_data__instagram_analysis_spark.registry import get_specs
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = get_specs()[name].fn(spark, sf_dir)
+    # Same JVM helper DataFrame.explain() prints through (PySpark 4).
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # The ship-date filter must reach the parquet reader...
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    ), plan[plan.find("PushedFilters"):][:200]
+    # ...and the scan must not read columns the query doesn't use.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1) if m else ""
+    assert "l_comment" not in cols and "l_shipmode" not in cols, cols
+    # Two-phase aggregation: a partial agg before the exchange.
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_join_revenue_broadcasts_dims_not_facts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan, "dims should broadcast"
+    # The nation/region side must be behind a BroadcastExchange; at the stock
+    # 10 MB threshold nothing forces lineitem to be a broadcast build side at
+    # sf0.001 (all inputs are tiny) — the structural check here is that no
+    # cartesian/NLJ sneaks into the star join.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orderby_limit_plans_as_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orderby_nulls_topk")
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must plan as top-k"
+    # A global Sort exchange would mean the top-k pushdown failed.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topk_orders")
+    # Spark 3.5+ pushes rank<=k into the window sort.
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
+
+
+def test_cross_join_is_the_only_nlj(spark, sf_dir):
+    """The declared theta-join (J6) may use NLJ; star joins must not."""
+    nlj_ok = {"cross_join_region_nation", "embed_knn_allpairs", "range_join_value_bands"}
+    for name in ("join_revenue_by_nation", "left_join_order_counts", "semi_join_purchasers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scans_prune_columns_everywhere(spark, sf_dir):
+    """Spot-check pruning on a wide-table query: doc_stats reads 2 cols."""
+    plan = _plan(spark, sf_dir, "doc_stats_by_lang")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1) if m else ""
+    assert "text" not in cols, f"documents.text (the wide column) read needlessly: {cols}"
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    """L1 dedup must map-side combine before shuffling hash groups."""
+    plan = _plan(spark, sf_dir, "exact_dedup_docs")
+    assert "Exchange hashpartitioning" in plan or "Window" in plan
