@@ -35,6 +35,7 @@ for _mod_name in (
     "llm_multimodal",
     "udfs",
     "streaming",
+    "social",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

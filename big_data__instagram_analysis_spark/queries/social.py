@@ -1,0 +1,330 @@
+"""Social/log-analytics domain queries (SURVEY.md §2 grounding tag "IG").
+
+The reference's domain is Instagram-style engagement analytics; these queries
+are the workload shapes such an analysis actually runs — hashtag leaderboards,
+conversion funnels, cohort retention, DAU/MAU stickiness, error monitoring —
+each composed from already-proven §2 operators (joins, windows, conditional
+aggs, regex extraction) and each hash-checked against the DuckDB oracle.
+
+Every query keeps the scale discipline of the §2 rows it composes: hashtag
+explode is a flatMap (no driver loop), funnels/cohorts are two-phase aggs on
+user_id (the natural shuffle key), and nothing materializes per-user state
+outside the keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..registry import query
+
+# --- hashtag leaderboard ------------------------------------------------------
+
+
+@query(
+    "hashtag_top5_per_lang",
+    category="F2,W2,L4",
+    oracle="""
+WITH tags AS (
+  SELECT lang, lower(tag) AS tag
+  FROM documents, unnest(regexp_extract_all(text, '#\\w+')) AS t(tag)
+), counts AS (
+  SELECT lang, tag, count(*) AS n
+  FROM tags GROUP BY lang, tag
+), ranked AS (
+  SELECT lang, tag, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tag) AS rn
+  FROM counts
+)
+SELECT lang, tag, n, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY lang, rn
+""",
+)
+def hashtag_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hashtags per language: regex extract-all → explode → count → rank.
+
+    The explode happens executor-side inside codegen (no UDF); the count is
+    a two-phase agg on (lang, tag); the rank window shuffles once on lang.
+    """
+    d = load(spark, sf_dir, "documents")
+    tags = d.select(
+        "lang",
+        F.explode(F.expr(r"regexp_extract_all(text, '#\\w+')")).alias("raw_tag"),
+    ).select("lang", F.lower("raw_tag").alias("tag"))
+    counts = tags.groupBy("lang", "tag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tag"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
+
+
+# --- conversion funnel --------------------------------------------------------
+
+
+@query(
+    "funnel_view_purchase",
+    category="A6,F3",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events
+  GROUP BY user_id
+), flags AS (
+  SELECT user_id,
+         CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+         CASE WHEN first_view IS NOT NULL AND purchased = 1
+                   AND EXISTS (
+                     SELECT 1 FROM events e2
+                     WHERE e2.user_id = per_user.user_id
+                       AND e2.event_type = 'purchase'
+                       AND e2.ts >= per_user.first_view
+                   )
+              THEN 1 ELSE 0 END AS converted
+  FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(viewed) AS BIGINT) AS n_viewed,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) * 1.0 / nullif(sum(viewed), 0), 4) AS conv_rate
+FROM flags
+""",
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase funnel: per-user conditional aggregation, one shuffle.
+
+    "Converted" = purchased at-or-after the first view. Both the first-view
+    timestamp and the conditional purchase check fold into ONE groupBy pass
+    (min/max of CASE expressions) — no self-join, no per-user driver logic;
+    the oracle's EXISTS subquery is expressed as max(ts of purchase) >=
+    first_view inside the same aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    flags = per_user.select(
+        F.when(F.col("first_view").isNotNull(), 1).otherwise(0).alias("viewed"),
+        F.when(
+            F.col("first_view").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_view")),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.nullif(F.sum("viewed"), F.lit(0)), 4
+        ).alias("conv_rate"),
+    )
+
+
+# --- DAU / MAU stickiness -----------------------------------------------------
+
+
+@query(
+    "dau_mau_stickiness",
+    category="A3,F3",
+    oracle="""
+WITH dau AS (
+  SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), mau AS (
+  SELECT strftime(ts, '%Y-%m') AS month, count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.month, round(avg(d.dau), 4) AS avg_dau, CAST(m.mau AS BIGINT) AS mau,
+       round(avg(d.dau) / m.mau, 4) AS stickiness
+FROM dau d JOIN mau m ON d.month = m.month
+GROUP BY d.month, m.mau
+ORDER BY d.month
+""",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avg-DAU / MAU per month — the classic engagement-stickiness ratio.
+
+    Two count-distinct aggregations at different grains joined on month; the
+    month dimension is tiny so the join broadcasts.
+    """
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    dau = base.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = base.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.first("mau"), 4).alias("stickiness"),
+        )
+        .select("month", "avg_dau", "mau", "stickiness")
+        .orderBy("month")
+    )
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+@query(
+    "cohort_weekly_retention",
+    category="W4,F3,J1",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       count(*) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort by first-active week × week offset.
+
+    first-week per user is one keyed agg; the offset join is user_id-keyed
+    (same shuffle partitioning reused); DISTINCT collapses multiple events
+    per user-week before the final small aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", "ts"))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- error-rate monitoring ----------------------------------------------------
+
+
+@query(
+    "error_rate_daily",
+    category="A6,F3",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS error_rate
+FROM events
+GROUP BY day
+ORDER BY day
+""",
+)
+def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error rate: conditional agg over the event log (ops dashboard)."""
+    e = load(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_err).alias("n_errors"),
+            F.round(F.sum(is_err) / F.count(F.lit(1)), 4).alias("error_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- engagement ranking across the star schema --------------------------------
+
+
+@query(
+    "engagement_rank_by_segment",
+    category="J1,W1,A1",
+    oracle="""
+WITH per_user AS (
+  SELECT e.user_id, c.c_mktsegment AS segment,
+         round(sum(e.value), 2) AS total_value,
+         count(*) AS n_events
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY e.user_id, c.c_mktsegment
+)
+SELECT segment, user_id, total_value, n_events,
+       CAST(dense_rank() OVER (PARTITION BY segment
+                               ORDER BY total_value DESC, user_id) AS INTEGER)
+         AS seg_rank
+FROM per_user
+ORDER BY segment, seg_rank, user_id
+""",
+)
+def engagement_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement leaderboard per market segment: star join + dense_rank.
+
+    Customer is the broadcast dim; the per-user agg shuffles on user_id; the
+    rank window re-shuffles on segment only after the data is reduced to one
+    row per user.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    per_user = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("user_id", "segment")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per_user.select(
+        "segment",
+        "user_id",
+        "total_value",
+        "n_events",
+        F.dense_rank().over(w).cast("int").alias("seg_rank"),
+    ).orderBy("segment", "seg_rank", "user_id")
