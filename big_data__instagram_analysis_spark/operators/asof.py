@@ -66,11 +66,18 @@ def asof_join(
     carried: list[Column] = [
         F.last(c, ignorenulls=True).over(w).alias(c) for c in payload
     ]
+    # Matched = a right row exists at-or-before this row, independently of
+    # whether its payload values are NULL (a NULL payload is a valid match).
+    matched = F.last(
+        F.when(F.col("__side") == 0, F.lit(1)), ignorenulls=True
+    ).over(w)
     enriched = unioned.select(
-        *[c for c in unioned.columns if c not in payload], *carried
+        *[c for c in unioned.columns if c not in payload],
+        *carried,
+        matched.alias("__matched"),
     )
 
-    out = enriched.where(F.col("__side") == 1).drop("__t", "__side")
+    out = enriched.where(F.col("__side") == 1)
     if how == "inner":
-        out = out.where(F.coalesce(*[F.col(c).isNotNull() for c in payload]))
-    return out
+        out = out.where(F.col("__matched").isNotNull())
+    return out.drop("__t", "__side", "__matched")

@@ -1,0 +1,48 @@
+"""Edge semantics of the as-of join composition (operators/asof.py).
+
+The driver-facing asof query is oracle-checked in test_parity.py; these pin
+the corner cases DuckDB's native ASOF JOIN defines but fixture data may never
+exercise: NULL payloads still count as matches, equal timestamps match
+(right_ts <= left_ts), and 'left' keeps unmatched rows with NULL payload.
+"""
+
+from __future__ import annotations
+
+from big_data__instagram_analysis_spark.operators.asof import asof_join
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, None), (1, 15, 100.0), (2, 6, 50.0)],
+        "k long, rt long, val double",
+    )
+    return left, right
+
+
+def test_null_payload_is_still_a_match(spark):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt", payload=["val"], how="inner"
+    ).collect()
+    got = {(r["k"], r["lt"]): r["val"] for r in out}
+    # (1,10) matches the rt=10 NULL-payload row (equal ts counts) — must be
+    # KEPT under inner with val NULL, not dropped.
+    assert (1, 10) in got and got[(1, 10)] is None
+    # (1,20) takes the latest right at-or-before: rt=15 → 100.0
+    assert got[(1, 20)] == 100.0
+    # (2,5): right rt=6 is AFTER the left ts → no match → dropped.
+    # (3,7): no right rows for k=3 → dropped.
+    assert set(got) == {(1, 10), (1, 20)}
+
+
+def test_left_keeps_unmatched(spark):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt", payload=["val"], how="left"
+    ).collect()
+    got = {(r["k"], r["lt"]): r["val"] for r in out}
+    assert set(got) == {(1, 10), (1, 20), (2, 5), (3, 7)}
+    assert got[(2, 5)] is None and got[(3, 7)] is None
