@@ -36,6 +36,7 @@ for _mod_name in (
     "udfs",
     "streaming",
     "social",
+    "dataframe_ops",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

@@ -1,0 +1,162 @@
+"""DataFrame-API reshaping & cleaning ops (§2 P/A-family extensions).
+
+pivot / unpivot(melt) / NA handling are first-class DataFrame operations any
+reference user would reach for; none map to a single §2 row, so they get
+their own oracle-checked queries here. Also pulls the part/supplier
+dimensions into active coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# --- pivot -------------------------------------------------------------------
+
+
+@query(
+    "pivot_event_type_counts",
+    category="A1,A6",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() → wide per-user event-type count matrix.
+
+    The pivot values are DECLARED (not discovered) so the plan is a single
+    two-phase conditional aggregation — no extra values-discovery job, and
+    the schema is stable however the data shards. At 100 TB an undeclared
+    pivot would first run a distinct scan over the pivot column: never do
+    that on a fact table.
+    """
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    ).orderBy("user_id")
+
+
+# --- unpivot / melt ----------------------------------------------------------
+
+
+@query(
+    "unpivot_part_measures",
+    category="P1,F7",
+    oracle="""
+SELECT p_partkey, measure, round(val, 2) AS val
+FROM (
+  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part
+)
+ORDER BY p_partkey, measure
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot (melt): wide part measures → long (key, measure, value).
+
+    Executes as a generate/expand over each row — no shuffle at all until
+    the final presentation sort; the long format is what feature pipelines
+    feed into grouped normalization (U4).
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "raw_val")
+        .select("p_partkey", "measure", F.round("raw_val", 2).alias("val"))
+        .orderBy("p_partkey", "measure")
+    )
+
+
+# --- NA handling -------------------------------------------------------------
+
+
+@query(
+    "na_fill_drop_supplier",
+    category="P4,F5",
+    oracle="""
+WITH flagged AS (
+  SELECT s_suppkey, s_nationkey,
+         nullif(round(s_acctbal, 2), 0) AS bal
+  FROM supplier
+)
+SELECT s_suppkey, s_nationkey,
+       coalesce(bal, -1.0) AS bal_filled
+FROM flagged
+WHERE s_nationkey IS NOT NULL
+ORDER BY s_suppkey
+""",
+)
+def na_fill_drop_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: na.drop on keys + na.fill on measures.
+
+    NULLs are manufactured with nullif (fixtures are fully dense) so the
+    fill/drop paths execute for real. fillna/dropna compile to the same
+    coalesce / IsNotNull expressions the oracle states — zero plan overhead.
+    """
+    s = load(spark, sf_dir, "supplier")
+    flagged = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.nullif(F.round("s_acctbal", 2), F.lit(0)).alias("bal"),
+    )
+    return (
+        flagged.na.drop(subset=["s_nationkey"])
+        .na.fill({"bal": -1.0})
+        .select("s_suppkey", "s_nationkey", F.col("bal").alias("bal_filled"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --- supplier balance league (dims exercised in a join) ----------------------
+
+
+@query(
+    "supplier_balance_by_nation",
+    category="J1,A1",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_bal,
+       round(avg(s.s_acctbal), 4) AS avg_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY total_bal DESC, n_name
+""",
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance league table per nation (broadcast dim join)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy(F.desc("total_bal"), "n_name")
+    )
