@@ -37,6 +37,7 @@ for _mod_name in (
     "streaming",
     "social",
     "dataframe_ops",
+    "bucketing",
 ):
     try:
         _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])

@@ -80,6 +80,21 @@ def test_scans_prune_columns_everywhere(spark, sf_dir):
     assert "text" not in cols, f"documents.text (the wide column) read needlessly: {cols}"
 
 
+def test_bucketed_join_has_no_fact_shuffle(spark, sf_dir):
+    """Bucketed orders⋈customer must SMJ with zero exchanges on the join key.
+
+    This is the co-location contract bucketing exists for: if a refactor
+    reintroduces `Exchange hashpartitioning(o_custkey...)` the whole point
+    of the bucketed write is silently lost.
+    """
+    plan = _plan(spark, sf_dir, "bucketed_join_order_totals")
+    assert "SortMergeJoin" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning\((o_custkey|c_custkey)", plan), (
+        "bucketed join re-shuffled the facts"
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
 def test_exact_dedup_partial_aggregates(spark, sf_dir):
     """L1 dedup must map-side combine before shuffling hash groups."""
     plan = _plan(spark, sf_dir, "exact_dedup_docs")
