@@ -249,3 +249,48 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["last_order_date", "last_order_price"],
         how="inner",
     ).select("event_id", "user_id", "last_order_date", "last_order_price")
+
+
+# --- skew-salted join (J1 + §4 skew playbook) --------------------------------
+
+
+@query(
+    "salted_join_user_segment",
+    category="J1,J9",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def salted_join_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events⋈customer with explicit key salting (operators/skew.py).
+
+    events.user_id has ~15 distinct values over the whole fact table — the
+    extreme-skew shape where a plain shuffle join lands everything on ≤15
+    tasks. The salt (event_id, unique and uniform) fans each hot key over 8
+    sub-keys; the customer side replicates 8×. Output is provably identical
+    to the plain join (same oracle as the unsalted stream-static variant).
+    Broadcast is disabled for this plan so the salted shuffle path is what
+    actually executes on the tiny fixture; at 100 TB the right side would be
+    too big to broadcast and this rewrite is load-bearing.
+    """
+    from ..operators.skew import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        e, c, key="c_custkey", salt_expr=F.col("event_id"), n_salts=8
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
