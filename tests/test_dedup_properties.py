@@ -1,0 +1,73 @@
+"""Property tests for the dedup family (SURVEY.md §5.3.3).
+
+Invariants that no oracle query pins but every dedup pipeline depends on:
+idempotence (dedup ∘ dedup = dedup), survivor determinism (min-id wins
+whatever the partitioning), and normalization insensitivity (case/whitespace
+variants of one text collapse to one survivor). Hypothesis drives the text
+generator; one Spark job per example keeps the count small.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data__instagram_analysis_spark.operators.dedup import exact_dedup
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab #\tXY")),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _mkdf(spark, ids, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(ids), "text": list(rows)}).astype(
+            {"doc_id": "int64"}
+        )
+    )
+
+
+def _dedup_ids(spark, ids, rows) -> list[int]:
+    return sorted(
+        r["doc_id"] for r in exact_dedup(_mkdf(spark, ids, rows)).collect()
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=texts)
+def test_exact_dedup_idempotent_and_min_id_survivor(spark, rows):
+    survivors = _dedup_ids(spark, range(len(rows)), rows)
+
+    # Survivor determinism: for each normalized class, the min doc_id wins.
+    def norm(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    classes: dict[str, int] = {}
+    for i, t in enumerate(rows):
+        classes.setdefault(norm(t), i)
+    assert survivors == sorted(classes.values())
+
+    # Idempotence: dedup over the surviving (id, text) rows changes nothing.
+    keep = set(survivors)
+    again = _dedup_ids(
+        spark,
+        [i for i in range(len(rows)) if i in keep],
+        [t for i, t in enumerate(rows) if i in keep],
+    )
+    assert again == survivors
+
+
+def test_case_whitespace_variants_collapse(spark):
+    rows = ["Hello  World", "hello world", "  HELLO\tWORLD ", "other doc"]
+    assert _dedup_ids(spark, range(4), rows) == [0, 3]
