@@ -7,10 +7,13 @@ was lossless."""
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, scratch_dir
 from ..registry import query
 from ..sources.readers_writers import (
     roundtrip_csv,
@@ -107,4 +110,54 @@ def partitioned_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "d")
+    )
+
+
+# --- schema evolution: mergeSchema over heterogeneous parquet batches ---------
+
+
+@query(
+    "merged_schema_scan",
+    category="S1,S5",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_priority,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+""",
+)
+def merged_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: two parquet batches with different schemas
+    (the newer one adds o_orderpriority) unified by mergeSchema=true.
+
+    The canonical 100 TB ingest reality — columns appear over time and the
+    reader must union footers instead of failing. Old-batch rows surface the
+    new column as NULL; the oracle recomputes the same totals from the
+    unsplit table. Merge cost is footer-only (no data rewrite), which is why
+    this works at petabyte scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    out_dir = scratch_dir(
+        "schema_evolution_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    )
+    marker = os.path.join(out_dir, "_READY")
+    if not os.path.exists(marker):
+        old = o.where(F.year("o_orderdate") < 1995).select("o_orderkey", "o_totalprice")
+        new = o.where(F.year("o_orderdate") >= 1995).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        old.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=old"))
+        new.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=new"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "batch=old"), os.path.join(out_dir, "batch=new")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
