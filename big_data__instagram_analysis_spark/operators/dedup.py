@@ -23,8 +23,15 @@ HEX_DIGITS = "0123456789abcdef"
 
 
 def normalize_text(col: F.Column) -> F.Column:
-    """Canonical text form for exact dedup: lower, trim, collapse whitespace."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """Canonical text form for exact dedup: lower, collapse whitespace, trim.
+
+    Collapse runs BEFORE trimming: trim() strips only ASCII spaces, so a
+    leading tab/newline would survive a trim-first order ('\\tb' → ' b' ≠
+    'b' — found by the hypothesis fuzz in tests/test_dedup_properties.py).
+    After the collapse every whitespace run is a single 0x20, which trim
+    does strip.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def exact_dedup(

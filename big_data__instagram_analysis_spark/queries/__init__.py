@@ -17,32 +17,24 @@ Module ↔ SURVEY.md §2 section map:
     streaming.py       X1-X8
 """
 
-from . import core  # noqa: F401
-
-_MODULES = [core]
-
-for _mod_name in (
-    "projections",
-    "joins",
-    "aggregates",
-    "windows",
-    "setops",
-    "scalars",
-    "sources_sinks",
-    "llm_text",
-    "llm_dedup",
-    "llm_similarity",
-    "llm_multimodal",
-    "udfs",
-    "streaming",
-    "social",
-    "dataframe_ops",
-    "bucketing",
-):
-    try:
-        _mod = __import__(f"{__name__}.{_mod_name}", fromlist=[_mod_name])
-        _MODULES.append(_mod)
-    except ModuleNotFoundError as exc:
-        # Module not written yet (incremental build) — only swallow our own.
-        if _mod_name not in str(exc):
-            raise
+# Explicit imports — a module that fails to import must fail LOUDLY here,
+# not silently drop its queries from the driver contract.
+from . import (  # noqa: F401
+    aggregates,
+    bucketing,
+    core,
+    dataframe_ops,
+    joins,
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
+    llm_text,
+    projections,
+    scalars,
+    setops,
+    social,
+    sources_sinks,
+    streaming,
+    udfs,
+    windows,
+)

@@ -24,7 +24,7 @@ from ..registry import query
     oracle="""
 WITH norm AS (
   SELECT doc_id,
-         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
   FROM documents
 )
 SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_copies

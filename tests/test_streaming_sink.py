@@ -18,6 +18,37 @@ from big_data__instagram_analysis_spark.io import load, scratch_dir
 from big_data__instagram_analysis_spark.streaming.harness import events_stream
 
 
+def test_foreach_batch_sink_sees_every_row_once(spark, sf_dir):
+    """S9 foreachBatch: per-micro-batch callback with (df, epoch_id).
+
+    foreachBatch is the escape hatch for sinks Spark lacks natively (JDBC
+    upserts, dedup-merge). The contract tested: across an availableNow
+    replay, the callbacks collectively see every input row exactly once and
+    epoch ids strictly increase.
+    """
+    seen: dict[int, int] = {}
+
+    def sink(batch_df, epoch_id: int):
+        seen[int(epoch_id)] = batch_df.count()
+
+    s = events_stream(spark, sf_dir, max_files_per_trigger=3)
+    q = (
+        s.select("event_id", "value")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    total = load(spark, sf_dir, "events").count()
+    assert sum(seen.values()) == total
+    assert len(seen) >= 2, "maxFilesPerTrigger=3 over 8 files should give ≥2 batches"
+    assert sorted(seen) == list(seen), "epoch ids must arrive in order"
+
+
 def test_checkpointed_parquet_sink_is_exactly_once(spark, sf_dir):
     out_dir = scratch_dir("stream_sink_test/out")
     ckpt_dir = scratch_dir("stream_sink_test/ckpt")
