@@ -1,0 +1,131 @@
+"""Distributed connected components (alternating large-star / small-star).
+
+The dedup-clustering step of an LLM data pipeline: near-dup *pairs* (from
+MinHash/LSH, n-gram Jaccard, SimHash, or cosine threshold — operators/
+dedup.py, similarity.py) must be closed into *clusters* so one canonical
+document per cluster survives. That closure is connected components over the
+pair graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds
+independent of graph diameter, each round a groupBy + join, i.e. exactly the
+shuffle-shaped work Spark schedules well at 100 TB. The naive alternative
+(min-label propagation) needs O(diameter) rounds, which is unbounded on
+chain-shaped duplicate clusters (doc A ≈ B ≈ C ≈ ... happens constantly in
+crawl data); large-star collapses such chains exponentially fast.
+
+Each round the edge list is localCheckpoint()ed: iterative DataFrame loops
+otherwise accrete a lineage tree whose re-evaluation is exponential and whose
+plan compile time alone would dominate. Checkpointing materializes the edge
+set (small: ≤ |V| after the first rounds) and truncates lineage — the
+standard Spark idiom for iterative graph algorithms (GraphX/Pregel does the
+same internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(nbrs: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over a bidirectional edge list.
+
+    ``nbrs`` holds (u, v) with both directions present.  With
+    m(u) = min(N(u) ∪ {u}):
+
+      large-star: connect every *strictly larger* neighbor of u to m(u);
+      small-star: connect every *not-larger* neighbor of u, and u itself,
+                  to the min over just those.
+
+    Both emit (x, m) pairs with x > m — the edge list stays canonicalized as
+    (hi, lo) which keeps round-over-round comparison cheap.
+    """
+    if large:
+        m = (
+            nbrs.select("u", "v")
+            .union(nbrs.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        out = (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+    else:
+        small = nbrs.where(F.col("v") <= F.col("u")).select("u", "v")
+        small = small.union(small.select("u", F.col("u").alias("v")).distinct())
+        m = small.groupBy("u").agg(F.min("v").alias("m"))
+        out = small.join(m, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every vertex of an undirected edge list with its component min.
+
+    Returns (node, component) for every vertex that appears in ``edges``;
+    ``component`` is the smallest vertex id reachable from ``node`` (the
+    usual canonical-document convention: min doc_id survives). Vertices with
+    no edges simply don't appear — callers left-join and coalesce to
+    themselves (a singleton IS its own canonical doc).
+
+    ``max_rounds`` bounds the large+small-star alternation; convergence takes
+    O(log n) rounds so 25 covers any graph that fits on hardware that exists.
+    A non-converged exit raises rather than returning a wrong labeling.
+    """
+    # Canonicalize to (a=hi, b=lo), dedup, drop self-loops.
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("a"),
+        F.least(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        after_large = _star_round(nbrs, large=True)
+        nbrs2 = after_large.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(after_large.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        after_small = _star_round(nbrs2, large=False).localCheckpoint(eager=True)
+
+        # Converged when the canonical edge set is unchanged: every edge is
+        # then (node, component-min) — a star forest.
+        if (
+            after_small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(after_small).limit(1).count() == 0
+        ):
+            stars = after_small
+            break
+        e = after_small
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+
+    roots = stars.select(F.col("b").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    members = stars.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return members.union(roots).distinct()
+
+
+def attach_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Label every row of ``nodes`` with its component (itself if isolated)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    joined = nodes.join(cc, nodes[id_col] == cc["node"], "left")
+    return joined.select(
+        *[nodes[c] for c in nodes.columns],
+        F.coalesce(cc["component"], nodes[id_col]).alias("component"),
+    )

@@ -4,7 +4,7 @@ dependent) is rows-only checked here, property-tested in tests/."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -216,3 +216,81 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return cosine_threshold_pairs(e, spark, threshold=0.55)
+
+
+@query(
+    "neardup_cc_clusters",
+    category="L2,E12",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+), label AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM labeled
+ORDER BY doc_id
+""",
+)
+def neardup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: close the 3-gram Jaccard pair graph (threshold
+    0.5) into components and label every document with its cluster.
+
+    The pipeline step after pair generation: pairs alone can't drive dedup
+    because near-duplication is not transitive-closed (A≈B, B≈C but A≉C
+    chains are common in crawl data) — the survivor set must be one doc per
+    *component*. Components come from operators/graph.py (alternating
+    large-star/small-star, O(log n) shuffle rounds — diameter-independent,
+    unlike min-label propagation); the oracle recomputes them with a
+    recursive-CTE transitive closure, tractable at oracle scale only.
+    Canonical = min doc_id per cluster; singletons are their own cluster.
+    """
+    from ..operators.graph import attach_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    labeled = attach_components(
+        d.select("doc_id"), pairs, "doc_id", src="doc_a", dst="doc_b"
+    )
+    w = Window.partitionBy("component")
+    return (
+        labeled.select(
+            "doc_id",
+            F.col("component").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

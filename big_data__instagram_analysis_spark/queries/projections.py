@@ -165,3 +165,18 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query("sample_stratified_by_type", category="P6,E15")  # rows-only: engine-RNG-specific
+def sample_stratified_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample (sampleBy): per-stratum Bernoulli fractions —
+    downsample the over-represented event types (the class-rebalancing step
+    of a training-data pipeline). One scan, no shuffle: each row flips a coin
+    whose bias is looked up from its stratum. Engine-RNG-specific → rows-only;
+    the per-stratum fraction CI and seed-determinism are asserted in
+    tests/test_sampling.py."""
+    e = load(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "click": 0.1, "purchase": 1.0, "signup": 0.5, "error": 0.02}
+    return e.sampleBy("event_type", fractions=fractions, seed=7).select(
+        "event_id", "event_type", "user_id"
+    )

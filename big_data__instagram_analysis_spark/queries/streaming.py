@@ -24,13 +24,18 @@ eviction, stream-static broadcast join — are unchanged.
 
 from __future__ import annotations
 
+import itertools
+import os
+
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, scratch_dir
 from ..registry import query
 from ..streaming.harness import events_stream, run_available_now
+
+_upsert_counter = itertools.count()
 
 
 def _fmt(col):  # second-precision ISO string: ns-vs-µs safe (SURVEY.md §5.4)
@@ -311,3 +316,151 @@ def stream_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     return run_available_now(agg, output_mode="complete").orderBy("c_mktsegment")
+
+
+# --- X9 (extension): stream-stream join ---------------------------------------
+
+
+@query(
+    "stream_stream_join_pairs",
+    category="X8,E13",
+    oracle="""
+WITH e AS (  -- µs-floor like Spark's timestamp type (SURVEY.md §5.4)
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events
+)
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       CAST((p.us - v.us) // 1000000 AS BIGINT) AS gap_s
+FROM e v
+JOIN e p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.us >= v.us
+ AND p.us <= v.us + CAST(1800000000 AS BIGINT)
+ORDER BY view_id, purchase_id
+""",
+)
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: view events matched to the same user's
+    purchases within 30 minutes (attribution-window shape).
+
+    Two independent replays of the event stream, chunked into DIFFERENT
+    micro-batch boundaries (3 vs 2 files per trigger), joined on user + a
+    time-range condition. Both sides buffer rows in the join state store;
+    a match emits when the second side arrives, so with an
+    everything-retained watermark each qualifying pair is emitted exactly
+    once regardless of arrival interleaving — the sink equals the batch
+    join, making this SQL-checkable. The range condition is written on the
+    watermarked timestamp columns so StreamingJoinHelper can derive a state
+    watermark from it (an inequality on non-watermark columns cannot bound
+    join state); the oracle floors to µs to mirror Spark's timestamp type.
+
+    At 100 TB the same graph runs unbounded with a real watermark sized to
+    the attribution window so join state is evicted once no future match is
+    possible — the eviction path (not the semantics) is what changes.
+    """
+    views = (
+        events_stream(spark, sf_dir, max_files_per_trigger=3)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "3650 days")
+    )
+    purchases = (
+        events_stream(spark, sf_dir, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3650 days")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    sink = run_available_now(joined, output_mode="append")
+    return sink.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias("gap_s"),
+    ).orderBy("view_id", "purchase_id")
+
+
+# --- E14 (extension): foreachBatch upsert sink (keep-latest merge) ------------
+
+
+@query(
+    "stream_upsert_latest",
+    category="S9,E14",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink via foreachBatch: keep the latest event per user.
+
+    The merge-into-keyed-table pattern (what MERGE INTO does on a lakehouse
+    table): each micro-batch is merged with the accumulated state by
+    argmax-per-key on (ts_ns, event_id) — a total order, so the merge is
+    associative and commutative and the final table is independent of how
+    the replay was chunked into batches; that makes it SQL-checkable against
+    the batch argmax. State generations are written to epoch-named parquet
+    dirs (write-new-then-swap-pointer — never overwrite the generation being
+    read); at 100 TB the state table is partitioned by key-hash so each
+    merge shuffles only the touched partitions, and the pointer swap is the
+    transaction-log commit a table format provides.
+    """
+    base = scratch_dir(f"upsert_{next(_upsert_counter)}_{os.getpid()}")
+    state: dict[str, str | None] = {"path": None}
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = batch_df.select("user_id", "event_id", "ts_ns", "value")
+        if state["path"] is not None:
+            cur = spark.read.parquet(state["path"]).unionByName(cur)
+        latest = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_path = os.path.join(base, f"gen_{epoch_id}")
+        latest.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    s = events_stream(spark, sf_dir, max_files_per_trigger=3)
+    q = s.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        _fmt(F.expr("timestamp_micros(ts_ns div 1000)")).alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")
