@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     aggregates,
     bucketing,
     core,
+    curation,
     dataframe_ops,
     joins,
     llm_dedup,
@@ -35,6 +36,7 @@ from . import (  # noqa: F401
     social,
     sources_sinks,
     streaming,
+    subqueries,
     udfs,
     windows,
 )

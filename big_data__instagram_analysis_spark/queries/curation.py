@@ -1,0 +1,198 @@
+"""Corpus-curation operators (SURVEY.md §2.12 E17-E19): the filtering /
+shaping stages of a training-data pipeline that sit between raw text and
+tokenized batches — corpus-frequency boilerplate detection (C4-style),
+within-document repetition scoring (Gopher-style), and sequence packing.
+
+All three stay JVM-side: tokenization and n-gramming are higher-order array
+functions inside whole-stage codegen (no Python in the hot path), the
+boilerplate document-frequency table is one shuffle, and packing is a
+per-shard prefix sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+#: tokens → distinct word-3-grams, as a reusable column expression.
+_TOKENS = "filter(split(text, ' '), t -> t <> '')"
+_GRAMS3 = (
+    f"array_distinct(transform(sequence(1, greatest(size({_TOKENS}) - 2, 0)),"
+    f" i -> concat_ws(' ', slice({_TOKENS}, i, 3))))"
+)
+
+
+@query(
+    "boilerplate_ngram_flags",
+    category="L4,E17",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+  FROM toks
+), exploded AS (
+  SELECT doc_id, unnest(g) AS s FROM grams
+), freq AS (
+  SELECT s FROM exploded GROUP BY s HAVING count(*) >= 3
+), hits AS (
+  SELECT e.doc_id, count(*) AS n_boilerplate
+  FROM exploded e JOIN freq f ON e.s = f.s
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.g) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       round(coalesce(h.n_boilerplate, 0) * 1.0 / len(g.g), 6) AS bp_frac
+FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+ORDER BY g.doc_id
+""",
+)
+def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: a 3-gram occurring in ≥ 3 distinct
+    documents is corpus-boilerplate; score each doc by the fraction of its
+    distinct 3-grams that are boilerplate.
+
+    Shape: per-doc distinct n-grams (HOFs, no shuffle) → explode → one
+    groupBy for the corpus document-frequency table → semi-ish join back and
+    re-aggregate per doc. The n-gram DF table is the only shuffle; a hot
+    n-gram ("click here to subscribe") is a skew key, which AQE's skew-join
+    split absorbs. The fixture corpus has no newlines, so the unit is the
+    n-gram rather than C4's line — the plan is identical (line-hash ↔
+    n-gram string).
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.expr(_GRAMS3).alias("g"))
+    exploded = grams.select("doc_id", F.explode("g").alias("s"))
+    freq = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 3)
+        .select("s")
+    )
+    hits = (
+        exploded.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return (
+        grams.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("g").cast("long").alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0)) / F.size("g"), 6
+            ).alias("bp_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "repetition_score",
+    category="L8,E18",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS total_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+       END AS rep_frac
+FROM g
+ORDER BY doc_id
+""",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: 1 − distinct/total 3-grams.
+
+    High rep_frac marks degenerate generation-loop text ("the the the…");
+    the Gopher/MassiveText filters threshold on exactly this family of
+    signals. Pure higher-order-function projection — per-row arrays, no
+    explode, no shuffle, fully inside whole-stage codegen, so at 100 TB it
+    runs at scan speed.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size({_TOKENS}) - 2, 0)),"
+        f" i -> concat_ws(' ', slice({_TOKENS}, i, 3)))"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    total = F.size("grams").cast("long")
+    dist = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        total.alias("total_grams"),
+        dist.alias("distinct_grams"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - dist / total, 6))
+        .alias("rep_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sequence_packing",
+    category="L4,E19",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS batch_id
+FROM c
+ORDER BY doc_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ≤512-token training batches, greedily
+    in doc_id order within each language shard.
+
+    batch_id = exclusive-prefix-sum(tokens) div budget — the doc that crosses
+    a budget boundary starts in the batch where its prefix began, which is
+    the standard greedy packing. Partitioned by lang: packing is per-shard by
+    construction (a global order would serialize the prefix sum through one
+    partition; real pipelines pack within shards for exactly that reason), so
+    the window parallelizes across shards and scales with shard count.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 512").alias("batch_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,87 @@
+"""Subquery family (SURVEY.md §2.12 E16): scalar, correlated-scalar, IN, and
+NOT EXISTS subqueries through the SQL frontend.
+
+These run via ``spark.sql`` over the registered fixture views on purpose —
+the declared surface includes the SQL entry point (SURVEY.md §3 entry
+point 3), and subqueries are where that frontend does real work: Catalyst
+rewrites every shape below into a join (scalar → cross/left join of a
+1-row aggregate, correlated scalar → left outer join on the correlation
+key, IN → left semi, NOT EXISTS → left anti), so what executes is the same
+shuffle/broadcast machinery as the DataFrame queries — decorrelation is an
+optimizer rewrite, not an execution feature. The oracle strings are the
+same ANSI text, which is the point: this family is checked frontend-to-
+frontend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from ..registry import query
+
+_SCALAR = """
+SELECT c_custkey, round(c_acctbal, 2) AS bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+ORDER BY c_custkey
+"""
+
+_CORRELATED = """
+SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+FROM part p
+WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) * 1.02
+                         FROM part p2
+                         WHERE p2.p_brand = p.p_brand)
+ORDER BY p.p_partkey
+"""
+
+_IN = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+ORDER BY s_suppkey
+"""
+
+_NOT_EXISTS = """
+SELECT c.c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+ORDER BY c.c_custkey
+"""
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+@query("scalar_subquery_above_avg", category="E16", oracle=_SCALAR)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: customers above the global mean balance.
+    Catalyst plans the 1-row aggregate as a broadcast to the filter."""
+    return _sql(spark, sf_dir, _SCALAR)
+
+
+@query("correlated_scalar_brand_premium", category="E16", oracle=_CORRELATED)
+def correlated_scalar_brand_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced >2% above their brand's mean
+    (fixture prices span 900-1000, so 2% selects the upper tail).
+    Decorrelated into (part ⟕ per-brand aggregate) on p_brand."""
+    return _sql(spark, sf_dir, _CORRELATED)
+
+
+@query("in_subquery_nations", category="E16", oracle=_IN)
+def in_subquery_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery: suppliers in any nation with an overdrawn customer.
+    Rewritten to a left-semi join on the nation key."""
+    return _sql(spark, sf_dir, _IN)
+
+
+@query("not_exists_big_order", category="E16", oracle=_NOT_EXISTS)
+def not_exists_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS: customers with no order over 300k.
+    Rewritten to a left-anti join with the pushed-down order filter."""
+    return _sql(spark, sf_dir, _NOT_EXISTS)
