@@ -18,8 +18,10 @@ from ..registry import query
 from ..sources.readers_writers import (
     roundtrip_csv,
     roundtrip_json,
+    roundtrip_orc,
     roundtrip_parquet,
     roundtrip_partitioned,
+    roundtrip_text,
 )
 
 
@@ -161,3 +163,41 @@ def merged_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_with_priority"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "orc_roundtrip_supplier",
+    category="S5,E20",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+FROM supplier
+""",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source: ints/strings/doubles survive the second
+    columnar format losslessly (sources/readers_writers.py)."""
+    s = load(spark, sf_dir, "supplier")
+    return roundtrip_orc(s, spark, "orc_supplier", sf_dir).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+
+
+@query(
+    "text_source_doc_lines",
+    category="S2,E20",
+    oracle="""
+SELECT text AS value, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_source_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text sink → text source: the raw-corpus ingestion path
+    (one doc per line, schema-less `value` column). Lossless because the
+    fixture corpus contains no newlines — which is exactly the invariant a
+    real pipeline enforces (newline-escape) before using this format."""
+    d = load(spark, sf_dir, "documents").select("text")
+    rt = roundtrip_text(d, spark, "text_docs", sf_dir)
+    return rt.select("value", F.length("value").cast("long").alias("n_chars"))

@@ -58,3 +58,25 @@ def roundtrip_partitioned(
     path = sink_path(name, sf_dir)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     return spark.read.parquet(path)
+
+
+def roundtrip_orc(
+    df: DataFrame, spark: SparkSession, name: str, sf_dir: str
+) -> DataFrame:
+    """ORC sink → ORC source. Columnar like parquet (stripe/footer stats →
+    predicate pushdown); exercises the second columnar format the engine
+    declares."""
+    path = sink_path(name, sf_dir)
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+def roundtrip_text(
+    df_one_string_col: DataFrame, spark: SparkSession, name: str, sf_dir: str
+) -> DataFrame:
+    """text sink (one string column → one line per row) → text source
+    (`value` column). The raw-corpus ingestion format: line-delimited UTF-8
+    with no schema, split across files at partition granularity."""
+    path = sink_path(name, sf_dir)
+    df_one_string_col.write.mode("overwrite").text(path)
+    return spark.read.text(path)

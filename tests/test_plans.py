@@ -99,3 +99,40 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir):
     """L1 dedup must map-side combine before shuffling hash groups."""
     plan = _plan(spark, sf_dir, "exact_dedup_docs")
     assert "Exchange hashpartitioning" in plan or "Window" in plan
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Catalyst must rewrite every subquery shape into a join — a surviving
+    nested-loop re-evaluation would be O(n·m) at scale."""
+    plan = _plan(spark, sf_dir, "correlated_scalar_brand_premium")
+    assert re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan), plan[:500]
+    plan = _plan(spark, sf_dir, "in_subquery_nations")
+    assert "LeftSemi" in plan, "IN must plan as left-semi"
+    plan = _plan(spark, sf_dir, "not_exists_big_order")
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as left-anti"
+    # The order filter must be pushed below the anti join into the scan.
+    assert re.search(r"PushedFilters: \[.*o_totalprice", plan), "filter not pushed"
+
+
+def test_repetition_score_is_shuffle_free(spark, sf_dir):
+    """E18 is a pure projection: any Exchange in the plan is a regression
+    (the final orderBy is the single allowed rangepartitioning sort)."""
+    plan = _plan(spark, sf_dir, "repetition_score")
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    # JVM-side HOF expressions, not Python rows: no Arrow/pickle boundary.
+    assert "EvalPython" not in plan
+
+
+def test_sequence_packing_partitions_by_shard(spark, sf_dir):
+    """E19's window must hash-partition on the lang shard key, not collapse
+    to a single global partition."""
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert re.search(r"hashpartitioning\(lang", plan), "window not sharded by lang"
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0], plan[:400]
+
+
+def test_boilerplate_single_df_shuffle(spark, sf_dir):
+    """E17: the n-gram document-frequency table is built with a partial
+    (map-side) aggregate before its exchange."""
+    plan = _plan(spark, sf_dir, "boilerplate_ngram_flags")
+    assert "partial_count" in plan, "missing map-side combine on the DF table"
