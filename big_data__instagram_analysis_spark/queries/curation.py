@@ -196,3 +196,138 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_pipeline",
+    category="L8,E21",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), q AS (
+  SELECT * FROM toks
+  WHERE n_chars BETWEEN 150 AND 400
+    AND len(t) >= 25
+    AND len(list_distinct(t)) * 1.0 / len(t) >= 0.3
+), ex AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM q)
+  GROUP BY h
+), s AS (
+  SELECT q.* FROM q JOIN ex USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+  FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db
+  FROM shared
+  JOIN sizes x ON da = x.doc_id
+  JOIN sizes y ON db = y.doc_id
+  WHERE c * 1.0 / (x.n_sh + y.n_sh - c) >= 0.5
+), sym AS (
+  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE s2.b <> r.a
+), label AS (
+  SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+), canon AS (
+  SELECT s.doc_id, s.lang, s.t
+  FROM s LEFT JOIN label l ON s.doc_id = l.doc_id
+  WHERE coalesce(l.comp, s.doc_id) = s.doc_id
+), grams AS (
+  SELECT doc_id, lang, t,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS g
+  FROM canon
+), rep AS (
+  SELECT doc_id, lang, len(t) AS n_tokens
+  FROM grams
+  WHERE len(g) = 0 OR 1.0 - len(list_distinct(g)) * 1.0 / len(g) <= 0.05
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rep
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS batch_id
+FROM c
+ORDER BY doc_id
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedup → near-dup
+    clustering (connected components, canonical survivor) → repetition
+    filter → per-shard sequence packing — one lazy plan, one query.
+
+    The composition IS the point: every stage is a declared operator
+    (quality_filter L8, exact_dedup_docs L1, neardup_cc_clusters E12,
+    repetition_score E18, sequence_packing E19) and Catalyst fuses their
+    projections/filters into each other across stage boundaries — n-gram
+    shingling and normalization never materialize between stages. At 100 TB
+    this runs as: one scan of documents, the dedup-hash shuffle, the shingle
+    shuffle for candidate pairs (tiny: only quality survivors), the O(log n)
+    CC rounds on the pair graph (tinier: only near-dup docs), and the
+    per-shard packing window — each stage's shuffle keyed on progressively
+    less data, the funnel shape a curation pipeline should have.
+    """
+    from ..operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from ..operators.graph import attach_components
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    with_toks = d.withColumn("t", toks)
+    q = with_toks.where(
+        F.col("n_chars").between(150, 400)
+        & (F.size("t") >= 25)
+        & (F.size(F.array_distinct("t")) / F.size("t") >= 0.3)
+    )
+    survivors = exact_dedup(q, text_col="text", id_col="doc_id").select("doc_id")
+    s = q.join(survivors, "doc_id")
+    pairs = ngram_jaccard_pairs(s, n=3, threshold=0.5).select("doc_a", "doc_b")
+    labeled = attach_components(
+        s.select("doc_id"), pairs, "doc_id", src="doc_a", dst="doc_b"
+    )
+    canon = s.join(
+        labeled.where(F.col("component") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+    )
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(t) - 2, 0)),"
+        " i -> concat_ws(' ', slice(t, i, 3)))"
+    )
+    g = canon.select("doc_id", "lang", "t", grams.alias("g"))
+    rep = g.where(
+        (F.size("g") == 0)
+        | (F.lit(1.0) - F.size(F.array_distinct("g")) / F.size("g") <= 0.05)
+    ).select("doc_id", "lang", F.size("t").cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rep.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 512").alias("batch_id"),
+        )
+        .orderBy("doc_id")
+    )
