@@ -230,3 +230,41 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "embedding_centroids_by_label",
+    category="L3,E22",
+    oracle="""
+SELECT label,
+       CAST(i - 1 AS INTEGER) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, range(1, 65) r(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, dimension-wise: the vector AGGREGATE
+    of the pipeline (cluster centers, class prototypes, IVF codebook
+    refresh).
+
+    posexplode flattens (vector → 64 (pos, x) rows) so the mean is an
+    ordinary two-phase groupBy on (label, pos) — partial avg map-side, one
+    shuffle keyed (label, pos), no vector ever materialized on the driver.
+    That is the 100 TB shape: dimension-wise scalar aggregation parallelizes
+    over label×dim cells, whereas a collect-and-average would serialize
+    every vector through one process. Output stays flat (label, pos, c) —
+    re-assembling arrays is a presentation step, not an aggregation step.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("c"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )

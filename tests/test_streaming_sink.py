@@ -9,6 +9,7 @@ partitions by event_type).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -88,3 +89,64 @@ def test_checkpointed_parquet_sink_is_exactly_once(spark, sf_dir):
     types = {r["event_type"] for r in want.select("event_type").distinct().collect()}
     subdirs = {d.split("=")[1] for d in os.listdir(out_dir) if d.startswith("event_type=")}
     assert subdirs == types
+
+
+def test_interrupted_stream_resumes_exactly_once(spark, sf_dir):
+    """Checkpoint-resume with data arriving BETWEEN runs: run 1 sees 3 of 8
+    input files, stops; 5 more land; run 2 resumes from the same checkpoint
+    and must process exactly the new files — no re-emission, no gaps.
+
+    This is the crash-recovery contract at scale: the checkpoint's offset
+    log (which files are committed) plus the sink's transaction log make the
+    pair exactly-once across restarts.
+    """
+    src_all = events_stream(spark, sf_dir)  # materializes the 8-file replay dir
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|8".encode()).hexdigest()[:12]
+    replay_src = scratch_dir(f"stream_events_{key}")
+    assert os.path.exists(os.path.join(replay_src, "_SPARK_GRAFT_READY"))
+    parts = sorted(f for f in os.listdir(replay_src) if f.endswith(".parquet"))
+    assert len(parts) == 8
+
+    in_dir = scratch_dir("resume_test/in")
+    out_dir = scratch_dir("resume_test/out")
+    ckpt = scratch_dir("resume_test/ckpt")
+    for d in (in_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+
+    schema = src_all.schema
+
+    def run_once():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in_dir)
+        )
+        q = (
+            s.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    for f in parts[:3]:
+        shutil.copy(os.path.join(replay_src, f), os.path.join(in_dir, f))
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert 0 < n_first < load(spark, sf_dir, "events").count()
+
+    for f in parts[3:]:
+        shutil.copy(os.path.join(replay_src, f), os.path.join(in_dir, f))
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    total = load(spark, sf_dir, "events").count()
+    assert got.count() == total, "resume lost or duplicated a micro-batch"
+    assert got.select("event_id").distinct().count() == total
