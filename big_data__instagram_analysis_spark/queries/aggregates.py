@@ -251,3 +251,34 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "stat_crosstab_priority_status",
+    category="A6,E23",
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority_o_orderstatus
+""",
+)
+def stat_crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameStatFunctions contingency table: priority × status counts.
+
+    df.stat.crosstab plans as a pivot-count (conditional aggregation over
+    the observed column domain) — same two-phase agg as E1, surfaced through
+    the stat API. Fine when the pivoted domain is small and known (3
+    statuses); a high-cardinality crosstab belongs in long form (A1).
+    """
+    o = load(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+        F.col("P").cast("long").alias("P"),
+    ).orderBy("o_orderpriority_o_orderstatus")

@@ -294,3 +294,45 @@ def salted_join_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "nullsafe_join_status_labels",
+    category="J1,E24",
+    oracle="""
+WITH o AS (
+  SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders
+), d AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'),
+                        (NULL, 'pending-unknown')) AS t(k, label)
+)
+SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o.o_totalprice), 2) AS total
+FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+ORDER BY d.label
+""",
+)
+def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys — the join you need when NULL is a real category (unknown
+    status) rather than an absence. Spark plans <=> as an ordinary hash
+    equi-join key (nulls hash to one bucket), not a nested loop; fixtures
+    carry no NULLs, so the keys are synthesized with nullif on both engines.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("nullif(o_orderstatus, 'P')").alias("k"), "o_totalprice"
+    )
+    d = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), (None, "pending-unknown")],
+        "dk string, label string",
+    )
+    return (
+        o.join(d, F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("label")
+    )
