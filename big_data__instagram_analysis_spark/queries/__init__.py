@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     llm_text,
     projections,
     scalars,
+    scale_ops,
     setops,
     social,
     sources_sinks,

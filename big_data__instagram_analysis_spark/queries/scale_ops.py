@@ -1,0 +1,439 @@
+"""Scale-pattern operators (SURVEY.md §2.12 E25-E33).
+
+Each query here exists because of a 100 TB failure mode, demonstrated at
+test scale with an exact DuckDB oracle:
+
+  E25 bloom-prune semi-join   — drop fact rows map-side BEFORE the shuffle
+  E26 batch sessionization    — gaps-and-islands without per-user collect
+  E27 partial-agg rollup      — algebraic partials re-aggregate exactly
+  E28 gap-fill + forward fill — grid join instead of driver-side resample
+  E29 lateral top-k           — correlated LIMIT pushed per outer row
+  E30 argmax (max_by/min_by)  — latest-row lookup without a self-join
+  E31 bitmap exact distinct   — count-distinct as bit_or + bit_count
+  E32 HLL sketch rollup       — mergeable distinct sketches (rows-only)
+  E33 fixed-bin histogram     — one-pass binning, no per-bin passes
+
+Time arithmetic is done on ``ts_ns`` (int64 epoch nanos from io.load) —
+pure integer math, identical in Spark and DuckDB, immune to session
+timezones and to Spark's ns→µs truncation (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..operators.bloom import bloom_prune
+from ..registry import query
+
+_NS_PER_S = 1_000_000_000
+_NS_PER_HOUR = 3_600 * _NS_PER_S
+_NS_PER_DAY = 86_400 * _NS_PER_S
+
+
+@query(
+    "bloom_prune_high_value",
+    category="J4,E25",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def bloom_prune_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom pruning ahead of an exact semi-join.
+
+    Lineitems of high-value orders (~9% of orders): the Bloom filter built
+    from the filtered order keys drops ~90% of lineitem rows inside the
+    scan stage, so the exact left-semi join afterwards shuffles only
+    survivors. False positives are cleaned up by the join; false negatives
+    are impossible (operators/bloom.py). At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling a twentieth of it
+    — same idea as Spark's own runtime.bloomFilter rewrite, but explicit
+    and selectivity-controlled.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(li, "l_orderkey", o, "o_orderkey")
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sessionize_events",
+    category="W3,E26",
+    oracle="""
+WITH g AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, value,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+), s AS (
+  SELECT user_id, tns, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(min(tns) // 1000000000 AS BIGINT) AS start_s,
+       round((max(tns) - min(tns)) / 1000000000.0, 3) AS span_s
+FROM s
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence.
+
+    Two windows over the same (user, time) ordering — a lag to flag
+    session starts, a running sum to number them — then a plain groupBy.
+    One shuffle total: both window specs and the aggregation share the
+    user_id partitioning, so Catalyst reuses the exchange. The
+    per-user-collect alternative (sort events into a list, split in
+    Python) would cap session length at executor memory; this stays
+    streaming-friendly and skew-tolerant at any user fan-out.
+    """
+    gap_ns = 30 * 60 * _NS_PER_S
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = load(spark, sf_dir, "events").withColumn(
+        "is_new",
+        F.when(F.lag("ts_ns").over(w).isNull(), 1)
+        .when(F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns, 1)
+        .otherwise(0),
+    ).withColumn("sess_id", F.sum("is_new").over(cum))
+    return (
+        e.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(f"CAST(min(ts_ns) DIV {_NS_PER_S} AS BIGINT)").alias("start_s"),
+            F.round(
+                (F.max("ts_ns") - F.min("ts_ns")) / F.lit(float(_NS_PER_S)), 3
+            ).alias("span_s"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+@query(
+    "partial_agg_rollup",
+    category="A1,E27",
+    oracle="""
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(round(sum(l_extendedprice), 2) / count(*), 2) AS avg_price
+FROM lineitem
+GROUP BY month
+ORDER BY month
+""",
+)
+def partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic partial aggregates: daily partials merged into monthly
+    figures WITHOUT re-reading base rows — the incremental-rollup pattern
+    (continuous aggregates / materialized rollups).
+
+    Daily partials carry (count, sum, min, max); monthly stats derive
+    purely from merging them. The oracle computes the same months directly
+    from base rows, proving the merge is exact. At 100 TB you persist the
+    daily partials once and answer any coarser window from them; only
+    algebraic aggregates (not medians/distincts) compose this way, which
+    is why the sketch variants (A4, E32) exist for the rest. (A
+    sum-of-squares stddev also merges, but its cancellation makes the
+    last rounded digit engine-dependent — cent-valued sums put the true
+    variance exactly on round() boundaries — so the parity-checked
+    surface sticks to the stable four.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_extendedprice").alias("ps"),
+        F.min("l_extendedprice").alias("pmn"),
+        F.max("l_extendedprice").alias("pmx"),
+    )
+    merged = daily.groupBy("month").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").alias("s"),
+        F.min("pmn").alias("mn"),
+        F.max("pmx").alias("mx"),
+    )
+    n, s = F.col("n"), F.col("s")
+    return merged.select(
+        "month",
+        n.cast("bigint").alias("n"),
+        F.round(s, 2).alias("sum_price"),
+        F.round("mn", 2).alias("min_price"),
+        F.round("mx", 2).alias("max_price"),
+        # avg from the ROUNDED sum: both engines then divide bit-identical
+        # doubles, so a quotient landing exactly on a .xx5 boundary (68
+        # cent-valued sums do this) still rounds the same way everywhere.
+        F.round(F.round(s, 2) / n, 2).alias("avg_price"),
+    ).orderBy("month")
+
+
+@query(
+    "gap_fill_forward",
+    category="W6,E28",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_b, sum(value) AS v
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, hour_b
+), spans AS (
+  SELECT user_id, min(hour_b) AS lo, max(hour_b) AS hi FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS hour_b FROM spans
+)
+SELECT g.user_id, CAST(g.hour_b AS BIGINT) AS hour_b,
+       round(last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour_b
+         ROWS UNBOUNDED PRECEDING), 2) AS filled_value
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_b = h.hour_b
+ORDER BY g.user_id, g.hour_b
+""",
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's hourly series over their
+    own active span, then forward-fill (last observation carried forward).
+
+    The grid is generated distributively — sequence() per user exploded on
+    executors, never a driver-side date range — and the fill is
+    last(ignorenulls) over a running window, which shares its user_id
+    partitioning with the grid join. Hour buckets are ts_ns DIV 3600e9:
+    integer epoch math, so no timezone or DST dependency on either engine.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = (
+        e.groupBy(
+            "user_id", (F.col("ts_ns") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("hour_b")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_b").alias("lo"), F.max("hour_b").alias("hi")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hour_b")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour_b"], "left")
+        .select(
+            "user_id",
+            F.col("hour_b").cast("bigint").alias("hour_b"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour_b")
+    )
+
+
+@query(
+    "lateral_topk_customers",
+    category="W2,E29",
+    oracle="""
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal, c_custkey
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY n_name, acctbal DESC, c_name
+""",
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT: top-2 customers by balance
+    per nation, written the way an app developer writes it.
+
+    Spark decorrelates the lateral into a ranked window over one customer
+    shuffle — NOT 25 separate scans — which is exactly the W2 top-k plan;
+    the lateral form is the frontend, the window is the engine. Registered
+    temp views make the same SQL text valid on both engines.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal, c_custkey
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        ORDER BY n_name, acctbal DESC, c_name
+        """
+    )
+
+
+@query(
+    "argmax_event_per_user",
+    category="A6,E30",
+    oracle="""
+SELECT user_id,
+       arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a self-join: max_by/min_by fetch the first/latest
+    event's type per user in ONE aggregation pass.
+
+    The classic alternative — join events against a (user, max_ts)
+    subquery — scans and shuffles twice. max_by is an algebraic aggregate:
+    partials combine map-side like any sum, so it scales identically.
+    Keyed on event_id (unique, append-ordered) for a deterministic winner.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.expr("min_by(event_type, event_id)").alias("first_type"),
+            F.expr("max_by(event_type, event_id)").alias("last_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "bitmap_distinct_daily",
+    category="A3,E31",
+    oracle="""
+SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_b,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniques
+FROM events
+GROUP BY day_b
+ORDER BY day_b
+""",
+)
+def bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day via bitmaps: user_id is a dense int
+    domain, so 64 users pack into one bigint word (bucket = id DIV 64,
+    bit = id MOD 64); bit_or merges words, bit_count sums survivors.
+
+    Versus count(DISTINCT): the shuffle carries one word per (day, bucket)
+    — bounded by domain/64 rows per day regardless of event volume, and
+    bit_or partials combine map-side. This is the roaring-bitmap trick
+    expressed in pure built-ins; it also composes into rollups (OR the
+    day-level words into weeks) the way count(DISTINCT) cannot.
+    """
+    e = load(spark, sf_dir, "events")
+    words = (
+        e.select(
+            (F.col("ts_ns") / F.lit(_NS_PER_DAY)).cast("bigint").alias("day_b"),
+            (F.col("user_id") / 64).cast("int").alias("bucket"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("user_id") % 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("day_b", "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        words.groupBy("day_b")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("uniques"))
+        .orderBy("day_b")
+    )
+
+
+@query("hll_sketch_rollup", category="A4,E32")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: one HLL sketch per day, unioned
+    into a whole-period estimate without touching base rows again.
+
+    This is the sketch counterpart of E27's algebraic partials — the
+    rollup path for the aggregates that DON'T compose exactly. Daily
+    sketches persist at ~1.5 KB each; any ad-hoc window (week, month, all
+    time) is a hll_union_agg over the covering days. No SQL oracle: the
+    estimate is implementation-defined (DataSketches HLL), so the driver
+    records rows-only and tests/test_scale_ops.py bounds the error vs the
+    exact count (±5%, well beyond HLL's ~1.6% rse at lgK=12).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.col("ts_ns") / F.lit(_NS_PER_DAY)).cast("bigint").alias("day_b")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "distinct_users_est"
+        ),
+    )
+
+
+@query(
+    "histogram_totalprice",
+    category="A5,E33",
+    oracle="""
+SELECT CAST(least(greatest(floor(o_totalprice / 25000), 0), 19) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram in one aggregation pass: bin index is a pure
+    projection (floor of price/width, clamped to [0, 19]), so the whole
+    histogram costs one map-side-combinable groupBy — no per-bin filters,
+    no second pass for bounds. With known domain bounds this beats
+    quantile-based binning (A7) at scale: zero extra passes and the bin
+    edges are stable across partitions and days.
+    """
+    o = load(spark, sf_dir, "orders")
+    bin_col = (
+        F.least(F.greatest(F.floor(F.col("o_totalprice") / 25000), F.lit(0)), F.lit(19))
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        o.groupBy(bin_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bin")
+    )

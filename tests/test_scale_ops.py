@@ -1,0 +1,141 @@
+"""Property and plan tests for the E25-E33 scale-pattern operators.
+
+Parity vs DuckDB is covered by tests/test_parity.py (the queries register
+SQL oracles); these tests pin the properties parity can't see — Bloom
+filter guarantees, HLL error bounds, session invariants, and the physical
+plans the operators must keep at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data__instagram_analysis_spark.io import load
+from big_data__instagram_analysis_spark.operators.bloom import (
+    bloom_prune,
+    build_bloom,
+    might_contain,
+)
+from big_data__instagram_analysis_spark.registry import get_specs
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must probe True — the correctness contract."""
+    keys = spark.range(0, 2000).select((F.col("id") * 37 + 11).alias("k"))
+    words = build_bloom(keys, "k", num_bits=1 << 14)
+    hits = keys.filter(
+        might_contain(F.col("k"), words, num_bits=1 << 14)
+    ).count()
+    assert hits == 2000
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    """Non-members should mostly probe False (fpp well under 5% at m/n=8)."""
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    words = build_bloom(keys, "k", num_bits=1 << 14)
+    probes = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = probes.filter(might_contain(F.col("k"), words, num_bits=1 << 14)).count()
+    assert fp / 10_000 < 0.05, f"fpp {fp / 10_000:.3f}"
+
+
+def test_bloom_prune_superset_of_matches(spark, sf_dir):
+    """Pruned rows ⊇ exact semi-join rows and ⊆ the full fact table."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(li, "l_orderkey", o, "o_orderkey")
+    exact = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+    n_all, n_pruned, n_exact = li.count(), pruned.count(), exact.count()
+    assert n_exact <= n_pruned <= n_all
+    # The whole point: pruning must actually drop the bulk of non-matches.
+    assert n_pruned < 0.5 * n_all, (n_pruned, n_all)
+
+
+def test_bloom_prune_is_scan_side_filter(spark, sf_dir):
+    """The Bloom test must plan as a Filter over the scan (pre-shuffle),
+    not as any kind of join."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(li, "l_orderkey", o, "o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "xxhash64" in plan.lower()
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """HLL union estimate within ±5% of the exact distinct count (lgK=12
+    rse ≈ 1.6%, so 5% is a loose, stable bound)."""
+    row = get_specs()["hll_sketch_rollup"].fn(spark, sf_dir).collect()[0]
+    exact = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    est = row["distinct_users_est"]
+    assert abs(est - exact) <= max(1, 0.05 * exact), (est, exact)
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    """Sessions tile each user's events: counts sum to the user's events,
+    ids are 1..k dense, spans are non-negative."""
+    sess = get_specs()["sessionize_events"].fn(spark, sf_dir).collect()
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user_events = {r["user_id"]: r["n"] for r in ev}
+    per_user_sess: dict[int, list] = {}
+    for r in sess:
+        per_user_sess.setdefault(r["user_id"], []).append(r)
+        assert r["span_s"] >= 0
+        assert r["n_events"] >= 1
+    for uid, rows in per_user_sess.items():
+        assert sum(r["n_events"] for r in rows) == per_user_events[uid]
+        ids = sorted(r["sess_id"] for r in rows)
+        assert ids == list(range(1, len(ids) + 1)), f"user {uid}: {ids[:5]}"
+
+
+def test_bitmap_distinct_single_shuffle_wordcount(spark, sf_dir):
+    """The bitmap shuffle carries ≤ ceil(domain/64) words per day — the
+    compression that makes it beat count(DISTINCT) at scale."""
+    e = load(spark, sf_dir, "events")
+    n_days = e.select((F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint")).distinct().count()
+    max_user = e.agg(F.max("user_id")).collect()[0][0]
+    words_upper = n_days * (max_user // 64 + 1)
+    df = get_specs()["bitmap_distinct_daily"].fn(spark, sf_dir)
+    assert df.count() == n_days
+    # Recompute the intermediate word relation and bound its size.
+    words = (
+        e.select(
+            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias("d"),
+            (F.col("user_id") / 64).cast("int").alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert words <= words_upper
+
+
+def test_partial_rollup_no_base_rescan(spark, sf_dir):
+    """Monthly figures come from ONE scan: daily partials re-aggregate,
+    the plan must not read lineitem twice."""
+    df = get_specs()["partial_agg_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_gap_fill_no_nulls_and_dense(spark, sf_dir):
+    """After forward fill no value is NULL (first grid hour always has an
+    observation: spans start at each user's first event)."""
+    rows = get_specs()["gap_fill_forward"].fn(spark, sf_dir).collect()
+    assert rows, "gap fill returned nothing"
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["filled_value"] is not None
+        by_user.setdefault(r["user_id"], []).append(r["hour_b"])
+    for uid, hours in by_user.items():
+        assert hours == list(range(hours[0], hours[0] + len(hours))), uid
