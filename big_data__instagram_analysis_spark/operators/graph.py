@@ -129,3 +129,61 @@ def attach_components(
         *[nodes[c] for c in nodes.columns],
         F.coalesce(cc["component"], nodes[id_col]).alias("component"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node, rank).
+
+    Each iteration is the classic two-shuffle shape: contributions fan out
+    along edges (join ranks to edges on src, divide by out-degree), then
+    fan in (groupBy dst, sum), then the teleport term. Ranks are
+    localCheckpoint()ed per round — same lineage-truncation idiom as
+    :func:`connected_components`; without it the plan doubles per iteration.
+
+    Deterministic for a fixed iteration count (float sum order varies, but
+    that's sub-ulp — callers round for comparison). Dangling nodes (out-
+    degree 0) leak their mass, matching the simple textbook recurrence; a
+    co-activity graph (symmetric edges) has none. The node set is every id
+    appearing as a source or target; isolated nodes don't participate.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    fan = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"), "deg")
+        .localCheckpoint()
+    )
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            fan.join(ranks, fan.u == ranks.node)
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

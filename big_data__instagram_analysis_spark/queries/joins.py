@@ -336,3 +336,56 @@ def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "star_join_profit",
+    category="J1,J9,E34",
+    oracle="""
+SELECT n_name, strftime(o_orderdate, '%Y') AS year,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey  = p_partkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year
+ORDER BY n_name, year
+""",
+)
+def star_join_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q9 shape on the reduced schema): PROMO
+    revenue by supplier nation and order year.
+
+    The scale shape this query exists to pin: the two facts (lineitem,
+    orders) join shuffle-to-shuffle on orderkey; every dimension —
+    part (filtered to PROMO *before* the join, pushed to its scan),
+    supplier, nation, region — rides along as a broadcast hash join, so
+    the fact rows are never re-shuffled for dimension lookups. Catalyst
+    orders the joins from the declared plan; tests/test_scale_ops.py
+    asserts the broadcast/no-cartesian structure survives.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("n_name", "year")
+    )

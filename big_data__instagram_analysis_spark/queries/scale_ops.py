@@ -437,3 +437,162 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "pagerank_coactivity",
+    category="E35",
+    oracle="""
+WITH hours AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS h
+  FROM events WHERE user_id < 60
+), edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM hours a JOIN hours b ON a.h = b.h AND a.user_id <> b.user_id
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+), r1 AS (
+  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.rank / d.d) AS c
+    FROM edges e JOIN r0 rp ON e.src = rp.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+), r2 AS (
+  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.rank / d.d) AS c
+    FROM edges e JOIN r1 rp ON e.src = rp.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+), r3 AS (
+  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.rank / d.d) AS c
+    FROM edges e JOIN r2 rp ON e.src = rp.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+), r4 AS (
+  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.rank / d.d) AS c
+    FROM edges e JOIN r3 rp ON e.src = rp.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+), r5 AS (
+  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.rank / d.d) AS c
+    FROM edges e JOIN r4 rp ON e.src = rp.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+)
+SELECT CAST(node AS BIGINT) AS user_id, round(rank, 6) AS rank
+FROM r5 ORDER BY user_id
+""",
+)
+def pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, d=0.85) over the user co-activity
+    graph: an edge links users active in the same hour bucket.
+
+    The iterative-algorithm showcase next to E12's connected components:
+    each round is contribution fan-out (join on src, divide by degree) and
+    fan-in (groupBy dst) — two shuffles per iteration, ranks
+    localCheckpoint()ed so the plan stays O(1) per round. The oracle
+    unrolls the same five iterations as chained CTEs; a fixed iteration
+    count with identical float formulas makes an iterative algorithm
+    SQL-parity-checkable, where "run to convergence" would not be.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    hours = e.select(
+        "user_id", (F.col("ts_ns") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("h")
+    ).distinct()
+    a, b = hours.alias("a"), hours.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") != F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(edges, damping=0.85, iterations=5)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("user_id"),
+        F.round("rank", 6).alias("rank"),
+    ).orderBy("user_id")
+
+
+@query("approx_quantile_value", category="A7,E36")
+def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (percentile_approx, accuracy=10000):
+    p50/p90/p99 of event value per type in one pass.
+
+    Exact per-group percentiles (A7) sort within groups; the approx sketch
+    (Greenwald-Khanna summary) is bounded-memory, map-side combinable, and
+    its partials merge — the only viable shape when one group spans
+    terabytes. Rank error ≤ n/accuracy, so the estimate is exact below 10k
+    rows per group and drifts by ≤0.01% of rank above; no SQL oracle since
+    the summary's element choice is implementation-defined
+    (tests/test_scale_ops.py bounds the rank error vs exact).
+    """
+    e = load(spark, sf_dir, "events")
+    qs = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 4).alias("p50"),
+            F.round(F.element_at("q", 2), 4).alias("p90"),
+            F.round(F.element_at("q", 3), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("pq_encode_embeddings", category="L3,E37")
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-d vectors → 8 subspace codes of 3.3 bits
+    (10-entry codebooks), the memory layout behind IVF-PQ ANN indexes.
+
+    Codebook here = per-label subvector means (deterministic stand-in for
+    k-means centroids — same join topology, no RNG); encoding assigns each
+    vector's 8-d subvector to its nearest codebook entry via a broadcast
+    join on position plus a min_by argmin. Everything is posexplode +
+    groupBy: the 640-float codebook broadcasts, vectors never leave their
+    partitions, and the output code table is 8 bytes/vector — a 32×
+    compression of the float32 embedding. Rows-only: float distance
+    near-ties make the argmin engine-sensitive; tests pin code-domain,
+    coverage, and reconstruction-error properties instead.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    codebook = (
+        ex.groupBy(F.col("label").alias("code"), "pos")
+        .agg(F.avg("val").alias("cb_val"))
+    )
+    cand = (
+        ex.join(F.broadcast(codebook), "pos")
+        .groupBy("vec_id", (F.col("pos") / 8).cast("int").alias("subspace"), "code")
+        .agg(F.sum(F.pow(F.col("val") - F.col("cb_val"), 2)).alias("dist"))
+    )
+    assign = cand.groupBy("vec_id", "subspace").agg(
+        F.expr("min_by(code, struct(dist, code))").alias("code"),
+        F.min("dist").alias("err"),
+    )
+    return (
+        assign.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("err"), 4).alias("avg_sq_err"),
+        )
+        .orderBy("subspace", "code")
+    )

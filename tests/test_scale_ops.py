@@ -139,3 +139,76 @@ def test_gap_fill_no_nulls_and_dense(spark, sf_dir):
         by_user.setdefault(r["user_id"], []).append(r["hour_b"])
     for uid, hours in by_user.items():
         assert hours == list(range(hours[0], hours[0] + len(hours))), uid
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """Dimensions ride as broadcast hash joins; no cartesian/NLJ creeps in."""
+    df = get_specs()["star_join_profit"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # PROMO predicate must reach the part scan, not sit above the join.
+    assert "PushedFilters" in plan and "p_type" in plan
+
+
+def test_pagerank_is_probability_distribution(spark, sf_dir):
+    """Symmetric co-activity graph has no dangling mass: ranks sum to 1."""
+    rows = get_specs()["pagerank_coactivity"].fn(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r["rank"] > 0 for r in rows)
+
+
+def test_pagerank_deterministic_across_runs(spark, sf_dir):
+    a = get_specs()["pagerank_coactivity"].fn(spark, sf_dir).collect()
+    b = get_specs()["pagerank_coactivity"].fn(spark, sf_dir).collect()
+    assert [(r["user_id"], r["rank"]) for r in a] == [
+        (r["user_id"], r["rank"]) for r in b
+    ]
+
+
+def test_approx_quantile_rank_error_bound(spark, sf_dir):
+    """percentile_approx at accuracy=10000 is exact for groups under 10k
+    rows — check each estimate against the true order statistics."""
+    import bisect
+
+    est = {
+        r["event_type"]: r
+        for r in get_specs()["approx_quantile_value"].fn(spark, sf_dir).collect()
+    }
+    vals = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    for et, sorted_vals in vals.items():
+        n = len(sorted_vals)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            # Allowed rank slack: n/accuracy, min 1 position.
+            slack = max(1, int(n / 10000) + 1)
+            target = round(est[et][col], 4)
+            idx = bisect.bisect_left([round(v, 4) for v in sorted_vals], target)
+            assert abs(idx - p * n) <= slack + 1, (et, col, idx, p * n)
+
+
+def test_pq_codes_cover_all_vectors(spark, sf_dir):
+    """Every vector gets exactly 8 subspace codes; codes stay in the label
+    domain; per-subspace assignment counts sum to the vector count."""
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    rows = get_specs()["pq_encode_embeddings"].fn(spark, sf_dir).collect()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    per_sub: dict[int, int] = {}
+    for r in rows:
+        assert r["code"] in labels
+        assert 0 <= r["subspace"] <= 7
+        assert r["avg_sq_err"] >= 0
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vecs"]
+    assert set(per_sub) == set(range(8))
+    assert all(v == n_vecs for v in per_sub.values()), per_sub
