@@ -160,3 +160,66 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_bal"), "n_name")
     )
+
+
+@query(
+    "union_by_name_mixed",
+    category="T1,E41",
+    oracle="""
+SELECT src, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(c_acctbal) AS BIGINT) AS with_bal,
+       CAST(count(s_src_name) AS BIGINT) AS with_name
+FROM (
+  SELECT 'cust' AS src, c_acctbal, NULL AS s_src_name FROM customer
+  UNION ALL BY NAME
+  SELECT 'supp' AS src, s_name AS s_src_name, s_acctbal AS c_acctbal FROM supplier
+)
+GROUP BY src ORDER BY src
+""",
+)
+def union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-aligned union of
+    heterogenous frames — columns match by NAME, absent ones null-fill.
+
+    The positional union (T1) silently mis-zips reordered schemas; by-name
+    union is what schema evolution across ingestion generations actually
+    needs (same reason S1's mergeSchema scan exists). DuckDB's
+    UNION ALL BY NAME is the exact twin.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src"), "c_acctbal"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.col("s_name").alias("s_src_name"),
+        F.col("s_acctbal").alias("c_acctbal"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_acctbal").alias("with_bal"),
+            F.count("s_src_name").alias("with_name"),
+        )
+        .orderBy("src")
+    )
+
+
+@query("freq_items_segment", category="A4,E42")
+def freq_items_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.freqItems: one-pass heavy-hitter candidates (Karp et al.
+    space-saving variant) for the market-segment column.
+
+    The guarantee is one-sided — every item above the support threshold is
+    PRESENT, but false positives are allowed — which is why this is
+    rows-only: the candidate set's exact membership is implementation-
+    defined. tests/test_scale_ops.py asserts the one-sided guarantee
+    against exact counts. The scale case: finding hot keys (for E5's
+    salted join) without a full groupBy.
+    """
+    c = load(spark, sf_dir, "customer")
+    freq = c.stat.freqItems(["c_mktsegment"], support=0.15)
+    return freq.select(
+        F.array_sort(F.col("c_mktsegment_freqItems")).alias("candidates")
+    )

@@ -308,3 +308,43 @@ def json_struct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.when(F.col("p.k") >= 50, "hi").otherwise("lo").alias("k_bucket"),
     )
+
+
+@query(
+    "try_arithmetic",
+    category="F4,E43",
+    oracle="""
+SELECT p_partkey,
+       round(p_retailprice / nullif(p_size - 25, 0), 4) AS price_per_size,
+       TRY_CAST(substr(p_brand, 7) AS INTEGER) AS brand_num,
+       CASE WHEN p_size - 25 = 0 THEN NULL
+            ELSE round(p_retailprice / (p_size - 25), 4) END AS checked_div
+FROM part
+ORDER BY p_partkey
+""",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_cast: NULL-on-failure arithmetic under ANSI mode.
+
+    Spark 4 runs ANSI by default (tune() pins it), so 1/0 and bad casts
+    THROW — correct for data quality, fatal for exploratory pipelines. The
+    try_* family gives per-row graceful degradation without flipping the
+    session-wide dial: division by zero and unparseable casts yield NULL,
+    everything else stays strict. DuckDB's nullif-guarded division and
+    TRY_CAST are the semantic twins.
+    """
+    p = load(spark, sf_dir, "part")
+    denom = F.col("p_size") - F.lit(25)
+    return (
+        p.select(
+            "p_partkey",
+            F.round(F.try_divide(F.col("p_retailprice"), denom), 4).alias(
+                "price_per_size"
+            ),
+            F.expr("try_cast(substring(p_brand, 7, 10) AS INT)").alias("brand_num"),
+            F.when(denom == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("p_retailprice") / denom, 4))
+            .alias("checked_div"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -596,3 +596,133 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+@query(
+    "scd2_customer_history",
+    category="J2,E38",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, round(c_acctbal + 100, 2) AS new_bal FROM customer
+  WHERE c_custkey % 2 = 1 AND c_custkey < 500
+)
+SELECT c.c_custkey, round(coalesce(u.new_bal, c.c_acctbal), 2) AS acctbal,
+       CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS valid_from,
+       CAST(NULL AS INT) AS valid_to
+FROM customer c LEFT JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+       0 AS valid_from, 1 AS valid_to
+FROM customer c JOIN upd u USING (c_custkey)
+ORDER BY c_custkey, valid_from
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply an update batch to a
+    dimension while KEEPING history — changed rows are closed
+    (valid_to set) and re-inserted at the new generation; untouched rows
+    pass through open.
+
+    This is MERGE INTO ... WHEN MATCHED expressed in pure DataFrame
+    algebra: ONE left join against the update batch feeds both output
+    legs (open rows via coalesce, closed rows via the matched filter), so
+    the dimension scans once however large it is; the update batch
+    broadcasts. The streaming cousin is E14's foreachBatch upsert —
+    this is the batch/history variant every warehouse dimension needs.
+    The update batch is synthesized deterministically (odd keys < 500,
+    +100.00 balance) so both engines derive identical input.
+    """
+    c = load(spark, sf_dir, "customer")
+    upd = c.filter((F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") < 500)).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("new_bal")
+    )
+    left = c.join(upd, "c_custkey", "left")
+    open_rows = left.select(
+        "c_custkey",
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+        F.when(F.col("new_bal").isNotNull(), 1).otherwise(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    closed_rows = left.filter(F.col("new_bal").isNotNull()).select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(0).alias("valid_from"),
+        F.lit(1).alias("valid_to"),
+    )
+    return open_rows.unionByName(closed_rows).orderBy("c_custkey", "valid_from")
+
+
+def _interleave_sql(x: str, y: str, bits: int) -> str:
+    """SQL for bit-interleaving two ``bits``-wide ints (x even, y odd lanes).
+
+    Emitted with shiftleft/shiftright so the same arithmetic exists in
+    Spark SQL; the DuckDB twin uses infix shifts for identical values.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_quality",
+    category="S7,E39",
+    oracle="""
+WITH pts AS (
+  SELECT c_nationkey AS x,
+         CAST(least(greatest(floor((c_acctbal + 1000) / 400), 0), 31) AS INT) AS y
+  FROM customer
+), z AS (
+  SELECT x, y,
+         (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+       + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+       + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+       + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+       + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) AS zval
+  FROM pts
+)
+SELECT CAST(zval // 64 AS INT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(x) AS min_nation, max(x) AS max_nation,
+       min(y) AS min_bal, max(y) AS max_bal
+FROM z
+GROUP BY z_bucket
+ORDER BY z_bucket
+""",
+)
+def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two columns
+    so that sorting by ONE key co-locates rows that are close in BOTH
+    dimensions — the data-layout trick behind multi-column file skipping.
+
+    Each 64-wide z-range ("file" stand-in) is shown with its min/max per
+    dimension: both ranges stay narrow (≤ a quarter of each domain,
+    test-asserted), so a predicate on EITHER column prunes most buckets
+    via ordinary min/max statistics. A single-column sort gets this for
+    one dimension and destroys it for the other. At 100 TB: compute zval,
+    repartitionByRange(zval).sortWithinPartitions(zval), write parquet —
+    the query here validates the layout math that makes that write
+    worthwhile. Pure shiftleft/shiftright/& arithmetic — identical values
+    on both engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_nationkey").alias("x"),
+        F.least(
+            F.greatest(F.floor((F.col("c_acctbal") + 1000) / 400), F.lit(0)),
+            F.lit(31),
+        ).cast("int").alias("y"),
+    )
+    z = pts.withColumn("zval", F.expr(_interleave_sql("x", "y", 5)))
+    return (
+        z.groupBy((F.col("zval") / 64).cast("int").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_nation"),
+            F.max("x").alias("max_nation"),
+            F.min("y").alias("min_bal"),
+            F.max("y").alias("max_bal"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -171,3 +171,34 @@ def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
     )
+
+
+@query(
+    "distribution_functions",
+    category="W1,E40",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, pct_rank, o_orderkey
+""",
+)
+def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: relative standing within a partition —
+    the windowed form of 'what percentile is this order in its priority
+    class'. Fully tie-broken ordering (totalprice, then orderkey) so both
+    engines agree on every rank; one shuffle on the partition key.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+    )

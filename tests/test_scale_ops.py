@@ -212,3 +212,49 @@ def test_pq_codes_cover_all_vectors(spark, sf_dir):
         per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vecs"]
     assert set(per_sub) == set(range(8))
     assert all(v == n_vecs for v in per_sub.values()), per_sub
+
+
+def test_freq_items_one_sided_guarantee(spark, sf_dir):
+    """Every segment truly above the support threshold must appear in the
+    candidate set (false positives allowed, false negatives not)."""
+    c = load(spark, sf_dir, "customer")
+    n = c.count()
+    counts = {
+        r["c_mktsegment"]: r["cnt"]
+        for r in c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    cands = set(
+        get_specs()["freq_items_segment"].fn(spark, sf_dir).collect()[0]["candidates"]
+    )
+    for seg, cnt in counts.items():
+        if cnt / n > 0.15:
+            assert seg in cands, (seg, cnt / n, cands)
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    """Each customer has exactly one open row; updated customers carry one
+    closed generation-0 row whose balance is 100.00 below the open one."""
+    rows = get_specs()["scd2_customer_history"].fn(spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    for k, rs in by_cust.items():
+        open_rows = [r for r in rs if r["valid_to"] is None]
+        closed = [r for r in rs if r["valid_to"] is not None]
+        assert len(open_rows) == 1, (k, rs)
+        if k % 2 == 1 and k < 500:
+            assert len(closed) == 1
+            assert abs(open_rows[0]["acctbal"] - closed[0]["acctbal"] - 100.0) < 0.011
+            assert open_rows[0]["valid_from"] == 1 and closed[0]["valid_from"] == 0
+        else:
+            assert not closed
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
+    """Every 64-wide z-range spans ≤ 1/4 of each dimension's domain — the
+    property that makes min/max file skipping work on BOTH columns."""
+    rows = get_specs()["zorder_layout_quality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_nation"] - r["min_nation"] <= 8, r
+        assert r["max_bal"] - r["min_bal"] <= 8, r
