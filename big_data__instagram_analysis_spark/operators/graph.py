@@ -160,6 +160,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks (not a 0-division)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg"))
     fan = (
         edges.join(out_deg, src)

@@ -726,3 +726,35 @@ def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@query(
+    "global_row_enumeration",
+    category="O1,E44",
+    oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gid
+FROM orders
+ORDER BY gid
+""",
+)
+def global_row_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ids 1..n ordered by orderkey — WITHOUT the
+    single-partition window the oracle's row_number() implies.
+
+    operators/enumerate.py: range-partition on the key, per-partition
+    counts prefix-summed into offsets (|partitions| integers collected),
+    offset + local row_number. The oracle IS the anti-pattern (fine for
+    DuckDB single-node, a one-partition funnel on a cluster); parity
+    proves the distributed form computes the identical function.
+    tests/test_scale_ops.py asserts no SinglePartition window survives in
+    the physical plan.
+    """
+    from ..operators.enumerate import global_row_numbers
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        global_row_numbers(o, ["o_orderkey"], num_partitions=8)
+        .select("o_orderkey", "gid")
+        .orderBy("gid")
+    )

@@ -1,0 +1,90 @@
+"""Degenerate-input hardening + engine-feature checks.
+
+Operators must not throw on empty inputs (a 100 TB pipeline WILL produce
+an empty partition-day or an empty update batch), and the two session
+features a production pipeline leans on — observe() metrics and
+cache/persist reuse — must behave as documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from big_data__instagram_analysis_spark.io import load
+from big_data__instagram_analysis_spark.operators.bloom import bloom_prune, build_bloom
+from big_data__instagram_analysis_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
+
+
+def _empty_edges(spark):
+    return spark.createDataFrame([], "src bigint, dst bigint")
+
+
+def test_pagerank_empty_graph(spark):
+    out = pagerank(_empty_edges(spark))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_connected_components_empty_graph(spark):
+    assert connected_components(_empty_edges(spark), src="src", dst="dst").count() == 0
+
+
+def test_bloom_empty_dim_prunes_everything(spark, sf_dir):
+    """Empty key set → all-zero bitset → every probe False (no matches
+    exist, so dropping every fact row is exactly correct)."""
+    li = load(spark, sf_dir, "lineitem")
+    empty = spark.createDataFrame([], "o_orderkey bigint")
+    assert build_bloom(empty, "o_orderkey", num_bits=1 << 10) == [0] * (1 << 4)
+    assert bloom_prune(li, "l_orderkey", empty, "o_orderkey").count() == 0
+
+
+def test_zorder_interleave_is_bijective(spark):
+    """Every (x, y) in the 32×32 domain maps to a distinct z in [0, 1024)."""
+    from big_data__instagram_analysis_spark.queries.scale_ops import _interleave_sql
+
+    grid = (
+        spark.range(32)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(32).select(F.col("id").alias("y")))
+    )
+    z = grid.select(F.expr(_interleave_sql("x", "y", 5)).alias("z"))
+    stats = z.agg(
+        F.count_distinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert stats["d"] == 1024 and stats["lo"] == 0 and stats["hi"] == 1023
+
+
+def test_observe_metrics_without_extra_pass(spark, sf_dir):
+    """observe() collects row/sum metrics as a side effect of the ONE
+    action — the scale way to get pipeline telemetry (an extra .count()
+    would re-run the whole plan)."""
+    ob = Observation("li")
+    li = load(spark, sf_dir, "lineitem").observe(
+        ob, F.count(F.lit(1)).alias("rows"), F.sum("l_quantity").alias("qty")
+    )
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")).collect()
+    got = ob.get
+    assert got["rows"] == load(spark, sf_dir, "lineitem").count()
+    assert abs(got["qty"] - sum(r["q"] for r in agg)) < 1e-6
+
+
+def test_cache_persist_reuse(spark, sf_dir):
+    """persist() materializes once; dependent plans read InMemoryTableScan."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base.persist()
+    try:
+        base.count()  # materialize
+        dependent = base.filter(F.col("n") > 2)
+        plan = dependent._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert dependent.count() <= base.count()
+    finally:
+        base.unpersist()

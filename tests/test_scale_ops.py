@@ -258,3 +258,22 @@ def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
     for r in rows:
         assert r["max_nation"] - r["min_nation"] <= 8, r
         assert r["max_bal"] - r["min_bal"] <= 8, r
+
+
+def test_global_enumeration_avoids_single_partition_window(spark, sf_dir):
+    """The whole point of E44: no stage may funnel all rows through one
+    partition (which row_number() OVER (ORDER BY ...) would)."""
+    df = get_specs()["global_row_enumeration"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The window must partition by _pid, never run on SinglePartition.
+    assert "Window" in plan
+    window_section = plan[plan.index("Window"):]
+    assert "SinglePartition" not in window_section.split("Exchange")[0], plan[:1500]
+
+
+def test_global_enumeration_dense_and_ordered(spark, sf_dir):
+    rows = get_specs()["global_row_enumeration"].fn(spark, sf_dir).collect()
+    gids = [r["gid"] for r in rows]
+    keys = [r["o_orderkey"] for r in rows]
+    assert gids == list(range(1, len(rows) + 1))
+    assert keys == sorted(keys)
