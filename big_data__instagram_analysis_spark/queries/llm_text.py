@@ -333,3 +333,226 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.size(toks) >= 5, F.array_min(hashes)).alias("fingerprint"),
     )
+
+
+@query(
+    "chunk_sliding_window",
+    category="L4,E45",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 40)) AS s
+  FROM toks
+)
+SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+       CAST(least(50, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, s + 1, s + 50), ' ')) AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+)
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 50, stride 40 → 10-token overlap):
+    the doc → context-window-sized-pieces step of a RAG / pretraining
+    pipeline.
+
+    Pure higher-order functions — sequence() for the window starts,
+    transform+slice for the pieces, posexplode to rows — zero shuffle
+    until the final sort, no Python. Chunks are emitted as md5 digests so
+    the parity check pins exact chunk CONTENT without hauling full text
+    through the comparison. Overlap (stride < size) is what preserves
+    cross-boundary context; E19's sequence packing is the downstream
+    consumer of these pieces.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1, F.lit(40)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, F.lit(50)))
+    )
+    ex = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(50), F.col("n_toks") - F.col("chunk_idx") * 40)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "pii_redaction",
+    category="L8,E46",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or user' || CAST(doc_id + 7 AS VARCHAR)
+              || '@test.org' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, 'user[0-9]+@[a-z]+\.(com|org)'))
+            AS BIGINT) AS n_emails,
+       md5(regexp_replace(raw, 'user[0-9]+@[a-z]+\.(com|org)', '<EMAIL>',
+                          'g')) AS redacted_md5
+FROM synth
+ORDER BY doc_id
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-detect and redact email addresses, counting
+    hits per document — the compliance pass every corpus needs before
+    training.
+
+    The fixture corpus is synthetic vocabulary with no embedded PII, so
+    deterministic fake emails are injected first (both engines derive the
+    identical raw string from doc_id); detection/redaction then runs on
+    real regex machinery: regexp_extract_all for the audit count,
+    regexp_replace (global) for the scrub, md5 to pin the redacted
+    content. All JVM-side string ops — at 100 TB this runs at scan speed
+    with zero shuffle; the ORDER BY here exists only for the parity hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or user"),
+        (F.col("doc_id") + 7).cast("string"),
+        F.lit("@test.org"),
+    )
+    pat = r"user[0-9]+@[a-z]+\.(com|org)"
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.md5(F.regexp_replace(raw, pat, "<EMAIL>")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dataset_split_assign",
+    category="P6,E47",
+    oracle="""
+SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by multiplicative
+    hashing of the document id — the split that stays STABLE as the corpus
+    grows, unlike randomSplit().
+
+    randomSplit() reshuffles membership whenever the input changes
+    (sampling is per-partition); keying the split to a hash of the id
+    means adding documents never moves an existing one across splits — the
+    property that keeps eval sets uncontaminated across corpus versions.
+    Pure integer arithmetic (Knuth's 2654435761), identical in any engine,
+    no shuffle beyond the final count.
+    """
+    d = load(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.groupBy(split)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    category="L2,E48",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 3, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 3), ' ')))) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 5
+), cand AS (
+  SELECT doc_id, s FROM sh WHERE doc_id >= 5
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM cand c JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY doc_id
+)
+SELECT z.doc_id, CAST(z.n_sh AS BIGINT) AS n_sh,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) * 1.0 / z.n_sh, 6) AS contamination
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+WHERE coalesce(h.n_hit, 0) > 0
+ORDER BY contamination DESC, z.doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing 4-gram
+    shingles with a held-out benchmark set (here: doc_id < 5 stands in
+    for the eval suite) — the overlap check run before any serious
+    pretraining job.
+
+    Shingle both sides (operators/dedup.token_shingles), equi-join on the
+    shingle string, count hits per candidate doc. The benchmark side is
+    tiny by nature, so its shingle set broadcasts and the candidate
+    corpus — the 100 TB side — streams through map-side: one aggregation
+    shuffle keyed by doc_id, no quadratic pair join anywhere.
+    """
+    from ..operators.dedup import token_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(token_shingles(F.col("text"), n=4)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") < 5).select("s").distinct()
+    cand = sh.filter(F.col("doc_id") >= 5)
+    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6
+            ).alias("contamination"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .orderBy(F.desc("contamination"), "doc_id")
+    )

@@ -85,3 +85,75 @@ def not_exists_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated NOT EXISTS: customers with no order over 300k.
     Rewritten to a left-anti join with the pushed-down order filter."""
     return _sql(spark, sf_dir, _NOT_EXISTS)
+
+
+_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("group_by_all", category="A1,E49", oracle=_GROUP_BY_ALL)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: every non-aggregate select item becomes a grouping
+    key — the modern-SQL ergonomic both engines support VERBATIM, so this
+    is a frontend-to-frontend check with one shared query text. Catalyst
+    resolves it to the same two-phase hash aggregate as the explicit form.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL)
+
+
+@query(
+    "sql_pivot_clause",
+    category="A6,E50",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_total,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_total,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (TRANSFORM ... FOR ... IN with declared
+    values): long→wide through the SQL frontend rather than the
+    DataFrame .pivot() API (E1). Declared pivot values keep the plan
+    single-pass — no distinct-scan to discover columns — which is the
+    only pivot shape that works when the pivoted table is the 100 TB
+    side. The oracle is the equivalent FILTERed aggregation; Spark's
+    PIVOT compiles to exactly that.
+    """
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        )
+        PIVOT (
+          count(*) AS n, round(coalesce(sum(o_totalprice), 0), 2) AS total
+          FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+        )
+        ORDER BY o_orderpriority
+        """
+    )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "o_orderpriority",
+        F.col("f_n").cast("bigint").alias("f_n"),
+        F.col("f_total").alias("f_total"),
+        F.col("o_n").cast("bigint").alias("o_n"),
+        F.col("o_total").alias("o_total"),
+        F.col("p_n").cast("bigint").alias("p_n"),
+        F.col("p_total").alias("p_total"),
+    )
