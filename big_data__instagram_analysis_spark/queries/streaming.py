@@ -464,3 +464,51 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.expr("timestamp_micros(ts_ns div 1000)")).alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     ).orderBy("user_id")
+
+
+@query(
+    "stream_bitmap_distinct_daily",
+    category="X6,X8,E51",
+    oracle="""
+SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_b,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniques
+FROM events
+GROUP BY day_b
+ORDER BY day_b
+""",
+)
+def stream_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users-per-day over a STREAM via bitmap state: the
+    streaming half of E31.
+
+    The stream maintains one bigint word per (day, user-bucket) with a
+    bit_or aggregation — state size is bounded by domain/64 per day no
+    matter how many events replay, and bit_or partials merge across
+    micro-batches exactly like map-side combine does in batch
+    (maxFilesPerTrigger=2 forces multi-batch accumulation). Spark forbids
+    chained stateful aggregations in one stream, so the word→popcount
+    reduction runs as a BATCH aggregation over the complete-mode sink —
+    the sketch-in-stream / finalize-in-batch split every streaming
+    distinct-count rollup uses. Replay-order-independent (OR is
+    commutative), hence SQL-checkable.
+    """
+    s = events_stream(spark, sf_dir, max_files_per_trigger=2)
+    words = (
+        s.select(
+            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias("day_b"),
+            (F.col("user_id") / 64).cast("int").alias("bucket"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("user_id") % 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("day_b", "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    sink = run_available_now(words, output_mode="complete")
+    return (
+        sink.groupBy("day_b")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("uniques"))
+        .orderBy("day_b")
+    )
