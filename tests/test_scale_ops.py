@@ -277,3 +277,33 @@ def test_global_enumeration_dense_and_ordered(spark, sf_dir):
     keys = [r["o_orderkey"] for r in rows]
     assert gids == list(range(1, len(rows) + 1))
     assert keys == sorted(keys)
+
+
+def _executed_plan(spark, sf_dir, name: str) -> str:
+    df = get_specs()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_single_hash_exchange(spark, sf_dir):
+    """Both windows and the groupBy share the user_id partitioning — ONE
+    hash exchange (the trailing rangepartitioning is just the parity
+    ORDER BY)."""
+    plan = _executed_plan(spark, sf_dir, "sessionize_events")
+    assert plan.count("hashpartitioning") <= 1, plan[:1500]
+
+
+def test_scan_speed_ops_have_no_hash_shuffle(spark, sf_dir):
+    """Chunking and redaction are pure projections: no hash exchange may
+    appear (the only Exchange is the parity ORDER BY's range partition)."""
+    for name in ("chunk_sliding_window", "pii_redaction"):
+        plan = _executed_plan(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, (name, plan[:1500])
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The held-out shingle set must broadcast; the corpus side must never
+    be re-shuffled through a sort-merge or nested-loop join."""
+    plan = _executed_plan(spark, sf_dir, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
