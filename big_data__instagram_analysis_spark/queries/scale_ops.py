@@ -758,3 +758,138 @@ def global_row_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "gid")
         .orderBy("gid")
     )
+
+
+@query(
+    "time_weighted_avg",
+    category="W3,E52",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         (lead(epoch_ns(ts)) OVER w - epoch_ns(ts)) / 1000000000.0 AS dur_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT user_id,
+       round(sum(value * dur_s) / nullif(sum(dur_s), 0), 4) AS twap,
+       CAST(count(dur_s) AS BIGINT) AS n_intervals
+FROM seq
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it remained the latest one — the correct mean
+    for irregularly-sampled series, where the plain avg over-weights
+    bursts.
+
+    One window pass (lead of the next timestamp) feeding one aggregation,
+    both partitioned by user — the exchange is shared. The last
+    observation per user has no duration and drops out via count/nullif;
+    a single-event user yields NULL (no observed interval), not a fake
+    average. Duration math on ts_ns stays timezone-free.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        ((F.lead("ts_ns").over(w) - F.col("ts_ns")) / F.lit(1e9)).alias("dur_s"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_s"))
+                / F.nullif(F.sum("dur_s"), F.lit(0)),
+                4,
+            ).alias("twap"),
+            F.count("dur_s").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ohlc_hourly_bars",
+    category="A6,E53",
+    oracle="""
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_b,
+       round(arg_min(value, event_id), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, event_id), 2) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY hour_b
+ORDER BY hour_b
+""",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per hour: open/close via min_by/max_by on the
+    append-ordered event id, high/low as plain extrema — the candlestick
+    rollup, which is ALSO the downsampling shape for any metric stream.
+
+    Everything is an algebraic aggregate (min_by partials carry one
+    (value, key) pair), so the whole bar computes in one
+    map-side-combinable pass — no window, no self-join, no sort. Bars
+    then compose upward (hour→day) the E27 way, except open/close need
+    their key carried along, which min_by/max_by do for free.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.col("ts_ns") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("hour_b")
+        )
+        .agg(
+            F.round(F.expr("min_by(value, event_id)"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.expr("max_by(value, event_id)"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("hour_b")
+    )
+
+
+@query(
+    "equidepth_deciles",
+    category="A7,E54",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM t
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: ntile(10) splits rows into equal-count
+    buckets, the complement of E33's equal-WIDTH bins — this is the shape
+    for skewed distributions where fixed bins put 90% of rows in one bin.
+
+    The cost difference is the lesson: E33 is one map-side-combinable
+    aggregation; this needs a global sort (the ntile window has no
+    partition key). At 100 TB you don't pay that — you take A7/E36
+    quantile sketches as approximate bucket EDGES and fall back to E33's
+    projection binning with those edges. This query is the exact
+    small-side reference those sketches are validated against.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
