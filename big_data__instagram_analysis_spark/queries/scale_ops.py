@@ -893,3 +893,29 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query("kmeans_clusters", category="L3,E55")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled Lloyd k-means (k=8, 3 rounds, deterministic lowest-id
+    init) over the embeddings — the iterative-ML loop as DataFrame
+    algebra (operators/clustering.py).
+
+    Per round: assignment is a broadcast join against the k-row centroid
+    table with a codegen'd zip_with distance (vectors never shuffle);
+    update shuffles only k×64 mean cells. Rows-only: float argmin
+    near-ties are engine-sensitive; tests pin Lloyd's monotone-inertia
+    guarantee, assignment coverage, and determinism instead.
+    """
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=8, iterations=3)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster_id")
+    )

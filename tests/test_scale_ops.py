@@ -307,3 +307,27 @@ def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_inertia_monotone_and_coverage(spark, sf_dir):
+    """Lloyd's guarantee: inertia never increases round-over-round; every
+    vector lands in exactly one cluster; ids stay in [0, k)."""
+    from big_data__instagram_analysis_spark.operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, inertia = kmeans_lloyd(emb, k=8, iterations=3)
+    assert len(inertia) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])), inertia
+    rows = assigned.collect()
+    assert len(rows) == emb.count()
+    assert {r["cluster_id"] for r in rows} <= set(range(8))
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    from big_data__instagram_analysis_spark.operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    a, ia = kmeans_lloyd(emb, k=4, iterations=2)
+    b, ib = kmeans_lloyd(emb, k=4, iterations=2)
+    assert ia == ib
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
