@@ -919,3 +919,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "fuzzy_match_blocked",
+    category="L2,E56",
+    oracle="""
+WITH pairs AS (
+  SELECT a.c_nationkey AS nk, levenshtein(a.c_name, b.c_name) AS lev
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT nk AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (lev <= 2) AS BIGINT) AS n_matches
+FROM pairs
+GROUP BY nk
+ORDER BY c_nationkey
+""",
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching with BLOCKING: candidate pairs are
+    generated only within a blocking key (nation), then scored by
+    Levenshtein edit distance — never all-pairs over the full table.
+
+    Blocking is what makes fuzzy dedup survive scale: the join is an
+    ordinary equi-join on the block key (shuffle both sides once,
+    quadratic only within blocks), the same containment idea as LSH
+    banding (L2) and IVF cells (E8), here in its simplest exact form.
+    levenshtein() is a JVM built-in with identical semantics in DuckDB,
+    so match counts parity-check exactly.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("lev") <= 2, 1)).alias("n_matches"),
+        )
+        .orderBy("c_nationkey")
+    )
