@@ -348,3 +348,42 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "variant_json_shredding",
+    category="F9,E57",
+    oracle="""
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse once
+    into the binary variant encoding, navigate with variant_get.
+
+    Versus F9's get_json_object (re-parses the JSON string per
+    extraction), parse_json shreds once into a binary form that ALL
+    downstream path accesses share — the engine-native semi-structured
+    path (same design as the open variant spec parquet is adopting).
+    With one field the gain is modest; with wide props payloads it's one
+    parse instead of N. The oracle reads the same field via DuckDB's
+    JSON machinery — values agree because both coerce through the same
+    JSON-int semantics.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_k"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
