@@ -201,3 +201,50 @@ def text_source_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("text")
     rt = roundtrip_text(d, spark, "text_docs", sf_dir)
     return rt.select("value", F.length("value").cast("long").alias("n_chars"))
+
+
+@query(
+    "python_datasource_degrees",
+    category="S4,E58",
+    oracle="""
+WITH edges AS (
+  SELECT i AS edge_id, (i * 2654435761) % 1000 AS src,
+         (i * 40503 + 7) % 1000 AS dst
+  FROM range(20000) t(i)
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+       CAST(count(DISTINCT dst) AS BIGINT) AS fanout
+FROM edges
+GROUP BY src
+ORDER BY node
+""",
+)
+def python_datasource_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree profile read through a CUSTOM Python DataSource
+    (sources/python_datasource.py): Spark 4's extension point for
+    formats/systems with no built-in connector.
+
+    The source declares its own InputPartition list, so the scan fans out
+    across executors like any native format; the generator is closed-form
+    arithmetic, which is what lets a custom Python source be
+    oracle-checked — DuckDB rebuilds the identical edge table from
+    range(n). The aggregation on top is ordinary Catalyst planning; a
+    custom source composes with everything else in the engine.
+    """
+    from ..sources.python_datasource import register
+
+    register(spark)
+    edges = (
+        spark.read.format("synthedges")
+        .option("n", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("out_deg"),
+            F.count_distinct("dst").alias("fanout"),
+        )
+        .orderBy("node")
+    )
