@@ -36,12 +36,19 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     how: str = "inner",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right payload with the greatest
     right_ts <= left_ts in the same key group.
 
     Returns left's columns plus ``payload`` columns (NULL when unmatched and
     how='left'; unmatched rows dropped when how='inner').
+
+    ``tolerance`` (same units as the ts columns) bounds the lookback, like
+    pandas merge_asof's tolerance: a right row older than
+    ``left_ts - tolerance`` no longer counts as a match — the attribution-
+    window semantic. Implemented by carrying the matched right timestamp
+    through the same window pass, so the bound costs zero extra shuffles.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
@@ -71,6 +78,21 @@ def asof_join(
     matched = F.last(
         F.when(F.col("__side") == 0, F.lit(1)), ignorenulls=True
     ).over(w)
+    if tolerance is not None:
+        # Carry the matched right row's timestamp; a match outside the
+        # lookback window is demoted to no-match (payload nulled for
+        # how='left', row dropped for how='inner').
+        right_t = F.last(
+            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+        ).over(w)
+        within = right_t.isNotNull() & (
+            (F.col("__t") - right_t) <= F.lit(tolerance)
+        )
+        matched = F.when(within, F.lit(1))
+        carried = [
+            F.when(within, F.last(c, ignorenulls=True).over(w)).alias(c)
+            for c in payload
+        ]
     enriched = unioned.select(
         *[c for c in unioned.columns if c not in payload],
         *carried,

@@ -968,3 +968,74 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "attribution_last_touch",
+    category="J8,E59",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS t, value
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'view'
+), att AS (
+  SELECT p.user_id, p.event_id, p.value, max(v.t) AS vt
+  FROM p LEFT JOIN v
+    ON v.user_id = p.user_id AND v.t <= p.t
+   AND p.t - v.t <= 86400000000000
+  GROUP BY p.user_id, p.event_id, p.value
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(vt) AS BIGINT) AS n_attributed,
+       round(coalesce(sum(value) FILTER (vt IS NOT NULL), 0), 2) AS attributed_value
+FROM att
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent view by the same user within a 24-hour lookback — the as-of
+    join with TOLERANCE (operators/asof.py), pandas merge_asof's
+    tolerance semantic at cluster scale.
+
+    Same union+window plan as J8 (one shuffle on user, no range
+    self-join); the lookback bound rides the existing window pass by
+    carrying the matched view's timestamp, costing zero extra shuffles.
+    The oracle takes the max-view-per-purchase join route — quadratic
+    within (user, 24 h) windows, fine for DuckDB at test scale, exactly
+    what the window form avoids at 100 TB.
+    """
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ns", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_ns").alias("view_ts")
+    )
+    att = asof_join(
+        purchases,
+        views.withColumn("vmark", F.lit(1)),
+        key="user_id",
+        left_ts="ts_ns",
+        right_ts="view_ts",
+        payload=["vmark"],
+        how="left",
+        tolerance=86_400_000_000_000,
+    )
+    return (
+        att.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("vmark").alias("n_attributed"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("vmark").isNotNull(), F.col("value"))), F.lit(0.0)),
+                2,
+            ).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

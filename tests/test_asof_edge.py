@@ -46,3 +46,38 @@ def test_left_keeps_unmatched(spark):
     got = {(r["k"], r["lt"]): r["val"] for r in out}
     assert set(got) == {(1, 10), (1, 20), (2, 5), (3, 7)}
     assert got[(2, 5)] is None and got[(3, 7)] is None
+
+
+def test_asof_tolerance_bounds_lookback(spark):
+    """A right row older than the tolerance no longer matches: payload is
+    NULL for how='left', the row disappears for how='inner'."""
+    from big_data__instagram_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 500, "p2")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame([(1, 90, "v")], "k long, rt long, pay string")
+    out_left = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        payload=["pay"], how="left", tolerance=50,
+    ).collect()
+    by_tag = {r["tag"]: r["pay"] for r in out_left}
+    assert by_tag == {"p1": "v", "p2": None}  # 500-90=410 > 50 → no match
+    out_inner = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        payload=["pay"], how="inner", tolerance=50,
+    ).collect()
+    assert [r["tag"] for r in out_inner] == ["p1"]
+
+
+def test_asof_tolerance_exact_boundary_matches(spark):
+    """left_ts - right_ts == tolerance is inside the window (<=)."""
+    from big_data__instagram_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 150, "p")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 100, "v")], "k long, rt long, pay string")
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        payload=["pay"], how="left", tolerance=50,
+    ).collect()
+    assert out[0]["pay"] == "v"
