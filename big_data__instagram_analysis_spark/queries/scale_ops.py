@@ -1039,3 +1039,63 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("weighted_sample_quality", category="P6,E60")
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): sample
+    100 documents with probability proportional to a quality weight —
+    importance sampling for training-mix construction.
+
+    The uniform draw is DERIVED, not random: u = pmod(xxhash64(doc_id,
+    seed), 2^20)/2^20, so the sample is a pure function of (corpus, seed)
+    — reproducible across runs and machines, auditable, and re-drawable
+    with a new seed. Priority key = -ln(u)/w ~ Exp(w): the k SMALLEST
+    keys are the weighted sample (heavier weight → stochastically smaller
+    key), and the bounded ascending top-k plans as TakeOrderedAndProject
+    (no global sort). Rows-only: no SQL twin for xxhash64; property tests
+    pin determinism, size, and the high-weight bias.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = (F.col("n_chars") / 100.0) + 1.0  # quality-ish weight > 1
+    u = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1 << 20)) + 1) / F.lit(
+        float(1 << 20)
+    )
+    key = -F.log(u) / w
+    return (
+        d.select("doc_id", F.round(w, 2).alias("weight"), key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(100)
+        .select("doc_id", "weight")
+    )
+
+
+@query("sketch_binned_histogram", category="A7,E61")
+def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E54→E33 scale substitution, executed: equi-depth-ish histogram
+    whose bucket EDGES come from the mergeable quantile sketch (one
+    bounded-memory pass) and whose binning is a pure projection (second
+    scan, map-side-combinable groupBy) — no global sort anywhere.
+
+    This two-pass shape is how a 100 TB engine actually produces deciles:
+    sketch pass O(accuracy) memory, bin pass at scan speed. Bucket counts
+    are equal only within the sketch's rank error, which is the accepted
+    trade — tests bound the deviation. Rows-only (sketch edges are
+    implementation-defined).
+    """
+    o = load(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.percentile_approx("o_totalprice", [i / 10.0 for i in range(1, 10)], 10000)
+    ).collect()[0][0]
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col("o_totalprice") > F.lit(float(e)), 1).otherwise(0)
+    return (
+        o.groupBy(bin_expr.cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -331,3 +331,30 @@ def test_kmeans_deterministic(spark, sf_dir):
     b, ib = kmeans_lloyd(emb, k=4, iterations=2)
     assert ia == ib
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    """Same (corpus, seed) → same sample; sampled mean weight must exceed
+    the corpus mean (that's what 'weighted' buys)."""
+    a = get_specs()["weighted_sample_quality"].fn(spark, sf_dir).collect()
+    b = get_specs()["weighted_sample_quality"].fn(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 100
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .agg(F.avg(F.col("n_chars") / 100.0 + 1.0))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in a) / len(a)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_sketch_bins_are_near_equal_depth(spark, sf_dir):
+    """Sketch-edge bins deviate from perfect deciles only within the
+    sketch's rank error (generous 20% relative bound at test scale)."""
+    rows = get_specs()["sketch_binned_histogram"].fn(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    ideal = total / 10
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["n"] - ideal) <= max(2.0, 0.2 * ideal), (r, ideal)
