@@ -1099,3 +1099,118 @@ def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "snapshot_diff_cdc",
+    category="J3,E62",
+    oracle="""
+WITH gen2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN round(o_totalprice * 1.1, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey % 10 <> 7
+), gen1 AS (
+  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 10 <> 4
+)
+SELECT CASE WHEN g1.o_orderkey IS NULL THEN 'added'
+            WHEN g2.o_orderkey IS NULL THEN 'removed'
+            WHEN g1.price <> g2.price THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       CAST(count(*) AS BIGINT) AS n,
+       round(coalesce(sum(g2.price - g1.price), 0), 2) AS price_delta
+FROM gen1 g1 FULL OUTER JOIN gen2 g2 ON g1.o_orderkey = g2.o_orderkey
+GROUP BY change
+ORDER BY change
+""",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: derive a change feed (added/removed/changed/
+    unchanged) from two table generations via ONE full outer join — how
+    you bootstrap CDC when the source system can't emit one.
+
+    Both generations are deterministic projections of orders (one key
+    class dropped from each side, one mutated), so both engines derive
+    identical inputs. The join keys co-partition, so at 100 TB this is
+    one co-located shuffle per side; with both generations bucketed on
+    the key (E4) the exchange disappears entirely — that's the nightly-
+    diff production shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    gen1 = base.filter(F.col("o_orderkey") % 10 != 4)
+    gen2 = base.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.round(F.col("price") * 1.1, 2)
+        ).otherwise(F.col("price")),
+    )
+    g1 = gen1.alias("g1")
+    g2 = gen2.alias("g2")
+    j = g1.join(g2, F.col("g1.o_orderkey") == F.col("g2.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("g1.o_orderkey").isNull(), "added")
+        .when(F.col("g2.o_orderkey").isNull(), "removed")
+        .when(F.col("g1.price") != F.col("g2.price"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(change.alias("change"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.coalesce(F.sum(F.col("g2.price") - F.col("g1.price")), F.lit(0.0)), 2
+            ).alias("price_delta"),
+        )
+        .orderBy("change")
+    )
+
+
+@query(
+    "markov_event_transitions",
+    category="W3,E63",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type), 6)
+         AS p
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral fingerprint behind
+    next-action prediction and bot detection.
+
+    lead() pairs consecutive events inside each user's timeline (one
+    user-keyed exchange), the count aggregates transitions globally, and
+    the row-normalization is a window over the 4×4 result — negligible.
+    The 100 TB note: state space is |event types|², so however large the
+    log, the transition matrix stays tiny — aggregate early, normalize
+    late.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
