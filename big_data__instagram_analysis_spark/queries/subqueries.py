@@ -157,3 +157,38 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_n").cast("bigint").alias("p_n"),
         F.col("p_total").alias("p_total"),
     )
+
+
+_RECURSIVE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+  FROM customer WHERE c_custkey >= 1 AND c_custkey < 200
+  UNION ALL
+  SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1 AS depth
+  FROM anc WHERE cur > 1
+)
+SELECT node, CAST(max(depth) AS BIGINT) AS depth_to_root,
+       CAST(count(*) AS BIGINT) AS chain_len
+FROM anc
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query("recursive_cte_hierarchy", category="E64", oracle=_RECURSIVE)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): walk a synthetic binary hierarchy
+    (parent = floor(id/2)) to the root, measuring depth and chain length
+    per node — the org-chart / category-tree traversal SQL previously
+    needed iterative DataFrame loops (E12-style) to express.
+
+    Same query text runs verbatim on both engines — frontend-to-frontend
+    parity like E16/E49. Spark executes the recursion as iterated
+    UnionLoop steps; depth is bounded by log2(domain), so each step is a
+    small self-contained batch. For UNBOUNDED or huge closures the
+    operators/graph.py forms (CC's star contractions) remain the scale
+    path — recursion depth on a cluster is plan depth, and log-round
+    algorithms beat per-level walks there.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE)
