@@ -82,3 +82,49 @@ def except_churned_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _active_custkeys(spark, sf_dir, 1995).subtract(
         _active_custkeys(spark, sf_dir, 1996)
     )
+
+
+@query(
+    "set_ops_all_multiplicity",
+    category="T3,T4,E65",
+    oracle="""
+WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0),
+     b AS (SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+GROUP BY k
+ORDER BY op, k
+""",
+)
+def set_ops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL: bag (multiplicity-preserving) set
+    semantics — T3/T4's DISTINCT forms answer membership, the ALL forms
+    answer HOW MANY survive, which is what reconciliation jobs need
+    (every unmatched duplicate is a discrepancy to count).
+
+    Spark plans both as aggregate-count-then-replicate on the value —
+    one shuffle keyed by the row value, same cost class as the DISTINCT
+    forms; the generate step replays each value min/diff-count times.
+    """
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select(F.col("c_nationkey").alias("k"))
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return inter.unionByName(exc).orderBy("op", "k")

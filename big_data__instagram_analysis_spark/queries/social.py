@@ -328,3 +328,113 @@ def engagement_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.dense_rank().over(w).cast("int").alias("seg_rank"),
     ).orderBy("segment", "seg_rank", "user_id")
+
+
+@query(
+    "mom_growth_share",
+    category="W3,E66",
+    oracle="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct,
+       round(100.0 * revenue / sum(revenue) OVER (), 4) AS share_pct
+FROM m
+ORDER BY month
+""",
+)
+def mom_growth_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth and share-of-total: the reporting staple
+    (lag on an aggregated series + ratio-to-report window).
+
+    The windows run on the 80-row monthly AGGREGATE, not the fact table —
+    aggregate first, window the summary. The unpartitioned lag/sum
+    windows are single-partition by definition, which is fine precisely
+    because the input is |months| rows; running them pre-aggregation
+    would be the E44 cliff. Derived values compute from the ROUNDED
+    revenue on both engines, so quotients can't straddle round
+    boundaries.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    lag_rev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - lag_rev, 2).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - lag_rev) / lag_rev, 4).alias("mom_pct"),
+        F.round(
+            100.0 * F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4
+        ).alias("share_pct"),
+    ).orderBy("month")
+
+
+@query(
+    "anomaly_zscore_daily",
+    category="W6,E67",
+    oracle="""
+WITH d AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day_b,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY day_b
+), z AS (
+  SELECT day_b, n,
+         avg(n) OVER w AS mu,
+         sqrt((sum(n * n) OVER w - sum(n) OVER w * sum(n) OVER w
+               / count(*) OVER w) / (count(*) OVER w - 1)) AS sd,
+         count(*) OVER w AS nw
+  FROM d
+  WINDOW w AS (ORDER BY day_b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day_b AS BIGINT) AS day_b, CAST(n AS BIGINT) AS n_events,
+       round((n - mu) / sd, 4) AS z
+FROM z
+WHERE nw = 7 AND sd > 0
+ORDER BY day_b
+""",
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each day's event count vs the
+    mean/std of its own trailing week — the volume-spike detector.
+
+    Why this one MAY emit a std into hash-checked output when E27
+    couldn't: the window inputs are INTEGER counts, so the 7-term sums
+    and sum-of-squares are exact in both engines regardless of order —
+    the float path (divide, sqrt, round) is then bit-identical IEEE.
+    Cent-valued doubles (E27) never get that exactness. Warm-up days
+    (window shorter than 7) are excluded rather than scored against a
+    partial baseline.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias("day_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.orderBy("day_b").rowsBetween(-6, Window.currentRow)
+    nw = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mu = F.avg("n").over(w)
+    sd = F.sqrt((s2 - s1 * s1 / nw) / (nw - 1))
+    z = d.select(
+        "day_b",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round((F.col("n") - mu) / sd, 4).alias("z"),
+        nw.alias("nw"),
+        sd.alias("sd"),
+    )
+    return (
+        z.filter((F.col("nw") == 7) & (F.col("sd") > 0))
+        .select("day_b", "n_events", "z")
+        .orderBy("day_b")
+    )
