@@ -223,3 +223,53 @@ def freq_items_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.array_sort(F.col("c_mktsegment_freqItems")).alias("candidates")
     )
+
+
+@query(
+    "nested_array_of_structs",
+    category="F7,A9,E68",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         list_transform(
+           list_slice(
+             list_reverse(list_sort(
+               list((round(o_totalprice, 2), o_orderkey)))),
+             1, 3),
+           s -> s[2]) AS top3,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, top3, n_orders, total
+FROM per_cust
+ORDER BY o_custkey
+""",
+)
+def nested_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data pipeline: collect each customer's orders into an
+    array of structs, then do the 'top-3 by price' ENTIRELY inside the
+    array (sort → reverse → slice → field-extract) — document-shaped
+    output without a second window pass.
+
+    collect_list's order is nondeterministic by contract, which is why
+    the sort happens inside the array AFTER collection — the recurring
+    bug this query pins is trusting collect order. One groupBy shuffle
+    total; per-group array size is the scale guard (bounded fan-out per
+    customer here; unbounded keys need W2's windowed top-k instead).
+    """
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
+        ).alias("orders_arr"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    top3 = F.transform(
+        F.slice(F.reverse(F.array_sort("orders_arr")), 1, 3), lambda s: s["k"]
+    )
+    return per.select(
+        "o_custkey", top3.alias("top3"), "n_orders", "total"
+    ).orderBy("o_custkey")

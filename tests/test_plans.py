@@ -136,3 +136,26 @@ def test_boilerplate_single_df_shuffle(spark, sf_dir):
     (map-side) aggregate before its exchange."""
     plan = _plan(spark, sf_dir, "boilerplate_ngram_flags")
     assert "partial_count" in plan, "missing map-side combine on the DF table"
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """A filter on the Hive partition column must prune at PLANNING time:
+    PartitionFilters carries the predicate and the scan reads only the
+    matching directory — the file-skipping that makes S7's layout pay off
+    at scale."""
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.sources.readers_writers import (
+        roundtrip_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    back = roundtrip_partitioned(e, spark, "part_events_prune", sf_dir, "event_type")
+    filtered = back.filter(F.col("event_type") == "purchase")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
+    # And the pruned count matches the unpruned filter.
+    assert filtered.count() == e.filter(F.col("event_type") == "purchase").count()
