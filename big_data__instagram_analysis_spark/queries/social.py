@@ -438,3 +438,44 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day_b", "n_events", "z")
         .orderBy("day_b")
     )
+
+
+@query(
+    "mode_event_type_per_user",
+    category="A6,E69",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per user: count, then
+    rank with an explicit tie-break (alphabetical on equal counts).
+
+    Spark ships F.mode(), but its tie-breaking is undefined — unusable
+    where results must be reproducible (and un-parity-checkable). The
+    count+rank form costs one extra exchange and buys a total order;
+    that trade is the right default in any audited pipeline.
+    """
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+        .orderBy("user_id")
+    )

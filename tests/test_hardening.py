@@ -88,3 +88,22 @@ def test_cache_persist_reuse(spark, sf_dir):
         assert dependent.count() <= base.count()
     finally:
         base.unpersist()
+
+
+def test_halfhour_offset_timezone_session(spark, sf_dir):
+    """Asia/Kathmandu (+5:45) is the nastiest session timezone: non-whole
+    offsets shift hour AND minute boundaries. tune() must repin UTC so
+    date_format/hour-bucket queries are unaffected."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    baseline = {}
+    for name in ("events_hourly", "partial_agg_rollup", "date_funcs"):
+        baseline[name] = get_specs()[name].fn(spark, sf_dir).collect()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        for name, rows in baseline.items():
+            again = get_specs()[name].fn(spark, sf_dir).collect()
+            assert again == rows, f"{name} drifted under +5:45 session tz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

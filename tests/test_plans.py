@@ -159,3 +159,21 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert m and "event_type" in m.group(1), plan[:2000]
     # And the pruned count matches the unpruned filter.
     assert filtered.count() == e.filter(F.col("event_type") == "purchase").count()
+
+
+def test_sql_join_hints_steer_strategy(spark, sf_dir):
+    """SQL hints must reach the planner: MERGE forces sort-merge where
+    broadcast would win; BROADCAST forces the build side."""
+    from big_data__instagram_analysis_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    merge_plan = spark.sql(
+        """SELECT /*+ MERGE(n) */ c.c_custkey, n.n_name
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in merge_plan, merge_plan[:1200]
+    bcast_plan = spark.sql(
+        """SELECT /*+ BROADCAST(n) */ c.c_custkey, n.n_name
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan, bcast_plan[:1200]
