@@ -1224,3 +1224,75 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "dq_audit_constraints",
+    category="A2,E70",
+    oracle="""
+SELECT 'customer_pk_dupes' AS rule,
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS violations
+FROM customer
+UNION ALL
+SELECT 'orders_fk_orphans',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'events_value_range',
+       CAST(count(*) FILTER (value < 0 OR value > 10000) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_null_type',
+       CAST(count(*) FILTER (event_type IS NULL) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+FROM lineitem
+ORDER BY rule
+""",
+)
+def dq_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: uniqueness, referential integrity, domain
+    ranges, and null checks as ONE query returning violation counts per
+    rule — the contract gate a pipeline runs before publishing a table.
+
+    Each rule is an aggregation or anti-join over its table — no
+    row-level materialization of violations (at 100 TB you count first,
+    sample offenders only for rules that fired). The FK check is a
+    left-anti count, pure shuffle-or-broadcast machinery; all five rules
+    run as one job tree, sharing scans where Catalyst can.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+
+    pk = c.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("violations")
+    ).select(F.lit("customer_pk_dupes").alias("rule"), "violations")
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_fk_orphans").alias("rule"), "violations")
+    )
+    rng = e.agg(
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 10000), 1)).alias(
+            "violations"
+        )
+    ).select(F.lit("events_value_range").alias("rule"), "violations")
+    nulls = e.agg(
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("violations")
+    ).select(F.lit("events_null_type").alias("rule"), "violations")
+    disc = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("violations")
+    ).select(F.lit("lineitem_discount_domain").alias("rule"), "violations")
+    return (
+        pk.unionByName(fk)
+        .unionByName(rng)
+        .unionByName(nulls)
+        .unionByName(disc)
+        .orderBy("rule")
+    )
