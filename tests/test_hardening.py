@@ -107,3 +107,63 @@ def test_halfhour_offset_timezone_session(spark, sf_dir):
             assert again == rows, f"{name} drifted under +5:45 session tz"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_sessionize_differential_fuzz(spark):
+    """Differential check of the gaps-and-islands sessionizer against a
+    10-line Python reference, including the exact-30-minute boundary
+    (gap == threshold stays in the SAME session; only > splits)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F2
+
+    GAP = 1_800_000_000_000  # 30 min in ns
+
+    def reference(ts_list):
+        sessions, cur = [], []
+        for i, t in enumerate(sorted(ts_list)):
+            if cur and t - cur[-1] > GAP:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+        if cur:
+            sessions.append(cur)
+        return [(len(s), min(s), max(s)) for s in sessions]
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=40 * GAP),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def run(ts_list):
+        rows = [(1, i, int(t), 0.0) for i, t in enumerate(sorted(ts_list))]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_ns long, value double"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        got = (
+            df.withColumn(
+                "is_new",
+                F2.when(F2.lag("ts_ns").over(w).isNull(), 1)
+                .when(F2.col("ts_ns") - F2.lag("ts_ns").over(w) > GAP, 1)
+                .otherwise(0),
+            )
+            .withColumn("sess_id", F2.sum("is_new").over(cum))
+            .groupBy("sess_id")
+            .agg(
+                F2.count(F2.lit(1)).alias("n"),
+                F2.min("ts_ns").alias("lo"),
+                F2.max("ts_ns").alias("hi"),
+            )
+            .orderBy("sess_id")
+            .collect()
+        )
+        assert [(r["n"], r["lo"], r["hi"]) for r in got] == reference(ts_list)
+
+    run()
