@@ -512,3 +512,32 @@ def stream_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("word")).cast("bigint").alias("uniques"))
         .orderBy("day_b")
     )
+
+
+@query("stream_dedup_ttl_watermark", category="X5,X8,E71")
+def stream_dedup_ttl_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: streaming dedup whose state is
+    EVICTED once keys age past the watermark — the production variant of
+    X5's dropDuplicates, whose state grows forever (every key ever seen).
+
+    The trade is explicit: duplicates recurring beyond the 2-hour
+    watermark re-emit (state for them is gone), so output depends on the
+    replay chunking — deterministic for a fixed file layout and trigger
+    size, but not SQL-expressible → rows-only; tests bound the output
+    between the exact-distinct floor and the raw-event ceiling and pin
+    run-to-run determinism. At 100 TB, unbounded dedup state is an OOM
+    with a delay fuse; TTL dedup is the only deployable shape when keys
+    don't stop arriving.
+    """
+    s = events_stream(spark, sf_dir, max_files_per_trigger=2)
+    deduped = s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    sink = run_available_now(
+        deduped.select("user_id", "event_type", "event_id"), output_mode="append"
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .orderBy("event_type")
+    )

@@ -53,3 +53,29 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     got = sorted(map(tuple, spec.fn(spark, sf_dir).collect()))
     want = sorted(map(tuple, _batch_tumbling(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_dedup_ttl_bounds_and_determinism(spark, sf_dir):
+    """TTL dedup output sits between exact distinct (floor: infinite
+    state) and raw counts (ceiling: no dedup), and is deterministic for
+    a fixed replay layout."""
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    a = {
+        r["event_type"]: r["n_kept"]
+        for r in get_specs()["stream_dedup_ttl_watermark"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        r["event_type"]: r["n_kept"]
+        for r in get_specs()["stream_dedup_ttl_watermark"].fn(spark, sf_dir).collect()
+    }
+    assert a == b, "replay with identical layout must be deterministic"
+    e = load(spark, sf_dir, "events")
+    raw = {r["event_type"]: r["n"] for r in
+           e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    floor = {r["event_type"]: r["n"] for r in
+             e.select("user_id", "event_type").distinct()
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for et, kept in a.items():
+        assert floor[et] <= kept <= raw[et], (et, floor[et], kept, raw[et])
