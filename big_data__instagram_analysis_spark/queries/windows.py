@@ -202,3 +202,47 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
     )
+
+
+@query(
+    "value_range_frame_peers",
+    category="W6,E72",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       CAST(count(*) OVER w AS BIGINT) AS n_peers,
+       round(sum(o_totalprice) OVER w, 2) AS band_total
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+""",
+)
+def value_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame: each order's peer group is every order
+    within ±10,000 of its own price (same priority class) — RANGE frames
+    keyed on a numeric measure, not time (W6) and not row offsets (W5).
+
+    Price-band peer stats answer 'how crowded is this price point'
+    without pre-binning (E33 would quantize the neighborhoods). RANGE
+    frames are tie-safe by construction — equal prices always share one
+    frame, so the result is deterministic without a tiebreak column in
+    the frame spec. One exchange on the partition key; the in-partition
+    frame scan is the sorted-run sliding window.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.count(F.lit(1)).over(w).alias("n_peers"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("band_total"),
+        )
+        .orderBy("o_orderpriority", "price", "o_orderkey")
+    )
