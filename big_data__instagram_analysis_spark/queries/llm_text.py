@@ -556,3 +556,62 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") > 0)
         .orderBy(F.desc("contamination"), "doc_id")
     )
+
+
+@query(
+    "unigram_logprob_score",
+    category="L5,L8,E73",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(n) AS total FROM freq
+), scored AS (
+  SELECT t.doc_id, ln(f.n / (SELECT total FROM tot)) AS lp
+  FROM toks t JOIN freq f ON t.term = f.term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(lp), 4) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY avg_neg_logprob DESC, doc_id
+LIMIT 50
+""",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-probability of
+    each document's tokens under the corpus's own unigram model — the
+    cheap stand-in for LM-perplexity filtering (high score = tokens rare
+    in-corpus = boilerplate-free but possibly noise; curation thresholds
+    both tails).
+
+    Two passes over the exploded tokens: one groupBy builds the unigram
+    table (vocabulary-sized, broadcast back), one join+groupBy scores
+    docs. The model is corpus-relative — no external LM, fully
+    deterministic, which is what makes it hash-checkable (ln of exact
+    count ratios; both engines compute identical IEEE ops). Top-50
+    rarest-token docs returned with a full tiebreak.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n")).collect()[0][0]
+    scored = toks.join(F.broadcast(freq), "term").select(
+        "doc_id", F.log(F.col("n") / F.lit(float(total))).alias("lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("lp"), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy(F.desc("avg_neg_logprob"), "doc_id")
+        .limit(50)
+    )
