@@ -615,3 +615,38 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_neg_logprob"), "doc_id")
         .limit(50)
     )
+
+
+from ..registry import get_specs as _get_specs  # noqa: E402
+
+_LANGID_ORACLE = _get_specs()["language_id_heuristic"].oracle
+
+
+@query(
+    "langid_confusion_matrix",
+    category="L6,E74",
+    oracle=f"""
+WITH pred AS ({_LANGID_ORACLE})
+SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation inside the engine: confusion matrix of the
+    L6 language-ID heuristic against the declared labels — the eval loop
+    (predict → join truth → aggregate cells) that decides whether a
+    routing heuristic is good enough to gate the corpus on.
+
+    Composes the registered language_id_heuristic query (and its oracle,
+    verbatim, as a CTE) rather than re-implementing the scorer — one
+    definition, two checked surfaces. The matrix is |langs|² however
+    large the corpus: aggregate early, eyeball late.
+    """
+    pred = _get_specs()["language_id_heuristic"].fn(spark, sf_dir)
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
