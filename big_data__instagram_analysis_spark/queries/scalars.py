@@ -387,3 +387,47 @@ def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "month_arithmetic_clamping",
+    category="F3,E76",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST((2000 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate))
+            AS BIGINT) AS month_boundaries_to_y2k
+FROM orders
+WHERE day(o_orderdate) >= 28
+ORDER BY o_orderkey
+""",
+)
+def month_arithmetic_clamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month arithmetic on month-end dates — the classic trap:
+    Jan 31 + 1 month must CLAMP to Feb 28/29, not overflow into March.
+    Filtered to day >= 28 so every row exercises the clamping band.
+
+    add_months and last_day are chronology-aware built-ins (no epoch
+    arithmetic can express them); both engines clamp identically, which
+    this query pins as a cross-engine contract. The month-boundary count
+    is EXPLICIT year*12+month arithmetic on both sides — Spark's
+    months_between is fractional (31-day months count ~0.5 at mid-month)
+    while DuckDB's date_diff('month') counts boundaries; neither matches
+    the other, so the portable form is the spelled-out index. That
+    dialect trap is the second thing this query documents.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.dayofmonth("o_orderdate") >= 28)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "plus_month"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (
+            F.lit(2000 * 12 + 1)
+            - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("month_boundaries_to_y2k"),
+    ).orderBy("o_orderkey")

@@ -479,3 +479,77 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_pair_pmi",
+    category="A1,E75",
+    oracle="""
+WITH ue AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM events
+), marg AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS m FROM ue GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY ta, tb
+)
+SELECT ta, tb, CAST(c AS BIGINT) AS n_users,
+       round(ln((c / (SELECT n FROM nu))
+                / ((x.m / (SELECT n FROM nu)) * (y.m / (SELECT n FROM nu)))), 6)
+         AS pmi
+FROM pairs JOIN marg x ON ta = x.event_type JOIN marg y ON tb = y.event_type
+ORDER BY ta, tb
+""",
+)
+def event_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at user level:
+    which behaviors co-occur beyond chance — the association measure
+    behind market-basket and co-engagement analysis.
+
+    Everything reduces before it joins: the distinct (user, type) set is
+    the only row-scale relation; the self-join runs on it (bounded by
+    |users|×|types|), and marginals/pair counts are tiny. PMI is pure
+    arithmetic over exact counts — ln of count ratios is identical IEEE
+    on both engines, so it hash-checks.
+    """
+    e = load(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    n_users = float(e.select("user_id").distinct().count())
+    marg = ue.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    x = marg.select(F.col("event_type").alias("ta"), F.col("m").alias("mx"))
+    y = marg.select(F.col("event_type").alias("tb"), F.col("m").alias("my"))
+    return (
+        pairs.join(F.broadcast(x), "ta")
+        .join(F.broadcast(y), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("c").cast("bigint").alias("n_users"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.lit(n_users))
+                    / ((F.col("mx") / F.lit(n_users)) * (F.col("my") / F.lit(n_users)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )
