@@ -553,3 +553,143 @@ def event_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+@query(
+    "seasonal_naive_forecast_eval",
+    category="W3,E77",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day_b, round(sum(value), 2) AS v
+  FROM events GROUP BY day_b
+), f AS (
+  SELECT day_b, v, lag(v, 7) OVER (ORDER BY day_b) AS pred
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(v - pred)), 4) AS mae,
+       round(avg(abs(v - pred) / nullif(v, 0)), 6) AS mape
+FROM f WHERE pred IS NOT NULL
+""",
+)
+def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline evaluated in-engine: predict
+    each day's total as the value seven days earlier, score MAE/MAPE over
+    the covered window — the baseline every real forecast model must
+    beat, and the eval-loop shape (predict → join actuals → error agg)
+    that any model comparison reuses.
+
+    The lag runs on the |days|-row aggregate (aggregate first, window
+    the summary — E66's rule); warm-up days without a 7-back observation
+    are excluded, not scored as zero. Error math starts from the ROUNDED
+    daily totals so both engines difference identical doubles.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias("day_b")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = Window.orderBy("day_b")
+    f = daily.withColumn("pred", F.lag("v", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("v") - F.col("pred"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.nullif(F.col("v"), F.lit(0.0))), 6).alias("mape"),
+    )
+
+
+@query(
+    "weekday_hour_seasonality",
+    category="A1,E78",
+    oracle="""
+SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+       CAST((epoch_ns(ts) // 3600000000000) % 24 AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY dow, hod
+ORDER BY dow, hod
+""",
+)
+def weekday_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heat matrix — the seasonality
+    profile behind staffing, anomaly baselines, and send-time choices.
+
+    Both calendar coordinates come from epoch-day/epoch-hour integer
+    arithmetic (1970-01-01 was a Thursday, hence the +4): no timezone, no
+    calendar library, identical on any engine — the ts_ns discipline
+    (§5.4) extended to calendar features. The matrix is 7×24 whatever
+    the event volume; one map-side-combinable aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (((F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint") + 4) % 7)
+            .cast("int")
+            .alias("dow"),
+            ((F.col("ts_ns") / F.lit(3_600_000_000_000)).cast("bigint") % 24)
+            .cast("int")
+            .alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
+    "gini_engagement_inequality",
+    category="A2,E79",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n, sum(x) OVER () AS sx
+  FROM cnt
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       round((2.0 * sum(i * x)) / (max(n) * max(sx))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+""",
+)
+def gini_engagement_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts: one number for how
+    concentrated engagement is (0 = everyone equal, →1 = a few power
+    users dominate) — the skew indicator that predicts which keys will
+    hot-spot every user-keyed shuffle (E5's salting exists because this
+    number is high in real logs).
+
+    Rank-weighted formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts
+    sorted ascending (ties broken by user id). The window runs on the
+    |users|-row aggregate; counts are integers so every product and sum
+    is exact until the final two divisions — hash-safe like E67.
+    """
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = cnt.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("sx"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x"))) / (F.max("n") * F.max("sx"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
