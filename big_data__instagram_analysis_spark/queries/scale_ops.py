@@ -1296,3 +1296,198 @@ def dq_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(disc)
         .orderBy("rule")
     )
+
+
+@query(
+    "rolling_7d_bitmap_distinct",
+    category="A3,W6,E80",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_b, user_id
+  FROM events
+), days AS (SELECT DISTINCT day_b FROM e)
+SELECT d.day_b, CAST(count(DISTINCT e.user_id) AS BIGINT) AS uniques_7d
+FROM days d JOIN e ON e.day_b BETWEEN d.day_b - 6 AND d.day_b
+GROUP BY d.day_b
+ORDER BY d.day_b
+""",
+)
+def rolling_7d_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT distinct users per day — the metric where naive
+    plans die at scale: count(DISTINCT) over a RANGE frame re-scans every
+    event 7×, and distinct-within-window doesn't compose.
+
+    Bitmap partials make it algebraic (E31's trick composed with a rolling
+    frame): one bit_or word per (day, bucket) — bounded by domain/64 rows
+    per day — then each day-word is fanned out to the ≤7 rolling windows
+    it contributes to (explode of a 7-element sequence, a bounded blowup
+    of TINY rows, never of events), re-OR'd per target day, popcounted.
+    Event volume is touched exactly once; the rolling pass moves only
+    words. A 90-day window at 100 TB costs 90× a few-KB words, not 90×
+    the fact table. Days with no events are not emitted (semi-join back
+    to observed days), matching the oracle's day list.
+    """
+    e = load(spark, sf_dir, "events")
+    words = (
+        e.select(
+            (F.col("ts_ns") / F.lit(_NS_PER_DAY)).cast("bigint").alias("day_b"),
+            (F.col("user_id") / 64).cast("int").alias("bucket"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("user_id") % 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("day_b", "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    days = words.select("day_b").distinct()
+    fanned = (
+        words.select(
+            (F.col("day_b") + F.explode(F.sequence(F.lit(0), F.lit(6)))).alias(
+                "target_day"
+            ),
+            "bucket",
+            "word",
+        )
+        .groupBy("target_day", "bucket")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return (
+        fanned.join(days, fanned.target_day == days.day_b, "left_semi")
+        .groupBy(F.col("target_day").alias("day_b"))
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("uniques_7d"))
+        .orderBy("day_b")
+    )
+
+
+@query(
+    "incremental_agg_retraction",
+    category="A1,E81",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY o_orderpriority
+), delta AS (
+  SELECT o_orderpriority, CAST(sum(sign) AS BIGINT) AS n_d,
+         round(sum(sign * price), 2) AS t_d
+  FROM (
+    SELECT o_orderpriority, -1 AS sign, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderpriority, 1 AS sign, o_totalprice * 1.05 AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+  ) GROUP BY o_orderpriority
+)
+SELECT b.o_orderpriority, CAST(b.n + coalesce(d.n_d, 0) AS BIGINT) AS n,
+       round(b.total + coalesce(d.t_d, 0), 2) AS total
+FROM base b LEFT JOIN delta d USING (o_orderpriority)
+ORDER BY o_orderpriority
+""",
+)
+def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS: a standing aggregate
+    absorbs a CDC update feed (here: every 10th order repriced +5%) as
+    signed delta rows — (-1, old) retract + (+1, new) insert — without
+    re-touching the base table.
+
+    count and sum are retractable (sign-weighted partials compose), which
+    is exactly why the maintained aggregate can be merged with a delta
+    that is ~10% of one batch instead of recomputing over 100 TB of
+    history. min/max are deliberately absent: they are NOT retractable,
+    and this query documents the boundary. Floats follow the §5.4
+    discipline — each leg's sum rounds to cents before the merge, and the
+    oracle mirrors the same decomposed derivation so both engines do the
+    identical arithmetic.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0)
+    delta_rows = repriced.select(
+        "o_orderpriority",
+        F.lit(-1).alias("sign"),
+        F.col("o_totalprice").alias("price"),
+    ).unionByName(
+        repriced.select(
+            "o_orderpriority",
+            F.lit(1).alias("sign"),
+            (F.col("o_totalprice") * 1.05).alias("price"),
+        )
+    )
+    delta = delta_rows.groupBy("o_orderpriority").agg(
+        F.sum("sign").cast("bigint").alias("n_d"),
+        F.round(F.sum(F.col("sign") * F.col("price")), 2).alias("t_d"),
+    )
+    return (
+        base.join(delta, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            (F.col("n") + F.coalesce("n_d", F.lit(0))).cast("bigint").alias("n"),
+            F.round(F.col("total") + F.coalesce("t_d", F.lit(0.0)), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "scd2_pointintime_read",
+    category="J2,E82",
+    oracle="""
+SELECT 0 AS generation, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+UNION ALL
+SELECT 1 AS generation, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN c_custkey % 2 = 1 AND c_custkey < 500
+                      THEN c_acctbal + 100 ELSE c_acctbal END), 2) AS total_bal
+FROM customer
+ORDER BY generation
+""",
+)
+def scd2_pointintime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an SCD2 history: reconstruct the dimension AS OF
+    each generation — ``valid_from <= g AND (valid_to IS NULL OR
+    valid_to > g)`` — and prove both snapshots are exact (row count +
+    balance total per generation).
+
+    Completes E38: that query WRITES history; this is the read path every
+    point-in-time join/audit takes. The predicate is a pure filter over
+    the history table, so at scale it rides partition pruning if history
+    is written partitioned by valid_from — no join, no window. The oracle
+    derives both snapshots directly from the base table + the same
+    deterministic update batch (odd keys < 500, +100.00).
+    """
+    c = load(spark, sf_dir, "customer")
+    upd = c.filter((F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") < 500)).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("new_bal")
+    )
+    left = c.join(F.broadcast(upd), "c_custkey", "left")
+    history = left.select(
+        "c_custkey",
+        F.coalesce("new_bal", "c_acctbal").alias("acctbal"),
+        F.when(F.col("new_bal").isNotNull(), 1).otherwise(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    ).unionByName(
+        left.filter(F.col("new_bal").isNotNull()).select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit(0).alias("valid_from"),
+            F.lit(1).alias("valid_to"),
+        )
+    )
+    snaps = []
+    for g in (0, 1):
+        snap = history.filter(
+            (F.col("valid_from") <= g)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > g))
+        ).agg(
+            F.lit(g).alias("generation"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        )
+        snaps.append(snap.select("generation", "n", "total_bal"))
+    return snaps[0].unionByName(snaps[1]).orderBy("generation")
