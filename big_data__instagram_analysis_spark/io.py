@@ -42,21 +42,43 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (schema-on-read from the parquet footer).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL). We read it via the legacy nanos-as-long
-    path and rebuild: ``ts`` as a µs-precision timestamp (floor-truncated,
-    matching what Spark would do natively) plus ``ts_ns`` keeping the exact
-    int64 epoch-nanos for queries that need full precision to match DuckDB.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    across fixture generations, so the loader adapts to the footer:
+
+    - NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL), so we read
+      via the legacy nanos-as-long path (int64 epoch-nanos) and rebuild
+      ``ts`` as a µs-precision timestamp (floor-truncated, matching what
+      Spark would do natively).
+    - MICROS (tz-naive → TIMESTAMP_NTZ under the pinned inference conf): read
+      directly; the NTZ→TIMESTAMP cast is exact because the session timezone
+      is pinned UTC (session.tune(), applied by the registry wrapper before
+      any plan is built).
+
+    Either way callers see the same schema: ``ts`` (µs TimestampType) plus
+    ``ts_ns`` keeping exact int64 epoch-nanos for queries that need
+    timezone-free integer time arithmetic to match DuckDB's ``epoch_ns``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(table_path(sf_dir, name))
+        if raw.schema["ts"].dataType.simpleString() == "bigint":
+            return raw.select(
+                "event_id",
+                F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+                F.col("ts").alias("ts_ns"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
         return raw.select(
             "event_id",
-            F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            F.expr("CAST(ts AS TIMESTAMP)").alias("ts"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)").alias(
+                "ts_ns"
+            ),
             "user_id",
             "event_type",
             "value",
