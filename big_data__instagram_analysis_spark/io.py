@@ -47,12 +47,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     - NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL), so we read
       via the legacy nanos-as-long path (int64 epoch-nanos) and rebuild
-      ``ts`` as a µs-precision timestamp (floor-truncated, matching what
-      Spark would do natively).
+      ``ts`` as a µs-precision timestamp. ``ts DIV 1000`` truncates toward
+      zero, which equals floor only for post-epoch instants — fine for the
+      2024-era fixtures; pre-epoch (negative) nanos would need FLOOR
+      semantics.
     - MICROS (tz-naive → TIMESTAMP_NTZ under the pinned inference conf): read
       directly; the NTZ→TIMESTAMP cast is exact because the session timezone
-      is pinned UTC (session.tune(), applied by the registry wrapper before
-      any plan is built).
+      is pinned UTC. ``load()`` pins that conf itself (defensively, in
+      addition to session.tune()) so direct callers on an untuned session
+      still get timezone-correct instants.
 
     Either way callers see the same schema: ``ts`` (µs TimestampType) plus
     ``ts_ns`` keeping exact int64 epoch-nanos for queries that need
@@ -61,9 +64,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # Correctness of the NTZ→TIMESTAMP cast below requires a UTC session
+        # timezone regardless of which code path reached load().
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(table_path(sf_dir, name))
-        if raw.schema["ts"].dataType.simpleString() == "bigint":
+        is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
+        if not is_nanos:
+            # MICROS footer: don't leave nanos-as-long enabled session-wide —
+            # it would silently turn any later nanos-annotated int64 column
+            # into bigint instead of erroring.
+            if prior_nanos is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+        if is_nanos:
             return raw.select(
                 "event_id",
                 F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),

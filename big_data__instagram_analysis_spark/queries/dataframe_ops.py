@@ -231,12 +231,14 @@ def freq_items_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_cust AS (
   SELECT o_custkey,
-         list_transform(
-           list_slice(
-             list_reverse(list_sort(
-               list((round(o_totalprice, 2), o_orderkey)))),
-             1, 3),
-           s -> s[2]) AS top3,
+         array_to_string(
+           list_transform(
+             list_slice(
+               list_reverse(list_sort(
+                 list((round(o_totalprice, 2), o_orderkey)))),
+               1, 3),
+             s -> s[2]),
+           ',') AS top3,
          CAST(count(*) AS BIGINT) AS n_orders,
          round(sum(o_totalprice), 2) AS total
   FROM orders
@@ -258,6 +260,10 @@ def nested_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug this query pins is trusting collect order. One groupBy shuffle
     total; per-group array size is the scale guard (bounded fan-out per
     customer here; unbounded keys need W2's windowed top-k instead).
+
+    The final emit serializes the array to a comma-joined string so the
+    driver's order-insensitive value hash (pandas-based) can handle the
+    column — raw array columns are unhashable in its comparator.
     """
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
@@ -267,8 +273,12 @@ def nested_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
-    top3 = F.transform(
-        F.slice(F.reverse(F.array_sort("orders_arr")), 1, 3), lambda s: s["k"]
+    top3 = F.array_join(
+        F.transform(
+            F.slice(F.reverse(F.array_sort("orders_arr")), 1, 3),
+            lambda s: s["k"].cast("string"),
+        ),
+        ",",
     )
     return per.select(
         "o_custkey", top3.alias("top3"), "n_orders", "total"

@@ -1344,11 +1344,13 @@ def rolling_7d_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = words.select("day_b").distinct()
     fanned = (
         words.select(
-            (F.col("day_b") + F.explode(F.sequence(F.lit(0), F.lit(6)))).alias(
-                "target_day"
-            ),
+            "day_b",
             "bucket",
             "word",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        )
+        .select(
+            (F.col("day_b") + F.col("off")).alias("target_day"), "bucket", "word"
         )
         .groupBy("target_day", "bucket")
         .agg(F.bit_or("word").alias("word"))
