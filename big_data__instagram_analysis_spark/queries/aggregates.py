@@ -38,16 +38,46 @@ def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct", category="A4")  # rows-only: HLL sketch is engine-specific
+@query(
+    "approx_count_distinct",
+    category="A4",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_3rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type — the 100 TB path for
-    count-distinct. Not hash-checkable across engines (sketch internals
-    differ); the ε-accuracy property |approx-exact|/exact ≤ 3·rsd is
-    asserted in tests/test_properties.py."""
+    count-distinct.
+
+    The sketch estimate itself is engine-specific (register layouts and bias
+    tables differ), so the raw number can never hash-match DuckDB. What IS
+    cross-engine checkable is the accuracy CONTRACT: HLL++ registers merge
+    by max, making the estimate a deterministic function of the data (not of
+    partitioning or order), so |approx−exact| ≤ 3·rsd·exact is a stable
+    boolean. The query emits the exact count (the correctness-tier yardstick;
+    at 100 TB you would drop it and keep only the sketch) plus the certified
+    tolerance flag the oracle pins to TRUE — the ε-accuracy property test
+    promoted into the driver-visible hash check."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.06 * F.col("exact_users")
+            ).alias("within_3rsd"),
+        )
         .orderBy("event_type")
     )
 
