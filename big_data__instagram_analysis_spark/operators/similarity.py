@@ -23,6 +23,7 @@ rounding can never change which rows survive chunk pruning.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -35,9 +36,46 @@ from pyspark.sql import functions as F
 #: top-k contender during chunk pruning.
 ROUND_MARGIN = 1e-5
 
+#: Enforced ceiling on the driver-materialized broadcast matrix (float64
+#: bytes). The brute-force operators' contract is "one side fits in executor
+#: memory"; past this, use the sub-quadratic paths instead
+#: (``ann_lsh_bucketed`` / ``ann_ivf_probe`` in queries/llm_similarity.py).
+#: Overridable for larger driver/executor heaps. Checked after the collect
+#: (no extra Spark jobs on the hot path — ``spark.driver.maxResultSize``
+#: already bounds the collect itself with a clear error).
+BROADCAST_MATRIX_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_MATRIX_MAX_BYTES", 2 << 30)
+)
+
 
 def _to_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+
+
+def _broadcast_normalized(
+    df: DataFrame, spark: SparkSession, id_col: str, vec_col: str, *, caller: str
+):
+    """Materialize (ids, row-normalized float64 matrix) and broadcast it.
+
+    Enforces BROADCAST_MATRIX_MAX_BYTES — the documented "one side fits"
+    memory contract — with an error that names the sub-quadratic
+    alternatives, instead of letting a 100 TB misuse OOM an executor.
+    """
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    mat = _to_matrix(pdf, vec_col)
+    if mat.nbytes > BROADCAST_MATRIX_MAX_BYTES:
+        raise ValueError(
+            f"{caller}: broadcast side is {mat.nbytes / 2**30:.2f} GiB of "
+            f"float64 ({mat.shape[0]} vectors × dim {mat.shape[1]}), above "
+            f"the {BROADCAST_MATRIX_MAX_BYTES / 2**30:.2f} GiB brute-force "
+            "contract. Use the sub-quadratic paths (ann_lsh_bucketed / "
+            "ann_ivf_probe, queries/llm_similarity.py) or raise "
+            "SPARK_GRAFT_BROADCAST_MATRIX_MAX_BYTES if your executors can "
+            "hold it."
+        )
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return spark.sparkContext.broadcast((ids, normed))
 
 
 def cosine_topk_allpairs(
@@ -56,11 +94,7 @@ def cosine_topk_allpairs(
     mapInPandas in Arrow batches. Emits (vec_a, vec_b, sim) with sim rounded
     via Spark's ROUND so the oracle comparison shares rounding semantics.
     """
-    b_pdf = emb.select(id_col, vec_col).toPandas()
-    b_ids = b_pdf[id_col].to_numpy().astype(np.int64)
-    b_mat = _to_matrix(b_pdf, vec_col)
-    b_norm = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((b_ids, b_norm))
+    bc = _broadcast_normalized(emb, spark, id_col, vec_col, caller="cosine_topk_allpairs")
 
     out_schema = "vec_a long, vec_b long, sim double"
 
@@ -116,11 +150,7 @@ def cosine_topk_queries(
     Broadcast the query matrix; stream the corpus; per-task top-k per query;
     global rank window cuts to k. Output (query_id, neighbor_id, sim, rank).
     """
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    q_ids = q_pdf[id_col].to_numpy().astype(np.int64)
-    q_mat = _to_matrix(q_pdf, vec_col)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+    bc = _broadcast_normalized(queries, spark, id_col, vec_col, caller="cosine_topk_queries")
 
     out_schema = "query_id long, neighbor_id long, sim double"
 
@@ -200,11 +230,7 @@ def cosine_threshold_pairs(
          DuckDB oracle's sequential list_sum, while the heavy math stayed in
          numpy. The margin guarantees no true pair is lost in phase 1.
     """
-    b_pdf = emb.select(id_col, vec_col).toPandas()
-    b_ids = b_pdf[id_col].to_numpy().astype(np.int64)
-    b_mat = _to_matrix(b_pdf, vec_col)
-    b_norm = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((b_ids, b_norm))
+    bc = _broadcast_normalized(emb, spark, id_col, vec_col, caller="cosine_threshold_pairs")
     cut = threshold - ROUND_MARGIN
 
     def chunk_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

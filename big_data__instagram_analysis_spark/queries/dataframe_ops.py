@@ -206,22 +206,59 @@ def union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("freq_items_segment", category="A4,E42")
+@query(
+    "freq_items_segment",
+    category="A4,E42",
+    oracle="""
+WITH counts AS (
+  SELECT c_mktsegment AS seg, count(*) AS cnt
+  FROM customer GROUP BY c_mktsegment
+), tot AS (
+  SELECT sum(cnt) AS t FROM counts
+), freq AS (
+  SELECT seg FROM counts, tot WHERE cnt * 1.0 / t > 0.15
+)
+SELECT array_to_string(list_sort(list(seg)), ',') AS frequent_csv,
+       TRUE AS all_frequent_in_candidates
+FROM freq
+""",
+)
 def freq_items_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.stat.freqItems: one-pass heavy-hitter candidates (Karp et al.
-    space-saving variant) for the market-segment column.
+    space-saving variant) for the market-segment column, CERTIFIED against
+    the exact frequent set.
 
-    The guarantee is one-sided — every item above the support threshold is
-    PRESENT, but false positives are allowed — which is why this is
-    rows-only: the candidate set's exact membership is implementation-
-    defined. tests/test_scale_ops.py asserts the one-sided guarantee
-    against exact counts. The scale case: finding hot keys (for E5's
-    salted join) without a full groupBy.
+    freqItems' guarantee is one-sided — every item with frequency > support
+    is PRESENT in the candidates, false positives allowed — so the raw
+    candidate set is implementation-defined and not hash-checkable. The
+    certified form (same pattern as approx_count_distinct): compute the
+    EXACT frequent set with a groupBy (exactly what freqItems avoids at
+    scale — fine to pay in a checked query), emit it sorted as a csv
+    string, plus ``all_frequent_in_candidates`` — the one-sided guarantee
+    evaluated in-plan via an ``exists`` over the exact set against the
+    candidate array — which the oracle pins TRUE. A hash match certifies
+    both the exact frequent membership and the sketch's guarantee.
+    tests/test_scale_ops.py asserts the same guarantee property. The scale
+    case for freqItems itself: finding hot keys (for E5's salted join)
+    without a full groupBy.
     """
     c = load(spark, sf_dir, "customer")
     freq = c.stat.freqItems(["c_mktsegment"], support=0.15)
-    return freq.select(
-        F.array_sort(F.col("c_mktsegment_freqItems")).alias("candidates")
+    counts = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    frequent = (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") > 0.15 * F.col("t"))
+        .agg(F.sort_array(F.collect_list("seg")).alias("frequent"))
+    )
+    return frequent.crossJoin(F.broadcast(freq)).select(
+        F.concat_ws(",", "frequent").alias("frequent_csv"),
+        F.forall(
+            "frequent",
+            lambda s: F.array_contains(F.col("c_mktsegment_freqItems"), s),
+        ).alias("all_frequent_in_candidates"),
     )
 
 

@@ -1,6 +1,7 @@
 """Dedup queries (SURVEY.md §2.10 L1, L2 + mandated variants: SimHash,
-n-gram Jaccard, embedding-cosine near-dup). MinHash-LSH (seed/hash-bucket
-dependent) is rows-only checked here, property-tested in tests/."""
+n-gram Jaccard, embedding-cosine near-dup). MinHash-LSH is hash-checked via
+the certified-exact-Jaccard pattern (see its docstring) and additionally
+property-tested in tests/test_properties.py."""
 
 from __future__ import annotations
 
@@ -148,13 +149,58 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(sh, max_hamming=3)
 
 
-@query("minhash_lsh_neardup", category="L2")  # rows-only: MinHash seeds are engine-specific
+@query(
+    "minhash_lsh_neardup",
+    category="L2",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (x.n_sh + y.n_sh - shared), 6) AS jaccard,
+       TRUE AS lsh_found
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
+""",
+)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates via pyspark.ml (shingle → HashingTF →
-    MinHashLSH.approxSimilarityJoin). The scale path for Jaccard dedup; not
-    hash-checkable (hash seeds engine-internal), so rows-only here and the
-    'every reported pair really exceeds the Jaccard threshold' property is
-    asserted against exact Jaccard in tests/test_properties.py."""
+    """MinHash-LSH near-dup pairs via pyspark.ml (shingle → HashingTF →
+    MinHashLSH.approxSimilarityJoin), CERTIFIED against exact Jaccard.
+
+    The scale path for Jaccard dedup: LSH banding makes candidate generation
+    sub-quadratic (only bucket-collision pairs meet). Raw LSH output is not
+    hash-checkable (hash seeds engine-internal), so this query applies the
+    same certified-tolerance pattern that fixed approx_count_distinct
+    (aggregates.py): the LSH candidates are joined back to their true
+    shingle sets and the EXACT Jaccard (array_intersect/array_union — pure
+    set math, engine-portable) is emitted per pair with a pinned
+    ``lsh_found`` flag; the oracle recomputes the exact ≥0.5 pair set in
+    SQL. A hash match therefore certifies BOTH precision (every emitted
+    pair truly ≥ threshold — the exact filter guarantees it) and recall
+    (LSH found every true pair; a miss would drop a row and fail
+    rows_match). Candidate generation uses a slack distance threshold
+    (est-dist < 0.55, i.e. est-sim > 0.45) so boundary pairs at exactly
+    0.5 and HashingTF-collision jitter can't cost recall; the exact filter
+    restores the tight ≥0.5 semantics.
+
+    Sampling/recall statistics are additionally property-tested in
+    tests/test_properties.py against ngram_jaccard_pairs ground truth.
+    """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from ..operators.dedup import token_shingles
@@ -169,13 +215,26 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    # Slack threshold on the (feature-index) Jaccard distance: keep anything
+    # with est-dist < 0.55 so exact-0.5 pairs survive candidate generation.
+    cand = model.approxSimilarityJoin(tf, tf, 0.55, distCol="jaccard_dist")
+    pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.col("datasetA.shingles").alias("sh_a"),
+        F.col("datasetB.shingles").alias("sh_b"),
+    )
+    exact_jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        pairs.select("doc_a", "doc_b", exact_jac.alias("jac"))
+        .where(F.col("jac") >= 0.5)
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+            "doc_a",
+            "doc_b",
+            F.round("jac", 6).alias("jaccard"),
+            F.lit(True).alias("lsh_found"),
         )
         .orderBy("doc_a", "doc_b")
     )

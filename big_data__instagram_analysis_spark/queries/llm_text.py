@@ -392,7 +392,7 @@ def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pii_redaction",
     category="L8,E46",
-    oracle="""
+    oracle=r"""
 WITH synth AS (
   SELECT doc_id,
          text || ' contact: user' || CAST(doc_id AS VARCHAR)

@@ -167,3 +167,18 @@ def test_sessionize_differential_fuzz(spark):
         assert [(r["n"], r["lo"], r["hi"]) for r in got] == reference(ts_list)
 
     run()
+
+
+def test_broadcast_matrix_guard_rejects_oversized_side(spark, sf_dir, monkeypatch):
+    """The brute-force cosine operators enforce their 'one side fits' memory
+    contract: past BROADCAST_MATRIX_MAX_BYTES they must fail fast with an
+    error naming the sub-quadratic alternatives, not OOM an executor."""
+    import pytest
+
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "BROADCAST_MATRIX_MAX_BYTES", 64)
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="ann_lsh_bucketed"):
+        similarity.cosine_topk_allpairs(emb, spark, k=3)

@@ -216,19 +216,25 @@ def test_pq_codes_cover_all_vectors(spark, sf_dir):
 
 def test_freq_items_one_sided_guarantee(spark, sf_dir):
     """Every segment truly above the support threshold must appear in the
-    candidate set (false positives allowed, false negatives not)."""
+    freqItems candidate set (false positives allowed, false negatives not),
+    and the certified query must report exactly the truly-frequent set with
+    its containment flag TRUE."""
     c = load(spark, sf_dir, "customer")
     n = c.count()
     counts = {
         r["c_mktsegment"]: r["cnt"]
         for r in c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    exact_frequent = sorted(s for s, cnt in counts.items() if cnt / n > 0.15)
     cands = set(
-        get_specs()["freq_items_segment"].fn(spark, sf_dir).collect()[0]["candidates"]
+        c.stat.freqItems(["c_mktsegment"], support=0.15)
+        .collect()[0]["c_mktsegment_freqItems"]
     )
-    for seg, cnt in counts.items():
-        if cnt / n > 0.15:
-            assert seg in cands, (seg, cnt / n, cands)
+    for seg in exact_frequent:
+        assert seg in cands, (seg, counts[seg] / n, cands)
+    row = get_specs()["freq_items_segment"].fn(spark, sf_dir).collect()[0]
+    assert row["all_frequent_in_candidates"] is True
+    assert row["frequent_csv"] == ",".join(exact_frequent)
 
 
 def test_scd2_history_invariants(spark, sf_dir):

@@ -42,6 +42,9 @@ def main() -> None:
         print(f"  {name}: {cols}")
     if not bad_sql:
         print("OK: no SQL-checked query emits complex columns")
+    else:
+        # Nonzero exit so this can gate CI, not just inform.
+        sys.exit(1)
 
 
 if __name__ == "__main__":
