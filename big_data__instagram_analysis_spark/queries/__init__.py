@@ -20,6 +20,7 @@ Module ↔ SURVEY.md §2 section map:
 # Explicit imports — a module that fails to import must fail LOUDLY here,
 # not silently drop its queries from the driver contract.
 from . import (  # noqa: F401
+    advanced,
     aggregates,
     bucketing,
     core,

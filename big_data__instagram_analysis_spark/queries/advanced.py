@@ -1,0 +1,388 @@
+"""Advanced analytics extensions E83–E88 (SURVEY.md §2.12, round 3).
+
+Six operators a log-analytics / training-data platform needs that the base
+§2 inventory doesn't cover: Pareto frontiers, fixed-point time decay,
+mergeable-sketch rollups, graph triangle statistics, certified approximate
+quantiles, and fixed-bin histograms. Every query follows the §5.4 parity
+rules (identical aliases both sides, ROUND on floats, BIGINT casts in
+DuckDB) and each docstring states the 100 TB plan shape.
+
+No reference citations are possible: /root/reference/ is empty (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "skyline_pareto_brand",
+    category="W6,E83",
+    oracle="""
+SELECT p.p_brand, p.p_partkey, round(p.p_retailprice, 2) AS price, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_brand, p.p_partkey
+""",
+)
+def skyline_pareto_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline): parts not dominated on
+    (price low, size high) by any same-brand part.
+
+    The oracle states the textbook NOT-EXISTS form (quadratic — fine for
+    DuckDB at oracle scale). The Spark plan is the distributable 2-D
+    skyline: sort each brand partition by integer-cent price and take two
+    RANGE-frame running maxima of size — over strictly-cheaper rows
+    (frame ... -1) and over cheaper-or-equal rows (frame ... CURRENT,
+    RANGE so price peers share the frame). A row is dominated iff a
+    strictly cheaper part has size ≥ its own, or any cheaper-or-equal
+    part has size strictly greater. One shuffle on p_brand, O(n log n)
+    per partition, no pair join — survives 100 TB where NOT EXISTS is a
+    quadratic cross-partition nightmare. Prices are compared in exact
+    integer cents (fixtures carry 2-decimal prices), so Spark's equality
+    classes match the oracle's raw-double comparisons.
+    """
+    p = load(spark, sf_dir, "part").withColumn(
+        "price_c", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_leq = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dominated = (F.max("p_size").over(w_lt) >= F.col("p_size")) | (
+        F.max("p_size").over(w_leq) > F.col("p_size")
+    )
+    return (
+        p.withColumn("dominated", F.coalesce(dominated, F.lit(False)))
+        .where(~F.col("dominated"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "decayed_engagement_fixedpoint",
+    category="F3,E84",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)
+                * (CAST(1 AS BIGINT) << (30 - (DATE '2024-01-31' - CAST(ts AS DATE)))))
+            AS BIGINT) AS decayed_score
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def decayed_engagement_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user, in exact
+    integer fixed-point: sum(value_cents << (30 − age_days)) at reference
+    day 2024-01-31 — i.e. half-life = 1 day, weights are exact powers of
+    two, all math stays in int64.
+
+    Why fixed-point: float exp/pow decay (`exp(-λΔt)`) is libm-dependent
+    — last-ulp differences between engines break value hashing, and
+    float summation order is nondeterministic on a cluster. Shifted
+    integer weights make the score bit-exact everywhere and
+    map-side-combinable (it's a plain SUM — partial aggregation works,
+    one shuffle of |users| rows). int64 headroom: value_cents ≤ 49,102
+    and the max weight is 2^29, so ~3.5e5 max-valued same-day events per
+    user fit before overflow — beyond that, drop the scale to 2^20.
+    The events loader's µs UTC timestamps make `CAST(ts AS DATE)` agree
+    with Spark's `to_date` on every instant.
+    """
+    e = load(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-01-31").cast("date"), F.to_date("ts"))
+    term = F.round(F.col("value") * 100).cast("long") * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(30 - datediff(DATE'2024-01-31', to_date(ts)) AS INT))"
+    )
+    return (
+        e.select("user_id", age.alias("age"), term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("term").cast("long").alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "hll_sketch_union_rollup",
+    category="A4,E85",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def hll_sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
+    distinct users, OR-merged across days per type, then estimated —
+    certified against the exact distinct count.
+
+    This is THE 100 TB distinct-count pattern: daily partitions each
+    build a fixed-size (kB) Datasketches HLL partial, and any rollup
+    (weekly/monthly/all-time) is a cheap sketch union — no re-scan of
+    raw data, no |users|-sized shuffle, mergeable across both partitions
+    and time. Raw estimates are sketch-seed/impl-specific, so the
+    certified form (approx_count_distinct pattern, aggregates.py) emits
+    the EXACT count plus a pinned boolean asserting the merged estimate
+    landed within 5% relative error (generous vs the ~1.6% rsd of the
+    default lgConfigK=12 sketch; at fixture cardinality the sketch is in
+    exact sparse mode). The oracle recomputes the exact count and pins
+    the flag TRUE — a flipped flag fails the value hash loudly.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(F.broadcast(merged), "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long"),
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "triangle_count_copurchase",
+    category="J10,E86",
+    oracle="""
+WITH uh AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT a.u AS ua, b.u AS ub
+  FROM uh a JOIN uh b ON a.h = b.h AND a.u < b.u
+  GROUP BY a.u, b.u
+  HAVING count(*) >= 3
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT ua AS v FROM e UNION ALL SELECT ub FROM e
+  ) GROUP BY v
+), tri AS (
+  SELECT count(*) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.ub = e2.ua JOIN e e3
+    ON e3.ua = e1.ua AND e3.ub = e2.ub
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST(n_tri AS BIGINT) AS n_triangles,
+       round(CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                  THEN 3.0 * n_tri / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                  ELSE 0 END, 6) AS global_clustering
+FROM tri
+""",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph (edge = two users purchasing in ≥3 common hours).
+
+    Graph triangle counting via the ordered-edge join: every edge is
+    stored once as (ua < ub), so a triangle a<b<c is found exactly once
+    by e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — no /6 dedup, and the join
+    fan-out is bounded by out-degree under the ordering (the standard
+    arboricity-bounded scheme; orienting by degree instead of id is the
+    skew refinement at 100 TB). Edge generation is itself key-bucketed:
+    users only meet through a shared hour bucket, and the ≥3-common-hours
+    threshold keeps the graph sparse (measured: 2,275 edges / 1,500
+    users at sf0.1). Wedges come from a |V|-row degree aggregate —
+    clustering = 3·triangles/wedges. Single-row output, exact integers.
+    """
+    e = load(spark, sf_dir, "events")
+    uh = (
+        e.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("u"), F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    a, b = uh.alias("a"), uh.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 3)
+        .select("ua", "ub")
+    )
+    edges = edges.localCheckpoint()  # reused 5×: edge gen runs once, not per branch
+    deg = (
+        edges.select(F.col("ua").alias("v"))
+        .unionAll(edges.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
+        .join(
+            e3,
+            (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_edges").cast("long"),
+            F.col("n_wedges").cast("long"),
+            F.col("n_triangles").cast("long"),
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "approx_median_certified",
+    category="A7,E87",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       TRUE AS approx_within_rank_bound
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def approx_median_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL/GK-style mergeable quantile sketch) per
+    priority, certified by rank error against the exact median.
+
+    At 100 TB the exact median needs a full sort or a |distinct-values|
+    shuffle; percentile_approx builds fixed-size mergeable summaries
+    with the guarantee |rank(answer) − 0.5·n| ≤ n/accuracy. The
+    certification evaluates that guarantee in-plan: join the per-group
+    approx value back to orders (broadcast — 5 rows), count rows ≤
+    approx (its actual rank), and emit a pinned boolean. Checked output
+    carries the EXACT interpolated median (both engines do linear
+    interpolation; rounded 2) — the sketch value itself is
+    impl-specific and stays internal, exactly like the HLL/MinHash
+    certifications. Two scans + one broadcast join; both aggs are
+    partial-agg friendly.
+    """
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("approx"), 1).otherwise(0)
+            ).alias("rank_of_approx"),
+            F.first("n").alias("n"),
+            F.first("exact_median").alias("exact_median"),
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.col("n").cast("long"),
+        F.round("exact_median", 2).alias("median_price"),
+        (
+            F.abs(F.col("rank_of_approx") - 0.5 * F.col("n"))
+            <= F.col("n") / 1000.0 + 1
+        ).alias("approx_within_rank_bound"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "histogram_fixed_bins",
+    category="A1,E88",
+    oracle="""
+WITH binned AS (
+  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin
+  FROM orders
+), tot AS (
+  SELECT count(*) AS t FROM binned
+)
+SELECT bin,
+       CAST(bin * 50000 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) * 100.0 / max(t), 6) AS pct
+FROM binned, tot
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of order totals: 10 bins of width 50k with a
+    clamped top bin.
+
+    Fixed bounds (vs data-driven min/max) make the histogram one-pass
+    and mergeable — every partition bins locally and the shuffle carries
+    ≤10 rows per partition (map-side partial agg), the way a 100 TB
+    profiling pass must work. Equal-depth variants need the quantile
+    sketch (see approx_median_certified); equal-width needs nothing but
+    a floor-divide. Shares are computed against a broadcast 1-row total,
+    not a single-partition window.
+    """
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("bin") * 50000).cast("long").alias("bin_lo"),
+            F.col("cnt").cast("long"),
+            F.round(F.col("cnt") * 100.0 / F.col("t"), 6).alias("pct"),
+        )
+        .orderBy("bin")
+    )

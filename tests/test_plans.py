@@ -177,3 +177,32 @@ def test_sql_join_hints_steer_strategy(spark, sf_dir):
            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bcast_plan, bcast_plan[:1200]
+
+
+def test_skyline_is_window_not_join(spark, sf_dir):
+    """The per-brand skyline must plan as a partitioned sort + window pass —
+    never a pair join (the NOT-EXISTS oracle form is quadratic and would
+    show up as a nested-loop or cartesian join)."""
+    plan = _plan(spark, sf_dir, "skyline_pareto_brand")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_partial_aggregates_before_shuffle(spark, sf_dir):
+    """Fixed-bin histogram must map-side combine (≤10 rows cross the wire
+    per partition) and take its total from a broadcast, not a
+    single-partition window."""
+    plan = _plan(spark, sf_dir, "histogram_fixed_bins")
+    assert "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_decayed_score_single_shuffle(spark, sf_dir):
+    """The fixed-point decay score is a plain SUM: one hash aggregate pair
+    (partial + final), no join, no window."""
+    plan = _plan(spark, sf_dir, "decayed_engagement_fixedpoint")
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
