@@ -386,3 +386,199 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "grouped_ols_regression",
+    category="A8,E89",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) with the
+    SQL-standard REGR_* aggregates.
+
+    Grouped OLS is the profiling/feature-engineering workhorse
+    (elasticities, trend slopes per segment). The REGR_* family reduces
+    to five streaming sums (n, Σx, Σy, Σxy, Σx²) — map-side combinable,
+    one shuffle of |groups| rows, no second pass — which is why it
+    scales where a per-group collect-and-fit UDF would not. Both engines
+    implement the same closed forms; output is rounded (slope/intercept
+    4, r2 6) to absorb last-ulp float-sum ordering differences.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "editdist1_name_pairs",
+    category="L2,E90",
+    oracle="""
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY part_a, part_b
+""",
+)
+def editdist1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs (Levenshtein ≤ 1) via deletion-
+    neighborhood candidate generation — the sub-quadratic form of
+    fuzzy string dedup.
+
+    The oracle is the quadratic scan (levenshtein on every pair — fine
+    at oracle scale, impossible at 100 TB). The Spark plan uses the
+    deletion-neighborhood property: two strings within edit distance 1
+    (insert/delete/substitute) always share at least one member of the
+    set {s} ∪ {s minus one char}. Explode each name into its ≤|s|+1
+    variants, equi-join on the variant (candidates meet only inside a
+    variant bucket), dedup candidate pairs, then confirm with one exact
+    levenshtein per candidate. Cost: O(n·L) generated rows and
+    per-bucket joins instead of O(n²) distance calls.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    variants = F.array_union(
+        F.array(F.col("p_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("p_name")),
+            lambda i: F.concat(
+                F.substring(F.col("p_name"), F.lit(1), i - 1),
+                F.col("p_name").substr(i + 1, F.length("p_name")),
+            ),
+        ),
+    )
+    ex = p.select("p_partkey", "p_name", F.explode(variants).alias("v"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.where(dist <= 1)
+        .select("part_a", "part_b", dist.cast("int").alias("dist"))
+        .orderBy("part_a", "part_b")
+    )
+
+
+@query(
+    "dataset_mixture_quota",
+    category="P6,E91",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM ranked
+WHERE rn <= CASE lang WHEN 'en' THEN 100 ELSE 40 END
+ORDER BY lang, rn
+""",
+)
+def dataset_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing: cap each language at a target quota
+    (en 100, others 40), selecting by a content-independent md5 order.
+
+    The LLM-pretraining mixture step: rebalance an en-heavy corpus to
+    target proportions WITHOUT an RNG (engine RNGs don't replay across
+    engines or runs — md5-of-id gives a stable, uniform, seedless
+    shuffle both engines compute identically). Plan: one shuffle on
+    lang, per-partition rank, quota filter. The per-lang quota is a
+    data-dependent rank bound, which Spark's WindowGroupLimit rule
+    cannot push — so the filter is split: a LITERAL bound at the max
+    quota (rn ≤ 100, pushable — only 100+ε rows per lang survive the
+    sort buffer) plus the residual per-lang predicate on the survivors.
+    At 100 TB the same query runs per (lang, shard) with per-shard
+    quotas to avoid one giant lang partition: same plan, one more key.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = F.when(F.col("lang") == "en", 100).otherwise(40)
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") <= 100) & (F.col("rn") <= quota))
+        .select("doc_id", "lang", F.col("rn").cast("long"))
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "modal_event_type_per_user",
+    category="A6,E92",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY cnt DESC, event_type
+         ) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS n_modal
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per key: each user's most frequent event type,
+    ties broken alphabetically for determinism.
+
+    Mode is not algebraic (no bounded partial state for arbitrary
+    domains), but for a SMALL per-key domain (5 event types) the exact
+    two-phase form scales: count per (user, type) — partial-agg
+    combinable — then a top-1 window over ≤5 rows per user, which Spark
+    executes with WindowGroupLimit pushdown. The deterministic tiebreak
+    is what makes the result hash-checkable; a bare max_by would return
+    an arbitrary tied winner per engine.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.select(
+            "user_id", "event_type", "cnt", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("cnt").cast("long").alias("n_modal"),
+        )
+        .orderBy("user_id")
+    )

@@ -206,3 +206,20 @@ def test_decayed_score_single_shuffle(spark, sf_dir):
     assert "partial_sum" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_editdist_pairs_equi_join_not_cartesian(spark, sf_dir):
+    """Deletion-neighborhood fuzzy matching must plan as an equi-join on
+    the variant key — an all-pairs levenshtein (what the oracle does)
+    would appear as a cartesian/NLJ and cannot scale."""
+    plan = _plan(spark, sf_dir, "editdist1_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_quota_uses_window_group_limit(spark, sf_dir):
+    """Quota selection is a rank predicate — Spark should push it into the
+    window sort buffer (WindowGroupLimit) so only ~quota rows per lang
+    survive, instead of ranking every row."""
+    plan = _plan(spark, sf_dir, "dataset_mixture_quota")
+    assert "WindowGroupLimit" in plan
