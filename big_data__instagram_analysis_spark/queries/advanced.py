@@ -55,21 +55,8 @@ def skyline_pareto_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").withColumn(
         "price_c", F.round(F.col("p_retailprice") * 100).cast("long")
     )
-    w_lt = (
-        Window.partitionBy("p_brand")
-        .orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_leq = (
-        Window.partitionBy("p_brand")
-        .orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dominated = (F.max("p_size").over(w_lt) >= F.col("p_size")) | (
-        F.max("p_size").over(w_leq) > F.col("p_size")
-    )
     return (
-        p.withColumn("dominated", F.coalesce(dominated, F.lit(False)))
+        mark_pareto_dominated(p, group_col="p_brand", min_col="price_c", max_col="p_size")
         .where(~F.col("dominated"))
         .select(
             "p_brand",
@@ -79,6 +66,35 @@ def skyline_pareto_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "p_partkey")
     )
+
+
+def mark_pareto_dominated(
+    df: DataFrame, *, group_col: str, min_col: str, max_col: str
+) -> DataFrame:
+    """Append a boolean ``dominated`` column: row r is dominated iff some
+    same-group row has (min_col ≤, max_col ≥) with one strict.
+
+    Distributable 2-D skyline core (shared by skyline_pareto_brand and the
+    differential fuzz in tests/test_properties.py): one sort per group
+    partition, two RANGE-frame running maxima — over strictly-smaller
+    min_col rows and over smaller-or-equal rows (RANGE, so min_col peers
+    share a frame) — no pair join. min_col must be integer-typed (RANGE
+    frame offsets are exact only for integers; use cents for money).
+    """
+    w_lt = (
+        Window.partitionBy(group_col)
+        .orderBy(min_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_leq = (
+        Window.partitionBy(group_col)
+        .orderBy(min_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dominated = (F.max(max_col).over(w_lt) >= F.col(max_col)) | (
+        F.max(max_col).over(w_leq) > F.col(max_col)
+    )
+    return df.withColumn("dominated", F.coalesce(dominated, F.lit(False)))
 
 
 @query(

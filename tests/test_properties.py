@@ -98,3 +98,45 @@ def test_bernoulli_seed_sensitivity(spark, sf_dir):
     a = sorted(key(r) for r in li.sample(fraction=0.1, seed=42).collect())
     b = sorted(key(r) for r in li.sample(fraction=0.1, seed=43).collect())
     assert a != b
+
+
+# ------------------------------------------------------------------- skyline
+
+
+def test_skyline_window_matches_bruteforce_fuzz(spark):
+    """Differential fuzz of the window-based 2-D skyline against the
+    obviously-correct quadratic definition, biased toward ties (small
+    value domains) — the spot where RANGE-frame peer semantics and the
+    strict/non-strict domination split can silently go wrong."""
+    import random
+
+    from big_data__instagram_analysis_spark.queries.advanced import (
+        mark_pareto_dominated,
+    )
+
+    rng = random.Random(7)
+    for trial in range(8):
+        n = rng.randint(1, 40)
+        rows = [
+            (i, rng.choice("AB"), rng.randint(0, 5), rng.randint(0, 5))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, grp string, price long, size long")
+        got = {
+            r["id"]
+            for r in mark_pareto_dominated(
+                df, group_col="grp", min_col="price", max_col="size"
+            )
+            .where(~F.col("dominated"))
+            .collect()
+        }
+        want = {
+            i
+            for (i, g, p, s) in rows
+            if not any(
+                g2 == g and p2 <= p and s2 >= s and (p2 < p or s2 > s)
+                for (i2, g2, p2, s2) in rows
+                if i2 != i
+            )
+        }
+        assert got == want, (trial, sorted(got ^ want), rows)
