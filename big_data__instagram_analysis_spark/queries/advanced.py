@@ -1,11 +1,14 @@
-"""Advanced analytics extensions E83–E88 (SURVEY.md §2.12, round 3).
+"""Advanced analytics extensions E83–E96 (SURVEY.md §2.12, round 3).
 
-Six operators a log-analytics / training-data platform needs that the base
-§2 inventory doesn't cover: Pareto frontiers, fixed-point time decay,
+Operators a log-analytics / training-data platform needs that the base §2
+inventory doesn't cover: Pareto frontiers, fixed-point time decay,
 mergeable-sketch rollups, graph triangle statistics, certified approximate
-quantiles, and fixed-bin histograms. Every query follows the §5.4 parity
-rules (identical aliases both sides, ROUND on floats, BIGINT casts in
-DuckDB) and each docstring states the 100 TB plan shape.
+quantiles, fixed-bin histograms, grouped OLS regression, edit-distance
+dedup, dataset mixture quotas, per-key mode, lateral joins, and the
+PySpark-4 Python boundaries (Arrow-optimized UDF, mapInArrow) plus ntile.
+Every query follows the §5.4 parity rules (identical aliases both sides,
+ROUND on floats, BIGINT casts in DuckDB) and each docstring states the
+100 TB plan shape.
 
 No reference citations are possible: /root/reference/ is empty (SURVEY §0).
 """
@@ -597,4 +600,208 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n_modal"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "lateral_top3_orders",
+    category="J6,E93",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price, t.rnk
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.rnk
+""",
+)
+def lateral_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each BUILDING customer's top-3 orders by
+    price — the per-row-subquery API (PySpark 4 DataFrame.lateralJoin).
+
+    Lateral joins are the declarative form of "for each outer row, run
+    this parameterized query". Catalyst DECORRELATES the subquery: the
+    plan rewrites to a join + per-key window rank (visible in explain —
+    no per-row re-execution), so it scales exactly like the equivalent
+    window top-k (W2) while keeping the per-row formulation users write.
+    The segment filter is pushed to the outer scan; tiebreaks are pinned
+    (price desc, orderkey) for hash determinism.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_lat_orders")
+    c.where(F.col("c_mktsegment") == "BUILDING").createOrReplaceTempView(
+        "_lat_cust"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price, t.rnk
+        FROM _lat_cust c, LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        ORDER BY c.c_custkey, t.rnk
+        """
+    )
+
+
+@query(
+    "arrow_udf_fee_tier",
+    category="U1,E94",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS fee_tier,
+       round(o_totalprice * CASE WHEN o_totalprice >= 300000 THEN 0.01
+                                 WHEN o_totalprice >= 100000 THEN 0.02
+                                 ELSE 0.03 END, 4) AS fee
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def arrow_udf_fee_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (useArrow=True): tiered fee
+    calculation — same logic the oracle states as a CASE expression.
+
+    The declared point is the API surface: `udf(..., useArrow=True)`
+    replaces pickled Row-at-a-time serialization with Arrow batch
+    transfer — same row-wise Python semantics, a large constant-factor
+    win, no pandas dependency in the UDF body (contrast U2's pandas
+    UDF, which is vectorized end-to-end). Still Python-side: for a pure
+    arithmetic CASE like this the built-in expression (the oracle's
+    form) is the production answer; this query exists to declare and
+    test the Arrow UDF path.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(returnType=DoubleType(), useArrow=True)
+    def fee(total: float) -> float:
+        # No rounding inside the UDF, and ROUND to 4 (not 2) outside: the
+        # true products of 2-decimal totals and cent rates carry exactly
+        # ≤4 decimals, so a 4-decimal round never sits on a half-way
+        # boundary — while round-to-2 regularly lands on exact half-cents,
+        # where Python (half-even), Spark (BigDecimal half-up) and DuckDB
+        # (x*100 nearbyint) each break ties differently.
+        rate = 0.01 if total >= 300000 else (0.02 if total >= 100000 else 0.03)
+        return total * rate
+
+    o = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            tier.alias("fee_tier"),
+            F.round(fee(F.col("o_totalprice")), 4).alias("fee"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "mapinarrow_value_flags",
+    category="U2,E95",
+    oracle="""
+SELECT event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       (value >= 250) AS is_high
+FROM events
+ORDER BY event_id
+""",
+)
+def mapinarrow_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: per-RecordBatch transform at the lowest-overhead
+    Python boundary — no pandas materialization, zero-copy Arrow in and
+    out (pyarrow.compute kernels).
+
+    Where mapInPandas pays the Arrow→pandas→Arrow conversion per batch,
+    mapInArrow hands the raw RecordBatch to Python — the right extension
+    point for columnar libraries (pyarrow.compute, numpy via
+    zero-copy buffers, polars). The computation (integer cents + a
+    threshold flag) is chosen to be bit-exact vs SQL so the boundary
+    itself is what's being verified.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flags(batches):
+        for batch in batches:
+            value = batch.column("value")
+            cents = pc.cast(pc.round(pc.multiply(value, 100.0)), pa.int64())
+            high = pc.greater_equal(value, 250.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), cents, high],
+                ["event_id", "value_cents", "is_high"],
+            )
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "value")
+        .mapInArrow(flags, "event_id long, value_cents long, is_high boolean")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ntile_spend_quartiles",
+    category="W1,E96",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, total_spend,
+         ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(total_spend), 2) AS quartile_spend
+FROM tiled
+GROUP BY quartile
+ORDER BY quartile
+""",
+)
+def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ntile(4) + per-quartile rollup (the
+    "what share of revenue does the top quartile drive" report).
+
+    ntile assigns bucket = floor(rank·k/n) boundaries deterministically
+    given a TOTAL order — the pinned (spend desc, custkey) tiebreak is
+    what makes the result portable; ntile over a partial order is
+    engine-defined at ties. The ranking window is global by design
+    (quartiles of the whole customer base): at 100 TB this becomes a
+    two-pass rank — distributed sort for rank, broadcast n — or,
+    pragmatically, the quantile-sketch cut points (E87) which avoid the
+    global sort entirely; the fixture-scale plan keeps the exact window
+    since |customers| after the pre-agg is the small side.
+    """
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(F.sum("total_spend"), 2).alias("quartile_spend"),
+        )
+        .orderBy("quartile")
     )
