@@ -805,3 +805,113 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "sql_udf_tiered_discount",
+    category="U1,E97",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - least(l_discount * 2, 0.1))), 2)
+         AS discounted_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_udf_tiered_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr): a
+    doubled-but-capped discount policy applied in aggregate.
+
+    Unlike Python UDFs, a SQL UDF is INLINED by Catalyst at analysis
+    time — the body participates in constant folding, codegen, and
+    pushdown exactly like a hand-written expression, so it costs nothing
+    at any scale while giving users a named, reusable abstraction. The
+    oracle states the inlined form; matching hashes prove the inlining
+    is semantics-preserving.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION tiered_discount(d DOUBLE)
+        RETURNS DOUBLE
+        RETURN least(d * 2, 0.1)
+        """
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * (1 - tiered_discount(l_discount))), 2)
+                 AS discounted_revenue
+        FROM _sqludf_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "bilateral_trade_volume",
+    category="J1,E98",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name
+ORDER BY volume DESC, supp_nation, cust_nation
+LIMIT 20
+""",
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style bilateral volume: revenue flowing between ordered
+    (supplier-nation, customer-nation) pairs — the deepest join tree in
+    the suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ nation).
+
+    The plan property that matters: Catalyst must broadcast BOTH nation
+    aliases and supplier (BROADCAST_DIMS-sized), keep customer on the
+    build side of its join, and leave lineitem⋈orders as the only
+    fact-fact shuffle — i.e. one big-table exchange for a six-table
+    query. The asymmetric pair filter (sn < cn) halves the pair space
+    deterministically instead of double-counting A→B/B→A. Top-20 with a
+    full tiebreak (volume desc, names) for stable LIMIT semantics.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume"),
+        )
+        .orderBy(F.desc("volume"), "supp_nation", "cust_nation")
+        .limit(20)
+    )

@@ -223,3 +223,22 @@ def test_mixture_quota_uses_window_group_limit(spark, sf_dir):
     survive, instead of ranking every row."""
     plan = _plan(spark, sf_dir, "dataset_mixture_quota")
     assert "WindowGroupLimit" in plan
+
+
+def test_bilateral_trade_broadcasts_all_dims(spark, sf_dir):
+    """Six-table Q7-style join: supplier and both nation aliases must be
+    broadcast; no cartesian/NLJ anywhere. The only allowed shuffle joins
+    are lineitem⋈orders(⋈customer) — the fact side."""
+    plan = _plan(spark, sf_dir, "bilateral_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:400]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_udf_is_inlined(spark, sf_dir):
+    """A SQL UDF must vanish at analysis time — the physical plan contains
+    the inlined least() expression, no Python eval operator."""
+    plan = _plan(spark, sf_dir, "sql_udf_tiered_discount")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
