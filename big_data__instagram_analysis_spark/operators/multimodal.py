@@ -12,11 +12,15 @@ n_bytes) JVM-side before any Python worker sees a payload. At 100 TB the
 binary column dominates I/O, so every pipeline here projects metadata first
 and touches ``data`` only inside the final UDF stage.
 
-The actual codec step is STUBBED (this container has no image/audio libs):
-``decode_image``/``decode_audio`` raise ``NotImplementedError``, and the
-tested path uses ``fake_decode_features`` — a deterministic function of the
-byte length — so the Spark-side schema, partitioning, UDF signature, and
-batch shape are real and oracle-checkable even though the codec is fake.
+Codec policy (optional-dependency hooks): ``decode_image`` uses PIL *when
+installed* (import-tried below — absent in this container, so it raises a
+clear ``NotImplementedError``); ``decode_audio`` decodes WAV with the
+stdlib ``wave`` module — genuinely functional here, unit-tested with a
+synthesized in-memory WAV — and points non-WAV formats at soundfile/ffmpeg
+(absent). The oracle-checked queries use ``fake_decode_features`` — a
+deterministic function of the byte length — so the Spark-side schema,
+partitioning, UDF signature, and batch shape are verified independently of
+which codecs the deployment ships.
 """
 
 from __future__ import annotations
@@ -27,20 +31,48 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # optional codec dependency — absent in this container, hot-plugs outside
+    from PIL import Image as _pil_image
+except ImportError:  # pragma: no cover - exercised only where PIL exists
+    _pil_image = None
+
 #: Fake "video" framing: one frame per FRAME_BYTES of payload, sampled every
 #: FRAME_STRIDE frames. Purely length-derived so a SQL oracle can mirror it.
 FRAME_BYTES = 100
 FRAME_STRIDE = 5
 
 
-def decode_image(data: bytes):
-    """Real image decode (PIL/opencv) — unavailable in this container."""
-    raise NotImplementedError("image codecs are not installed; use fake_decode_features")
+def decode_image(data: bytes) -> tuple[int, int, str]:
+    """Decode an image payload → (width, height, mode) via PIL when
+    installed; otherwise a clear error pointing at the tested
+    deterministic fake (this container ships no image codecs)."""
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed; use fake_decode_features"
+        )
+    import io
+
+    with _pil_image.open(io.BytesIO(data)) as im:  # pragma: no cover
+        return im.width, im.height, im.mode
 
 
-def decode_audio(data: bytes):
-    """Real audio decode (soundfile/ffmpeg) — unavailable in this container."""
-    raise NotImplementedError("audio codecs are not installed; use fake_decode_features")
+def decode_audio(data: bytes) -> tuple[int, int, int]:
+    """Decode an audio payload → (n_channels, sample_rate, n_frames).
+
+    WAV decodes with the stdlib ``wave`` module — no external dependency,
+    works in this container (tests/test_hardening.py synthesizes a WAV
+    in memory and round-trips it). Other formats need soundfile/ffmpeg,
+    which are not installed here."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            return w.getnchannels(), w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            f"non-WAV audio needs soundfile/ffmpeg (not installed): {exc}"
+        ) from exc
 
 
 def fake_decode_features(n_bytes: int) -> tuple[int, int]:
