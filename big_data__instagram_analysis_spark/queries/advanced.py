@@ -452,60 +452,74 @@ def grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "editdist1_name_pairs",
     category="L2,E90",
     oracle="""
-SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-FROM part a JOIN part b
-  ON a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 1
-ORDER BY part_a, part_b
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(a.n_parts AS BIGINT) AS n_parts_a,
+       CAST(b.n_parts AS BIGINT) AS n_parts_b
+FROM names a JOIN names b
+  ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+ORDER BY name_a, name_b
 """,
 )
 def editdist1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typo-level near-dup pairs (Levenshtein ≤ 1) via deletion-
-    neighborhood candidate generation — the sub-quadratic form of
-    fuzzy string dedup.
+    """Typo-level near-dup pairs (Levenshtein = 1) over the DISTINCT name
+    universe via deletion-neighborhood candidate generation — the
+    sub-quadratic form of fuzzy string dedup.
 
-    The oracle is the quadratic scan (levenshtein on every pair — fine
-    at oracle scale, impossible at 100 TB). The Spark plan uses the
-    deletion-neighborhood property: two strings within edit distance 1
-    (insert/delete/substitute) always share at least one member of the
-    set {s} ∪ {s minus one char}. Explode each name into its ≤|s|+1
-    variants, equi-join on the variant (candidates meet only inside a
-    variant bucket), dedup candidate pairs, then confirm with one exact
-    levenshtein per candidate. Cost: O(n·L) generated rows and
-    per-bucket joins instead of O(n²) distance calls.
+    Two scale decisions here. (1) Fuzzy-pair DISTINCT VALUES, never raw
+    rows: pairing rows directly multiplies every name pair by the
+    product of its duplicate counts (measured: 38k pairs at sf0.01 →
+    3.9M at sf0.1, pure multiplicity blowup) — exact duplicates belong
+    to L1's hash dedup; the fuzzy layer's output should be bounded by
+    the value universe. Each name carries its multiplicity for the
+    join-back. (2) Candidates via the deletion-neighborhood property:
+    strings within edit distance 1 share a member of {s} ∪ {s minus one
+    char}, so exploding ≤|s|+1 variants and equi-joining on the variant
+    replaces O(n²) levenshtein calls with per-bucket joins + one exact
+    confirm per candidate. The oracle is the quadratic scan over
+    distinct names — tractable there, impossible at 100 TB.
     """
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
     variants = F.array_union(
-        F.array(F.col("p_name")),
+        F.array(F.col("name")),
         F.transform(
-            F.sequence(F.lit(1), F.length("p_name")),
+            F.sequence(F.lit(1), F.length("name")),
             lambda i: F.concat(
-                F.substring(F.col("p_name"), F.lit(1), i - 1),
-                F.col("p_name").substr(i + 1, F.length("p_name")),
+                F.substring(F.col("name"), F.lit(1), i - 1),
+                F.col("name").substr(i + 1, F.length("name")),
             ),
         ),
     )
-    ex = p.select("p_partkey", "p_name", F.explode(variants).alias("v"))
+    ex = names.select("name", "n_parts", F.explode(variants).alias("v"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.name") < F.col("b.name")),
         )
         .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
         )
         .distinct()
     )
-    dist = F.levenshtein("name_a", "name_b")
     return (
-        cand.where(dist <= 1)
-        .select("part_a", "part_b", dist.cast("int").alias("dist"))
-        .orderBy("part_a", "part_b")
+        cand.where(F.levenshtein("name_a", "name_b") == 1)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("n_parts_a").cast("long"),
+            F.col("n_parts_b").cast("long"),
+        )
+        .orderBy("name_a", "name_b")
     )
 
 
@@ -914,4 +928,70 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("volume"), "supp_nation", "cust_nation")
         .limit(20)
+    )
+
+
+@query(
+    "not_in_null_semantics",
+    category="J5,E99",
+    oracle="""
+WITH nullable_keys AS (
+  SELECT CASE WHEN s_acctbal >= 0 THEN s_nationkey END AS k
+  FROM supplier
+  UNION ALL
+  SELECT NULL
+)
+SELECT
+  CAST((SELECT count(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT k FROM nullable_keys)) AS BIGINT)
+    AS n_not_in,
+  CAST((SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nullable_keys nk
+                          WHERE nk.k = c.c_nationkey)) AS BIGINT)
+    AS n_not_exists,
+  CAST((SELECT count(*) FROM nullable_keys WHERE k IS NULL) AS BIGINT)
+    AS n_null_keys
+""",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NULL three-valued-logic trap, demonstrated and
+    hash-verified across both engines.
+
+    `x NOT IN (set containing NULL)` is never TRUE under SQL 3VL (the
+    x <> NULL comparison is UNKNOWN), so the moment one supplier row
+    yields a NULL key the NOT IN count collapses to 0 — while the
+    NOT EXISTS form (null-safe by construction) counts what users
+    actually mean. Both engines must agree on all three numbers; a
+    literal NULL is unioned into the subquery so the trap condition
+    (≥1 NULL) holds at every scale factor (at sf0.001 no supplier has
+    a negative balance), making n_not_in = 0 the semantics, never an
+    empty-data accident. Planner note: Spark executes NOT IN as a
+    null-aware anti join (the reason plain anti joins can't implement
+    NOT IN) and NOT EXISTS as a regular left-anti — the second is the
+    scalable form at 100 TB.
+    """
+    for name, df in (
+        ("_nin_supplier", load(spark, sf_dir, "supplier")),
+        ("_nin_customer", load(spark, sf_dir, "customer")),
+    ):
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH nullable_keys AS (
+          SELECT CASE WHEN s_acctbal >= 0 THEN s_nationkey END AS k
+          FROM _nin_supplier
+          UNION ALL
+          SELECT NULL
+        )
+        SELECT
+          CAST((SELECT count(*) FROM _nin_customer
+                WHERE c_nationkey NOT IN (SELECT k FROM nullable_keys)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT count(*) FROM _nin_customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nullable_keys nk
+                                  WHERE nk.k = c.c_nationkey)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT count(*) FROM nullable_keys WHERE k IS NULL) AS BIGINT)
+            AS n_null_keys
+        """
     )
