@@ -995,3 +995,68 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_null_keys
         """
     )
+
+
+@query(
+    "cogrouped_spend_vs_balance",
+    category="U4,E100",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend,
+       round(any_value(c.c_acctbal), 2) AS acctbal,
+       (coalesce(sum(o.o_totalprice), 0) > any_value(c.c_acctbal) * 10)
+         AS overspent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (groupBy().cogroup(...)): per-customer merge
+    of the customer row with ALL their orders in one pandas function.
+
+    cogroup is the two-sided grouped-map — both inputs shuffle once on
+    the key and arrive as aligned pandas frames per key, the extension
+    point for per-entity reconciliation logic too procedural for a join
+    + agg (sessional merges, per-account ledger replay). Here the body
+    is deliberately join-expressible so DuckDB can state the oracle;
+    rounding happens Spark-side after the UDF (§5.4 discipline). Keys
+    appearing on one side only still produce a group (empty opposite
+    frame) — the LEFT JOIN twin.
+    """
+    import pandas as pd
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def merge(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:  # order-side-only key: not a customer — emit nothing
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        spend = float(orders["o_totalprice"].sum()) if not orders.empty else 0.0
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "n_orders": [len(orders)],
+                "total_spend": [spend],
+                "acctbal": [float(cust["c_acctbal"].iloc[0])],
+            }
+        )
+
+    merged = (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, n_orders long, total_spend double, acctbal double",
+        )
+    )
+    return merged.select(
+        "c_custkey",
+        "n_orders",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round("acctbal", 2).alias("acctbal"),
+        (F.col("total_spend") > F.col("acctbal") * 10).alias("overspent"),
+    ).orderBy("c_custkey")

@@ -541,3 +541,65 @@ def stream_dedup_ttl_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_chained_window_agg",
+    category="X1,X4,X8,E101",
+    oracle="""
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+), ten AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10, event_type,
+         count(*) AS n
+  FROM events GROUP BY w10, event_type
+), hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', w10) AS wh, event_type,
+         max(n) AS max_10min
+  FROM ten GROUP BY wh, event_type
+)
+SELECT strftime(wh, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       CAST(max_10min AS BIGINT) AS max_10min
+FROM hourly, wm
+WHERE wh + INTERVAL 1 HOUR < w
+ORDER BY win_start, event_type
+""",
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming aggregation (two stateful operators in one query,
+    Spark 3.4+): 10-min counts per type → hourly MAX of those counts,
+    both windowed, append mode with a 30-minute watermark.
+
+    The API point: ``window(window_col, '1 hour')`` re-windows the FIRST
+    aggregation's window struct — state for both operators lives in one
+    query's state store, watermark eviction applies to both. Append mode
+    is what makes chaining legal (each closed 10-min window flows
+    downstream exactly once).
+
+    Determinism contract: replay happens as ONE data micro-batch (no
+    maxFilesPerTrigger) + the no-data finalization batch that advances
+    the watermark to max(ts) − 30min and flushes every closed window —
+    so no row is ever late (everything arrived before the watermark
+    first moved) and the sink equals the batch twin filtered to hourly
+    windows with end < final watermark. Chunked replay would drop
+    late-arriving rows for already-closed windows (the fixture's replay
+    files are not time-ordered) — that nondeterministic shape is X4's
+    rows-only territory; this query pins the deterministic one.
+    """
+    s = events_stream(spark, sf_dir)
+    ten = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = ten.groupBy(
+        F.window(F.col("window"), "1 hour").alias("hwin"), "event_type"
+    ).agg(F.max("n").alias("max_10min"))
+    out = hourly.select(
+        _fmt(F.col("hwin.start")).alias("win_start"),
+        "event_type",
+        F.col("max_10min").cast("long").alias("max_10min"),
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "win_start", "event_type"
+    )
