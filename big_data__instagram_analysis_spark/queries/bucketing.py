@@ -48,7 +48,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 @query(
     "bucketed_join_order_totals",
-    category="J1,S7",
+    category="J1,S7,E4",
     oracle="""
 SELECT c.c_mktsegment,
        count(*) AS n_orders,

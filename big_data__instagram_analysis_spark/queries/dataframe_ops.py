@@ -19,7 +19,7 @@ from ..registry import query
 
 @query(
     "pivot_event_type_counts",
-    category="A1,A6",
+    category="A1,A6,E1",
     oracle="""
 SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -59,7 +59,7 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_part_measures",
-    category="P1,F7",
+    category="P1,F7,E2",
     oracle="""
 SELECT p_partkey, measure, round(val, 2) AS val
 FROM (
@@ -95,7 +95,7 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "na_fill_drop_supplier",
-    category="P4,F5",
+    category="P4,F5,E3",
     oracle="""
 WITH flagged AS (
   SELECT s_suppkey, s_nationkey,

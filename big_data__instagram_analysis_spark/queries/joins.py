@@ -256,7 +256,7 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_join_user_segment",
-    category="J1,J9",
+    category="J1,J9,E5",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -242,7 +242,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_cosine_neardup",
-    category="L2,L3",
+    category="L2,L3,E9",
     oracle="""
 WITH p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -77,7 +77,7 @@ def multimodal_pack_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
-    category="L7",
+    category="L7,E10",
     oracle="""
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -103,7 +103,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    category="L7",
+    category="L7,E10",
     oracle=f"""
 WITH n AS (
   SELECT doc_id, strlen(text) // {FRAME_BYTES} AS n_frames

@@ -42,7 +42,7 @@ def _split(emb: DataFrame):
 
 @query(
     "ann_topk_queries",
-    category="L3",
+    category="L3,E6",
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id,
@@ -87,7 +87,7 @@ def ann_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH-bucketed scale path --------------------------------------------------
 
 
-@query("ann_lsh_bucketed", category="L3,L2")
+@query("ann_lsh_bucketed", category="L3,L2,E7")
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs near-neighbor via BucketedRandomProjectionLSH (rows-only).
 
@@ -141,7 +141,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-style coarse-quantization probe --------------------------------------
 
 
-@query("ann_ivf_probe", category="L3")
+@query("ann_ivf_probe", category="L3,E8")
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: route corpus to KMeans cells, probe 3 nearest cells/query.
 

@@ -26,7 +26,7 @@ from ..registry import query
 
 @query(
     "hashtag_top5_per_lang",
-    category="F2,W2,L4",
+    category="F2,W2,L4,E11",
     oracle="""
 WITH tags AS (
   SELECT lang, lower(tag) AS tag
@@ -69,7 +69,7 @@ def hashtag_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_view_purchase",
-    category="A6,F3",
+    category="A6,F3,E11",
     oracle="""
 WITH per_user AS (
   SELECT user_id,
@@ -138,7 +138,7 @@ def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dau_mau_stickiness",
-    category="A3,F3",
+    category="A3,F3,E11",
     oracle="""
 WITH dau AS (
   SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
@@ -188,7 +188,7 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_weekly_retention",
-    category="W4,F3,J1",
+    category="W4,F3,J1,E11",
     oracle="""
 WITH firsts AS (
   SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
@@ -251,7 +251,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "error_rate_daily",
-    category="A6,F3",
+    category="A6,F3,E11",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n_events,
@@ -284,7 +284,7 @@ def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "engagement_rank_by_segment",
-    category="J1,W1,A1",
+    category="J1,W1,A1,E11",
     oracle="""
 WITH per_user AS (
   SELECT e.user_id, c.c_mktsegment AS segment,
