@@ -1060,3 +1060,130 @@ def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("acctbal", 2).alias("acctbal"),
         (F.col("total_spend") > F.col("acctbal") * 10).alias("overspent"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "collated_group_counts",
+    category="F1,E102",
+    oracle="""
+SELECT lower(o_orderpriority) AS priority_ci,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY lower(o_orderpriority)
+ORDER BY priority_ci
+""",
+)
+def collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collation
+    (UTF8_LCASE) — semantically pinned to the lower() oracle twin.
+
+    Collation moves comparison semantics into the TYPE instead of
+    wrapping every expression in lower(): the grouping, joins, and
+    ORDER BY all follow the column's collation with no per-call
+    ceremony, and Catalyst can still hash-partition on the collation
+    key. The oracle states the equivalent lower()-normalized form —
+    hash equality proves the collated GROUP BY produces exactly the
+    case-folded equivalence classes. (Output is re-normalized with
+    lower() for display since the collated group's representative
+    member is otherwise arbitrary.)
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.collate(F.col("o_orderpriority"), "UTF8_LCASE").alias("pr")
+        )
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("pr")).cast("string").alias("priority_ci"),
+            F.col("n").cast("long"),
+        )
+        .orderBy("priority_ci")
+    )
+
+
+@query(
+    "xml_roundtrip_extract",
+    category="F9,E103",
+    oracle="""
+SELECT event_id, event_type AS t, round(value, 2) AS v
+FROM events
+ORDER BY event_id
+LIMIT 1000
+""",
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip: serialize event fields into an XML string, parse it
+    back with Spark 4's native from_xml, emit the parsed fields.
+
+    Covers the XML ingestion surface (from_xml with an explicit schema —
+    the schema_of_xml inference path is a driver-side sampling job,
+    avoided for the same reason as undeclared pivots). The oracle reads
+    the fields directly — hash equality proves serialize→parse is
+    lossless through the struct. Escaping note: event_type values are
+    alphanumeric so no XML entity handling is exercised; payloads with
+    markup need the entity-escape the writer applies. LIMIT with the
+    unique event_id order keeps the checked output bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.round(F.col("value"), 2).cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = e.select(
+        "event_id", F.from_xml(xml, "t STRING, v DOUBLE").alias("p")
+    )
+    return (
+        parsed.select(
+            "event_id",
+            F.col("p.t").alias("t"),
+            F.round(F.col("p.v"), 2).alias("v"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "pandas_api_segment_stats",
+    category="U3,E104",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark API surface (pyspark.pandas): a groupby/agg written
+    in pandas idiom that EXECUTES as distributed Spark plans.
+
+    The point is the API layer: `to_pandas_on_spark()` wraps the
+    DataFrame in the pandas dialect (for teams porting pandas pipelines)
+    while every operation still compiles to Catalyst — no data leaves
+    the cluster, unlike a real `.toPandas()`. The distributed-sequence
+    default index is avoided (groupby keys become the index; reset and
+    sort explicitly) because index generation adds a zipWithIndex-style
+    extra job. Result returns to the classic API via `to_spark()` for
+    the §5.4-rounded, ordered emit.
+    """
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    psdf = c.pandas_api()
+    g = psdf.groupby("c_mktsegment").agg({"c_acctbal": ["count", "sum", "mean"]})
+    g.columns = ["n", "total_bal", "avg_bal"]  # flatten the MultiIndex
+    out = g.reset_index().to_spark()
+    return (
+        out.select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.round("total_bal", 2).alias("total_bal"),
+            F.round("avg_bal", 4).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
