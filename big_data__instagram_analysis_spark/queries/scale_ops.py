@@ -378,7 +378,16 @@ def bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_sketch_rollup", category="A4,E32")
+@query(
+    "hll_sketch_rollup",
+    category="A4,E32",
+    oracle="""
+SELECT CAST(count(DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS within_5pct
+FROM events
+""",
+)
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: one HLL sketch per day, unioned
     into a whole-period estimate without touching base rows again.
@@ -386,20 +395,33 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the sketch counterpart of E27's algebraic partials — the
     rollup path for the aggregates that DON'T compose exactly. Daily
     sketches persist at ~1.5 KB each; any ad-hoc window (week, month, all
-    time) is a hll_union_agg over the covering days. No SQL oracle: the
-    estimate is implementation-defined (DataSketches HLL), so the driver
-    records rows-only and tests/test_scale_ops.py bounds the error vs the
-    exact count (±5%, well beyond HLL's ~1.6% rse at lgK=12).
+    time) is a hll_union_agg over the covering days.
+
+    Hash-checked via the certified-tolerance pattern (same as A4
+    approx_count_distinct): the raw DataSketches estimate is
+    implementation-defined and can never hash-match DuckDB, but the
+    accuracy CONTRACT can — registers merge by max, so the unioned
+    estimate is a deterministic function of the data, and
+    |est − exact| ≤ 5%·exact (lgK=12 rse ≈ 1.6%) is a stable boolean the
+    oracle pins TRUE. The exact count is the correctness-tier yardstick;
+    at 100 TB you would drop it and keep only the mergeable sketches.
     """
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         (F.col("ts_ns") / F.lit(_NS_PER_DAY)).cast("bigint").alias("day_b")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return daily.agg(
+    merged = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
-            "distinct_users_est"
-        ),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_distinct_users"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_users"))
+            <= 0.05 * F.col("exact_distinct_users")
+        ).alias("within_5pct"),
     )
 
 
@@ -528,19 +550,10 @@ def pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query("approx_quantile_value", category="A7,E36")
-def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable approximate quantiles (percentile_approx, accuracy=10000):
-    p50/p90/p99 of event value per type in one pass.
-
-    Exact per-group percentiles (A7) sort within groups; the approx sketch
-    (Greenwald-Khanna summary) is bounded-memory, map-side combinable, and
-    its partials merge — the only viable shape when one group spans
-    terabytes. Rank error ≤ n/accuracy, so the estimate is exact below 10k
-    rows per group and drifts by ≤0.01% of rank above; no SQL oracle since
-    the summary's element choice is implementation-defined
-    (tests/test_scale_ops.py bounds the rank error vs exact).
-    """
+def _approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type via percentile_approx
+    (accuracy=10000) — the raw estimates, used by the registered certified
+    query below and by tests/test_scale_ops.py's rank-error check."""
     e = load(spark, sf_dir, "events")
     qs = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return (
@@ -551,6 +564,63 @@ def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("q", 1), 4).alias("p50"),
             F.round(F.element_at("q", 2), 4).alias("p90"),
             F.round(F.element_at("q", 3), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "approx_quantile_value",
+    category="A7,E36",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (percentile_approx, accuracy=10000):
+    p50/p90/p99 of event value per type in one pass.
+
+    Exact per-group percentiles (A7) sort within groups; the approx sketch
+    (Greenwald-Khanna summary) is bounded-memory, map-side combinable, and
+    its partials merge — the only viable shape when one group spans
+    terabytes.
+
+    Hash-checked via the certified-tolerance pattern: the sketch's element
+    CHOICE is implementation-defined (no engine-portable value to hash),
+    but its rank-error CONTRACT is not — GK guarantees rank error
+    ≤ n/accuracy, so "the fraction of rows ≤ the returned estimate is
+    within p ± tol" is a stable boolean per quantile. The verdict joins the
+    k-row estimate table back to events (broadcast — no extra shuffle of
+    the fact side beyond the groupBy) and counts rank positions; tol =
+    0.005 + 3/n covers the guarantee plus discrete-rank granularity and
+    tie mass (≤9 rows/value in the fixtures) with room to spare. Raw estimates stay available via
+    _approx_quantiles_by_type for the property test.
+    """
+    e = load(spark, sf_dir, "events")
+    appr = _approx_quantiles_by_type(spark, sf_dir)
+
+    def rank_ok(col: str, p: float):
+        frac = F.sum(
+            F.when(F.col("value") <= F.col(col), 1).otherwise(0)
+        ) / F.count(F.lit(1))
+        tol = F.lit(0.005) + 3.0 / F.count(F.lit(1))
+        return (F.abs(frac - F.lit(p)) <= tol).alias(f"{col}_rank_ok")
+
+    return (
+        e.join(F.broadcast(appr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rank_ok("p50", 0.5),
+            rank_ok("p90", 0.9),
+            rank_ok("p99", 0.99),
         )
         .orderBy("event_type")
     )
@@ -1080,19 +1150,10 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_binned_histogram", category="A7,E61")
-def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The E54→E33 scale substitution, executed: equi-depth-ish histogram
-    whose bucket EDGES come from the mergeable quantile sketch (one
-    bounded-memory pass) and whose binning is a pure projection (second
-    scan, map-side-combinable groupBy) — no global sort anywhere.
-
-    This two-pass shape is how a 100 TB engine actually produces deciles:
-    sketch pass O(accuracy) memory, bin pass at scan speed. Bucket counts
-    are equal only within the sketch's rank error, which is the accepted
-    trade — tests bound the deviation. Rows-only (sketch edges are
-    implementation-defined).
-    """
+def _sketch_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch-edged decile histogram (decile, n, lo, hi) — used by the
+    registered certified query below and tests/test_scale_ops.py's
+    equal-depth check."""
     o = load(spark, sf_dir, "orders")
     edges = o.agg(
         F.percentile_approx("o_totalprice", [i / 10.0 for i in range(1, 10)], 10000)
@@ -1106,6 +1167,63 @@ def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "sketch_binned_histogram",
+    category="A7,E61",
+    oracle="""
+SELECT CAST(r.range AS INT) AS decile,
+       TRUE AS within_depth,
+       TRUE AS edges_ordered
+FROM range(0, 10) r
+ORDER BY decile
+""",
+)
+def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E54→E33 scale substitution, executed: equi-depth-ish histogram
+    whose bucket EDGES come from the mergeable quantile sketch (one
+    bounded-memory pass) and whose binning is a pure projection (second
+    scan, map-side-combinable groupBy) — no global sort anywhere.
+
+    This two-pass shape is how a 100 TB engine actually produces deciles:
+    sketch pass O(accuracy) memory, bin pass at scan speed.
+
+    Hash-checked via the certified-tolerance pattern: the sketch's edge
+    VALUES are implementation-defined (never hash-portable), but the
+    equi-depth CONTRACT is — rank error ≤ n/accuracy means every bucket
+    holds n/10 rows within tolerance, and bucket value ranges are disjoint
+    and ordered by construction. The oracle pins both booleans TRUE for
+    the stable decile keys 0..9. Raw bins stay available via
+    _sketch_decile_bins for the property test.
+    """
+    from pyspark.sql.window import Window
+
+    bins = _sketch_decile_bins(spark, sf_dir)
+    w = Window.orderBy("decile")
+    tot = Window.partitionBy()
+    return (
+        bins.select(
+            "decile",
+            "n",
+            "lo",
+            "hi",
+            F.sum("n").over(tot).alias("total"),
+            F.lag("hi").over(w).alias("prev_hi"),
+        )
+        .select(
+            "decile",
+            (
+                F.abs(F.col("n") - F.col("total") / 10.0)
+                <= 0.02 * F.col("total") + 2.0
+            ).alias("within_depth"),
+            (
+                (F.col("lo") <= F.col("hi"))
+                & (F.col("prev_hi").isNull() | (F.col("prev_hi") <= F.col("lo")))
+            ).alias("edges_ordered"),
         )
         .orderBy("decile")
     )
