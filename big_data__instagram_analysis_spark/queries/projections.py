@@ -155,28 +155,120 @@ def drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli", category="P6")  # rows-only: sampling is engine-RNG-specific
-def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample. Deterministic within Spark for a fixed seed
-    and partitioning, but not portable across engines → rows-only check;
-    the statistical property (fraction within a binomial CI) is asserted in
-    tests/test_properties.py."""
+def _bernoulli_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw seeded Bernoulli sample rows — used by the registered certified
+    query below and tests/test_properties.py's CI/determinism checks."""
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@query("sample_stratified_by_type", category="P6,E15")  # rows-only: engine-RNG-specific
+_STRATA_FRACTIONS = {
+    "view": 0.1,
+    "click": 0.1,
+    "purchase": 1.0,
+    "signup": 0.5,
+    "error": 0.02,
+}
+
+
+def _stratified_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw seeded stratified sample rows (sampleBy) — used by the registered
+    certified query below and tests/test_sampling.py."""
+    e = load(spark, sf_dir, "events")
+    return e.sampleBy("event_type", fractions=_STRATA_FRACTIONS, seed=7).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@query(
+    "sample_bernoulli",
+    category="P6",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       TRUE AS within_5sigma,
+       TRUE AS unbiased_mean
+FROM lineitem
+""",
+)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample, hash-checked via the certified-property
+    pattern: the drawn ROWS are engine-RNG-specific (Spark's XORShift per
+    partition — no SQL twin), but the sampler's CONTRACT is portable.
+    Emits the exact population size plus two booleans the oracle pins
+    TRUE: the sampled count sits inside a 5σ binomial window around
+    0.1·n (catches a fraction applied twice or to a pre-filtered scan),
+    and the sampled mean quantity sits within 5 standard errors of the
+    population mean (catches a value-correlated, biased sampler). Raw
+    sample rows stay available via _bernoulli_sample_rows for the
+    property tests in tests/test_properties.py."""
+    li = load(spark, sf_dir, "lineitem")
+    s = _bernoulli_sample_rows(spark, sf_dir)
+    frac = 0.1
+    samp = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.avg("l_quantity").alias("samp_mean"),
+    )
+    pop = li.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.avg("l_quantity").alias("pop_mean"),
+        F.stddev_pop("l_quantity").alias("pop_sd"),
+    )
+    return pop.crossJoin(samp).select(
+        "n_total",
+        (
+            F.abs(F.col("k") - frac * F.col("n_total"))
+            <= 5 * F.sqrt(F.col("n_total") * frac * (1 - frac)) + 1
+        ).alias("within_5sigma"),
+        (
+            F.abs(F.col("samp_mean") - F.col("pop_mean"))
+            <= 5 * F.col("pop_sd") / F.sqrt(F.col("k"))
+        ).alias("unbiased_mean"),
+    )
+
+
+@query(
+    "sample_stratified_by_type",
+    category="P6,E15",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_stratum,
+       TRUE AS within_5sigma
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def sample_stratified_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample (sampleBy): per-stratum Bernoulli fractions —
     downsample the over-represented event types (the class-rebalancing step
     of a training-data pipeline). One scan, no shuffle: each row flips a coin
-    whose bias is looked up from its stratum. Engine-RNG-specific → rows-only;
-    the per-stratum fraction CI and seed-determinism are asserted in
-    tests/test_sampling.py."""
+    whose bias is looked up from its stratum.
+
+    Hash-checked via the certified-property pattern: drawn rows are
+    engine-RNG-specific, but per-stratum the sampled count must sit in a
+    5σ binomial window around fraction·n (and be EXACTLY n for the
+    fraction-1.0 stratum) — a boolean the oracle pins TRUE next to the
+    exact stratum size. Raw rows stay available via
+    _stratified_sample_rows for tests/test_sampling.py."""
     e = load(spark, sf_dir, "events")
-    fractions = {"view": 0.1, "click": 0.1, "purchase": 1.0, "signup": 0.5, "error": 0.02}
-    return e.sampleBy("event_type", fractions=fractions, seed=7).select(
-        "event_id", "event_type", "user_id"
+    s = _stratified_sample_rows(spark, sf_dir)
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
+    )
+    pop = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_stratum"))
+    samp = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("k"))
+    p = frac[F.col("event_type")]
+    return (
+        pop.join(samp, "event_type", "left")
+        .select(
+            "event_type",
+            "n_stratum",
+            (
+                F.abs(F.coalesce(F.col("k"), F.lit(0)) - p * F.col("n_stratum"))
+                <= 5 * F.sqrt(F.col("n_stratum") * p * (1 - p)) + 1
+            ).alias("within_5sigma"),
+        )
+        .orderBy("event_type")
     )

@@ -1121,21 +1121,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("weighted_sample_quality", category="P6,E60")
-def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): sample
-    100 documents with probability proportional to a quality weight —
-    importance sampling for training-mix construction.
-
-    The uniform draw is DERIVED, not random: u = pmod(xxhash64(doc_id,
-    seed), 2^20)/2^20, so the sample is a pure function of (corpus, seed)
-    — reproducible across runs and machines, auditable, and re-drawable
-    with a new seed. Priority key = -ln(u)/w ~ Exp(w): the k SMALLEST
-    keys are the weighted sample (heavier weight → stochastically smaller
-    key), and the bounded ascending top-k plans as TakeOrderedAndProject
-    (no global sort). Rows-only: no SQL twin for xxhash64; property tests
-    pin determinism, size, and the high-weight bias.
-    """
+def _weighted_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw A-ES weighted sample rows (doc_id, weight) — used by the
+    registered certified query below and tests/test_scale_ops.py's
+    determinism/bias checks."""
     d = load(spark, sf_dir, "documents")
     w = (F.col("n_chars") / 100.0) + 1.0  # quality-ish weight > 1
     u = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1 << 20)) + 1) / F.lit(
@@ -1147,6 +1136,56 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k", "doc_id")
         .limit(100)
         .select("doc_id", "weight")
+    )
+
+
+@query(
+    "weighted_sample_quality",
+    category="P6,E60",
+    oracle="""
+SELECT CAST(least(100, count(*)) AS BIGINT) AS n_sampled,
+       TRUE AS weights_valid,
+       TRUE AS biased_high
+FROM documents
+""",
+)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): sample
+    100 documents with probability proportional to a quality weight —
+    importance sampling for training-mix construction.
+
+    The uniform draw is DERIVED, not random: u = pmod(xxhash64(doc_id,
+    seed), 2^20)/2^20, so the sample is a pure function of (corpus, seed)
+    — reproducible across runs and machines, auditable, and re-drawable
+    with a new seed. Priority key = -ln(u)/w ~ Exp(w): the k SMALLEST
+    keys are the weighted sample (heavier weight → stochastically smaller
+    key), and the bounded ascending top-k plans as TakeOrderedAndProject
+    (no global sort).
+
+    Hash-checked via the certified-property pattern: xxhash64 has no SQL
+    twin, so the drawn IDs can't hash-match — but the sampler's contract
+    can: exactly min(100, |corpus|) rows, every weight ≥ 1 (the weight
+    formula's floor), and sample mean weight above the corpus mean (the
+    bias that 'weighted' buys; >10σ for this corpus, never flakes). Raw
+    rows stay available via _weighted_sample_rows for the property tests.
+    """
+    d = load(spark, sf_dir, "documents")
+    s = _weighted_sample_rows(spark, sf_dir)
+    samp = s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("weight").alias("min_w"),
+        F.avg("weight").alias("samp_mean"),
+    )
+    corpus = d.agg(
+        F.avg(F.col("n_chars") / 100.0 + 1.0).alias("corpus_mean"),
+        F.least(F.lit(100), F.count(F.lit(1))).cast("bigint").alias("expect_n"),
+    )
+    return samp.crossJoin(corpus).select(
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        ((F.col("min_w") >= 1.0) & (F.col("n_sampled") == F.col("expect_n"))).alias(
+            "weights_valid"
+        ),
+        (F.col("samp_mean") > F.col("corpus_mean")).alias("biased_high"),
     )
 
 

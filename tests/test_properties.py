@@ -71,7 +71,11 @@ def test_minhash_lsh_pairs_all_above_threshold(spark, sf_dir):
 
 
 def test_bernoulli_fraction_within_binomial_ci(spark, sf_dir):
-    fn = get_specs()["sample_bernoulli"].fn
+    from big_data__instagram_analysis_spark.queries.projections import (
+        _bernoulli_sample_rows,
+    )
+
+    fn = _bernoulli_sample_rows
     k = fn(spark, sf_dir).count()
     n = load(spark, sf_dir, "lineitem").count()
     frac = 0.1
@@ -82,7 +86,11 @@ def test_bernoulli_fraction_within_binomial_ci(spark, sf_dir):
 
 
 def test_bernoulli_seed_deterministic(spark, sf_dir):
-    fn = get_specs()["sample_bernoulli"].fn
+    from big_data__instagram_analysis_spark.queries.projections import (
+        _bernoulli_sample_rows,
+    )
+
+    fn = _bernoulli_sample_rows
     key = lambda r: (r["l_orderkey"], r["l_linenumber"])  # noqa: E731
     a = sorted(key(r) for r in fn(spark, sf_dir).collect())
     b = sorted(key(r) for r in fn(spark, sf_dir).collect())

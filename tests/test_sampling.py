@@ -5,13 +5,16 @@ from __future__ import annotations
 import math
 
 from big_data__instagram_analysis_spark.io import load
-from big_data__instagram_analysis_spark.registry import get_specs
+from big_data__instagram_analysis_spark.queries.projections import (
+    _stratified_sample_rows,
+)
+from big_data__instagram_analysis_spark.registry import get_specs  # noqa: F401
 
 FRACTIONS = {"view": 0.1, "click": 0.1, "purchase": 1.0, "signup": 0.5, "error": 0.02}
 
 
 def test_stratified_fractions_within_binomial_ci(spark, sf_dir):
-    fn = get_specs()["sample_stratified_by_type"].fn
+    fn = _stratified_sample_rows
     got = {
         r["event_type"]: r["n"]
         for r in fn(spark, sf_dir).groupBy("event_type").count().withColumnRenamed("count", "n").collect()
@@ -33,7 +36,7 @@ def test_stratified_fractions_within_binomial_ci(spark, sf_dir):
 
 
 def test_stratified_sample_is_seed_deterministic(spark, sf_dir):
-    fn = get_specs()["sample_stratified_by_type"].fn
+    fn = _stratified_sample_rows
     a = sorted(r["event_id"] for r in fn(spark, sf_dir).collect())
     b = sorted(r["event_id"] for r in fn(spark, sf_dir).collect())
     assert a == b and len(a) > 0

@@ -346,8 +346,12 @@ def test_kmeans_deterministic(spark, sf_dir):
 def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
     """Same (corpus, seed) → same sample; sampled mean weight must exceed
     the corpus mean (that's what 'weighted' buys)."""
-    a = get_specs()["weighted_sample_quality"].fn(spark, sf_dir).collect()
-    b = get_specs()["weighted_sample_quality"].fn(spark, sf_dir).collect()
+    from big_data__instagram_analysis_spark.queries.scale_ops import (
+        _weighted_sample_rows,
+    )
+
+    a = _weighted_sample_rows(spark, sf_dir).collect()
+    b = _weighted_sample_rows(spark, sf_dir).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     assert len(a) == 100
     corpus_mean = (
