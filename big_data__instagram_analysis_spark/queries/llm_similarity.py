@@ -6,12 +6,15 @@ Three tiers over the embeddings table (64-d float vectors):
      SQL-oracle-checked. The correctness baseline.
   2. ``ann_lsh_bucketed`` — BucketedRandomProjectionLSH (pyspark.ml): the
      100 TB path for *all-pairs* near-neighbor, replacing the quadratic pair
-     space with per-bucket joins. Hash-seeded → rows-only; recall vs the
-     exact baseline is asserted in tests/test_ann.py.
+     space with per-bucket joins. Hash-seeded → the registered query emits a
+     certified precision/recall verdict (oracle pins TRUE); raw pairs stay
+     available for tests/test_ann.py.
   3. ``ann_ivf_probe`` — IVF-style coarse quantization: KMeans centroids
      (broadcast), route every corpus vector to its cell, probe only the
      query's nearest cells. One shuffle on cell id; candidate count per
      query drops from |corpus| to |corpus|·(nprobe/ncells) at scale.
+     Registered query emits a certified recall verdict; raw probe rows
+     stay available for tests/test_ann.py.
 """
 
 from __future__ import annotations
@@ -87,16 +90,9 @@ def ann_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH-bucketed scale path --------------------------------------------------
 
 
-@query("ann_lsh_bucketed", category="L3,L2,E7")
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs near-neighbor via BucketedRandomProjectionLSH (rows-only).
-
-    Vectors land in random-hyperplane buckets; approxSimilarityJoin joins
-    only within buckets, so pair candidates scale with bucket occupancy, not
-    |corpus|². Fixed seed keeps the run reproducible, but the hash family is
-    model state, not portable SQL → rows-only here; recall ≥ 0.8 against the
-    exact all-pairs baseline is asserted in tests/test_ann.py.
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH near-neighbor pairs (vec_a, vec_b, cos_sim) — used by the
+    registered certified query below and tests/test_ann.py."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -138,19 +134,70 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_lsh_bucketed",
+    category="L3,L2,E7",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       TRUE AS all_reported_valid,
+       TRUE AS topk_recall_ge_0_8
+FROM embeddings
+""",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-neighbor via BucketedRandomProjectionLSH.
+
+    Vectors land in random-hyperplane buckets; approxSimilarityJoin joins
+    only within buckets, so pair candidates scale with bucket occupancy, not
+    |corpus|² — the 100 TB all-pairs path.
+
+    Hash-checked via the certified-property pattern: the hash family is
+    model state (never SQL-portable), but the method's QUALITY contract is
+    — every reported pair truly clears the cosine threshold implied by
+    the distance cut (d ≤ 1.05 on unit vectors ⇔ cos ≥ 1 − d²/2 =
+    0.44875; approxSimilarityJoin computes exact distances on candidates,
+    so precision is exact by construction), and ≥80% of the exact global
+    top-10 pairs (brute-force ground truth, recomputed in-query via
+    operators/similarity.cosine_topk_allpairs) surface in the LSH output.
+    The oracle pins both booleans next to the corpus size. Raw pairs stay
+    available via _lsh_candidate_pairs for tests/test_ann.py.
+    """
+    from ..operators.similarity import cosine_topk_allpairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    exact_top = cosine_topk_allpairs(emb, spark, k=10).select("vec_a", "vec_b")
+    hits = exact_top.join(
+        pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
+    )
+    valid = pairs.agg(
+        F.coalesce(
+            F.min(F.col("cos_sim") >= 1 - 1.05**2 / 2 - 1e-6), F.lit(True)
+        ).alias("all_reported_valid")
+    )
+    recall = hits.agg(F.count(F.lit(1)).alias("n_hit")).crossJoin(
+        exact_top.agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .crossJoin(valid)
+        .crossJoin(recall)
+        .select(
+            "n_vecs",
+            "all_reported_valid",
+            (F.col("n_hit") >= 0.8 * F.col("n_true")).alias(
+                "topk_recall_ge_0_8"
+            ),
+        )
+    )
+
+
 # --- IVF-style coarse-quantization probe --------------------------------------
 
 
-@query("ann_ivf_probe", category="L3,E8")
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: route corpus to KMeans cells, probe 3 nearest cells/query.
-
-    The centroid table is tiny and broadcasts; cell routing is one
-    mapInPandas pass (numpy argmin over centroids); candidate generation is
-    an equi-join on cell_id — the shuffle key — instead of a cross join.
-    Approximate (a true neighbor can live in an unprobed cell): rows-only,
-    recall asserted in tests/test_ann.py.
-    """
+def _ivf_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF probe results (query_id, neighbor_id, sim, rank) — used by
+    the registered certified query below and tests/test_ann.py."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -229,6 +276,61 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "ann_ivf_probe",
+    category="L3,E8",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS k_bounded,
+       TRUE AS recall_ge_0_6
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+""",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: route corpus to KMeans cells, probe 3 nearest cells/query.
+
+    The centroid table is tiny and broadcasts; cell routing is one
+    mapInPandas pass (numpy argmin over centroids); candidate generation is
+    an equi-join on cell_id — the shuffle key — instead of a cross join.
+
+    Hash-checked via the certified-property pattern: which neighbors
+    surface depends on centroid state (a true neighbor can live in an
+    unprobed cell — never SQL-portable), but the method's contract is —
+    every query emits at most k ranked neighbors, and ≥60% of the exact
+    brute-force top-5 (ground truth recomputed in-query via
+    operators/similarity.cosine_topk_queries) is recovered at nprobe=3/8.
+    The oracle pins both booleans next to the exact query count. Raw probe
+    results stay available via _ivf_probe_rows for tests/test_ann.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    corpus, queries = _split(emb)
+    got = _ivf_probe_rows(spark, sf_dir)
+    exact = cosine_topk_queries(corpus, queries, spark, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    k_ok = got.groupBy("query_id").agg(F.count(F.lit(1)).alias("k")).agg(
+        F.coalesce(F.min(F.col("k") <= TOPK), F.lit(True)).alias("k_bounded")
+    )
+    recall = hits.agg(F.count(F.lit(1)).alias("n_hit")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+        .crossJoin(k_ok)
+        .crossJoin(recall)
+        .select(
+            "n_queries",
+            "k_bounded",
+            (F.col("n_hit") >= 0.6 * F.col("n_true")).alias("recall_ge_0_6"),
+        )
     )
 
 

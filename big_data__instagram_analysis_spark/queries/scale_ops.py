@@ -626,21 +626,12 @@ def approx_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_encode_embeddings", category="L3,E37")
-def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: 64-d vectors → 8 subspace codes of 3.3 bits
-    (10-entry codebooks), the memory layout behind IVF-PQ ANN indexes.
-
-    Codebook here = per-label subvector means (deterministic stand-in for
-    k-means centroids — same join topology, no RNG); encoding assigns each
-    vector's 8-d subvector to its nearest codebook entry via a broadcast
-    join on position plus a min_by argmin. Everything is posexplode +
-    groupBy: the 640-float codebook broadcasts, vectors never leave their
-    partitions, and the output code table is 8 bytes/vector — a 32×
-    compression of the float32 embedding. Rows-only: float distance
-    near-ties make the argmin engine-sensitive; tests pin code-domain,
-    coverage, and reconstruction-error properties instead.
-    """
+def _pq_code_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PQ assignment table (vec_id, label, subspace, code, err,
+    own_err) — used by the registered certified query below and
+    tests/test_scale_ops.py's coverage/domain checks. own_err is the
+    distance to the vector's OWN-label codebook entry (an upper bound any
+    correct argmin must beat or match)."""
     emb = load(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
@@ -651,20 +642,68 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         ex.join(F.broadcast(codebook), "pos")
-        .groupBy("vec_id", (F.col("pos") / 8).cast("int").alias("subspace"), "code")
-        .agg(F.sum(F.pow(F.col("val") - F.col("cb_val"), 2)).alias("dist"))
+        .groupBy(
+            "vec_id",
+            (F.col("pos") / 8).cast("int").alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(F.pow(F.col("val") - F.col("cb_val"), 2)).alias("dist"),
+            F.any_value("label").alias("label"),
+        )
     )
-    assign = cand.groupBy("vec_id", "subspace").agg(
+    return cand.groupBy("vec_id", "subspace").agg(
         F.expr("min_by(code, struct(dist, code))").alias("code"),
         F.min("dist").alias("err"),
+        F.any_value("label").alias("label"),
+        F.min(F.when(F.col("code") == F.col("label"), F.col("dist"))).alias(
+            "own_err"
+        ),
     )
+
+
+@query(
+    "pq_encode_embeddings",
+    category="L3,E37",
+    oracle="""
+SELECT CAST(r.range AS INT) AS subspace,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       TRUE AS argmin_optimal
+FROM range(0, 8) r
+ORDER BY subspace
+""",
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-d vectors → 8 subspace codes of 3.3 bits
+    (10-entry codebooks), the memory layout behind IVF-PQ ANN indexes.
+
+    Codebook here = per-label subvector means (deterministic stand-in for
+    k-means centroids — same join topology, no RNG); encoding assigns each
+    vector's 8-d subvector to its nearest codebook entry via a broadcast
+    join on position plus a min_by argmin. Everything is posexplode +
+    groupBy: the 640-float codebook broadcasts, vectors never leave their
+    partitions, and the output code table is 8 bytes/vector — a 32×
+    compression of the float32 embedding.
+
+    Hash-checked via the certified-property pattern: float near-ties make
+    the argmin CHOICE engine-sensitive (never hash-portable), but the
+    encoding CONTRACT is not — every vector gets a code in every subspace
+    (n_vecs per subspace = |corpus|), and each assigned distance is ≤ the
+    distance to the vector's own-label entry (a true argmin can't lose to
+    a fixed alternative). Oracle pins the verdicts for the stable
+    subspace keys 0..7. Raw assignments stay available via
+    _pq_code_assignments for the property tests.
+    """
+    assign = _pq_code_assignments(spark, sf_dir)
     return (
-        assign.groupBy("subspace", "code")
+        assign.groupBy("subspace")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("err"), 4).alias("avg_sq_err"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.max(F.col("err") - F.col("own_err")) <= F.lit(1e-9)).alias(
+                "argmin_optimal"
+            ),
         )
-        .orderBy("subspace", "code")
+        .orderBy("subspace")
     )
 
 
@@ -965,7 +1004,16 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_clusters", category="L3,E55")
+@query(
+    "kmeans_clusters",
+    category="L3,E55",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+       TRUE AS k_within_bound,
+       TRUE AS inertia_monotone
+FROM embeddings
+""",
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled Lloyd k-means (k=8, 3 rounds, deterministic lowest-id
     init) over the embeddings — the iterative-ML loop as DataFrame
@@ -973,21 +1021,27 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round: assignment is a broadcast join against the k-row centroid
     table with a codegen'd zip_with distance (vectors never shuffle);
-    update shuffles only k×64 mean cells. Rows-only: float argmin
-    near-ties are engine-sensitive; tests pin Lloyd's monotone-inertia
-    guarantee, assignment coverage, and determinism instead.
+    update shuffles only k×64 mean cells.
+
+    Hash-checked via the certified-property pattern: float argmin
+    near-ties make cluster MEMBERSHIP engine-sensitive (no hash-portable
+    per-cluster rows), but Lloyd's contract is not — every vector is
+    assigned exactly once, at most k clusters exist, and the inertia
+    sequence recorded after each assignment step is non-increasing
+    (Lloyd's convergence guarantee, computed from the actual iteration
+    history). Oracle pins all three.
     """
     from ..operators.clustering import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_lloyd(emb, k=8, iterations=3)
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
-        )
-        .orderBy("cluster_id")
+    assigned, inertia = kmeans_lloyd(emb, k=8, iterations=3)
+    monotone = all(
+        a >= b - 1e-6 for a, b in zip(inertia, inertia[1:])
+    )
+    return assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        (F.count_distinct("cluster_id") <= 8).alias("k_within_bound"),
+        F.lit(monotone).alias("inertia_monotone"),
     )
 
 

@@ -13,9 +13,11 @@ batch twin regardless of replay chunking (SURVEY.md §5.3.2):
   - update-mode stateful emissions are monotone per key, so max-per-key over
     the sink == final state == batch aggregate (X6, X8-update).
 
-Watermark-dependent late-data behavior (X4) is inherently replay-order
-sensitive, so it's declared rows-only; its property check (emitted windows ⊆
-batch windows, values equal where emitted) lives in tests/test_streaming.py.
+Watermark-dependent late-data behavior (X4) and TTL dedup (E71) are
+inherently replay-order sensitive, so their registered queries emit
+certified-contract verdicts (emitted ⊆ batch, counts bounded, windows
+finalized) that the oracle pins TRUE; the raw emissions stay available via
+module helpers for tests/test_streaming.py.
 
 At 100 TB the memory sink becomes a partitioned parquet sink (S7) and the
 file source becomes Kafka; the query graphs — windowed state, watermark
@@ -171,16 +173,10 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X4: watermark + late data (rows-only; property-checked in tests) --------
 
 
-@query("stream_watermark_tumbling", category="X4")
-def stream_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-mode tumbling agg under a 1-hour watermark.
-
-    Multi-trigger replay (1 file per trigger): a window is emitted only once
-    the watermark (max seen ts − 1 h) passes its end, and later arrivals for
-    emitted windows are dropped. Emission set depends on replay order ⇒
-    rows-only; tests/test_streaming.py asserts emitted ⊆ batch and
-    value-equality on emitted windows.
-    """
+def _watermark_emitted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw append-mode emissions of the 1-hour-watermark tumbling agg —
+    used by the registered certified query below and
+    tests/test_streaming.py's subset/value-equality check."""
     s = events_stream(spark, sf_dir, max_files_per_trigger=1)
     agg = (
         s.withWatermark("ts", "1 hour")
@@ -194,6 +190,76 @@ def stream_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(agg, output_mode="append").orderBy(
         "win_start", "event_type"
+    )
+
+
+@query(
+    "stream_watermark_tumbling",
+    category="X4",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_batch_windows,
+       TRUE AS emitted_nonempty,
+       TRUE AS emitted_subset,
+       TRUE AS emitted_finalized
+FROM (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type
+      FROM events)
+""",
+)
+def stream_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling agg under a 1-hour watermark.
+
+    Multi-trigger replay (1 file per trigger): a window is emitted only once
+    the watermark (max seen ts − 1 h) passes its end, and later arrivals for
+    emitted windows are dropped.
+
+    Hash-checked via the certified-property pattern: WHICH windows emit
+    (and with what partial counts) depends on replay chunking — never
+    SQL-portable — but append mode's contract is: something finalizes
+    (≥1 row), every emitted window is a batch window with count ≤ the
+    batch count (late drops can only shrink, never corrupt), and every
+    emitted window's end lies at or below the final watermark
+    (max ts − 1 h) — append never leaks an open window. Oracle pins the
+    three booleans next to the exact batch window count. Raw emissions
+    stay available via _watermark_emitted_rows for the property test.
+    """
+    emitted = _watermark_emitted_rows(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+        .select(
+            _fmt(F.col("window.start")).alias("win_start"),
+            "event_type",
+            F.col("count").alias("n_batch"),
+        )
+    )
+    wm = e.agg(
+        (F.max("ts").cast("long") - 3600).alias("final_wm_s")
+    )
+    j = emitted.join(batch, ["win_start", "event_type"], "left")
+    per_emit = j.crossJoin(wm).agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.coalesce(
+            F.min(F.col("n_batch").isNotNull() & (F.col("n") <= F.col("n_batch"))),
+            F.lit(True),
+        ).alias("emitted_subset"),
+        F.coalesce(
+            F.min(
+                F.to_timestamp("win_start").cast("long") + 600
+                <= F.col("final_wm_s")
+            ),
+            F.lit(True),
+        ).alias("emitted_finalized"),
+    )
+    return (
+        batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch_windows"))
+        .crossJoin(per_emit)
+        .select(
+            "n_batch_windows",
+            (F.col("n_emitted") >= 1).alias("emitted_nonempty"),
+            "emitted_subset",
+            "emitted_finalized",
+        )
     )
 
 
@@ -514,21 +580,10 @@ def stream_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dedup_ttl_watermark", category="X5,X8,E71")
-def stream_dedup_ttl_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark: streaming dedup whose state is
-    EVICTED once keys age past the watermark — the production variant of
-    X5's dropDuplicates, whose state grows forever (every key ever seen).
-
-    The trade is explicit: duplicates recurring beyond the 2-hour
-    watermark re-emit (state for them is gone), so output depends on the
-    replay chunking — deterministic for a fixed file layout and trigger
-    size, but not SQL-expressible → rows-only; tests bound the output
-    between the exact-distinct floor and the raw-event ceiling and pin
-    run-to-run determinism. At 100 TB, unbounded dedup state is an OOM
-    with a delay fuse; TTL dedup is the only deployable shape when keys
-    don't stop arriving.
-    """
+def _ttl_dedup_kept_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-type kept counts from dropDuplicatesWithinWatermark — used
+    by the registered certified query below and tests/test_streaming.py's
+    bounds/determinism check."""
     s = events_stream(spark, sf_dir, max_files_per_trigger=2)
     deduped = s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
@@ -539,6 +594,56 @@ def stream_dedup_ttl_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sink.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_dedup_ttl_watermark",
+    category="X5,X8,E71",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       TRUE AS floor_ok,
+       TRUE AS ceil_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_dedup_ttl_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: streaming dedup whose state is
+    EVICTED once keys age past the watermark — the production variant of
+    X5's dropDuplicates, whose state grows forever (every key ever seen).
+
+    The trade is explicit: duplicates recurring beyond the 2-hour
+    watermark re-emit (state for them is gone), so the kept COUNT depends
+    on replay chunking — deterministic for a fixed file layout and
+    trigger size, but never SQL-portable. The certified contract is: per
+    event type, kept ≥ exact-distinct keys (TTL re-emits, never loses a
+    first arrival) and kept ≤ raw events (dedup never invents rows).
+    Oracle pins both booleans next to the exact distinct count. Raw kept
+    counts stay available via _ttl_dedup_kept_counts for the
+    determinism test. At 100 TB, unbounded dedup state is an OOM with a
+    delay fuse; TTL dedup is the only deployable shape when keys don't
+    stop arriving.
+    """
+    kept = _ttl_dedup_kept_counts(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    base = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return (
+        base.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            "n_distinct",
+            (F.coalesce("n_kept", F.lit(0)) >= F.col("n_distinct")).alias(
+                "floor_ok"
+            ),
+            (F.coalesce("n_kept", F.lit(0)) <= F.col("n_raw")).alias("ceil_ok"),
+        )
         .orderBy("event_type")
     )
 

@@ -7,6 +7,9 @@ the exact brute-force baseline on the same fixture.
 
 from __future__ import annotations
 
+from big_data__instagram_analysis_spark.queries.llm_similarity import (
+    _lsh_candidate_pairs as _lsh_pairs_helper,
+)
 from big_data__instagram_analysis_spark.registry import get_specs
 
 
@@ -22,7 +25,11 @@ def test_ivf_recall(spark, sf_dir):
     """IVF with nprobe=2/8 cells must recover ≥60% of exact top-5 overall."""
     exact = _exact_topk(spark, sf_dir)
     got = {}
-    for r in get_specs()["ann_ivf_probe"].fn(spark, sf_dir).collect():
+    from big_data__instagram_analysis_spark.queries.llm_similarity import (
+        _ivf_probe_rows,
+    )
+
+    for r in _ivf_probe_rows(spark, sf_dir).collect():
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
@@ -41,7 +48,7 @@ def test_lsh_finds_top_pairs(spark, sf_dir):
     }
     lsh_pairs = {
         (r["vec_a"], r["vec_b"])
-        for r in get_specs()["ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+        for r in _lsh_pairs_helper(spark, sf_dir).collect()
     }
     hit = len(exact_pairs & lsh_pairs)
     assert hit / len(exact_pairs) >= 0.8, f"LSH recall {hit}/{len(exact_pairs)}"

@@ -201,19 +201,21 @@ def test_approx_quantile_rank_error_bound(spark, sf_dir):
 
 def test_pq_codes_cover_all_vectors(spark, sf_dir):
     """Every vector gets exactly 8 subspace codes; codes stay in the label
-    domain; per-subspace assignment counts sum to the vector count."""
-    from pyspark.sql import functions as F2
+    domain; errors are non-negative and never beat the own-label bound."""
+    from big_data__instagram_analysis_spark.queries.scale_ops import (
+        _pq_code_assignments,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
-    rows = get_specs()["pq_encode_embeddings"].fn(spark, sf_dir).collect()
+    rows = _pq_code_assignments(spark, sf_dir).collect()
     labels = {r["label"] for r in emb.select("label").distinct().collect()}
     per_sub: dict[int, int] = {}
     for r in rows:
         assert r["code"] in labels
         assert 0 <= r["subspace"] <= 7
-        assert r["avg_sq_err"] >= 0
-        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vecs"]
+        assert 0 <= r["err"] <= r["own_err"] + 1e-9
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + 1
     assert set(per_sub) == set(range(8))
     assert all(v == n_vecs for v in per_sub.values()), per_sub
 

@@ -32,10 +32,13 @@ def test_watermark_append_subset_of_batch(spark, sf_dir):
     """X4: every append-mode-emitted window is a batch window with the same
     count (watermark may withhold/drop windows, never corrupt them), and the
     multi-trigger replay emits at least one finalized window."""
-    spec = get_specs()["stream_watermark_tumbling"]
+    from big_data__instagram_analysis_spark.queries.streaming import (
+        _watermark_emitted_rows,
+    )
+
     emitted = {
         (r["win_start"], r["event_type"]): r["n"]
-        for r in spec.fn(spark, sf_dir).collect()
+        for r in _watermark_emitted_rows(spark, sf_dir).collect()
     }
     batch = {
         (r["win_start"], r["event_type"]): r["n"]
@@ -62,13 +65,17 @@ def test_dedup_ttl_bounds_and_determinism(spark, sf_dir):
     from big_data__instagram_analysis_spark.io import load
     from big_data__instagram_analysis_spark.registry import get_specs
 
+    from big_data__instagram_analysis_spark.queries.streaming import (
+        _ttl_dedup_kept_counts,
+    )
+
     a = {
         r["event_type"]: r["n_kept"]
-        for r in get_specs()["stream_dedup_ttl_watermark"].fn(spark, sf_dir).collect()
+        for r in _ttl_dedup_kept_counts(spark, sf_dir).collect()
     }
     b = {
         r["event_type"]: r["n_kept"]
-        for r in get_specs()["stream_dedup_ttl_watermark"].fn(spark, sf_dir).collect()
+        for r in _ttl_dedup_kept_counts(spark, sf_dir).collect()
     }
     assert a == b, "replay with identical layout must be deterministic"
     e = load(spark, sf_dir, "events")
