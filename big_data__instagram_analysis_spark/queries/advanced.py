@@ -1187,3 +1187,394 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "map_hof_user_profile",
+    category="F8,E105",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id
+)
+SELECT c.user_id, c.event_type,
+       CAST(c.n AS BIGINT) AS n,
+       floor(round(c.v, 4) / c.n * 10000) / 10000 AS avg_value,
+       floor(c.n * 10000.0 / t.tot) / 10000 AS pct
+FROM c JOIN t USING (user_id)
+WHERE c.n >= 3
+ORDER BY user_id, event_type
+""",
+)
+def map_hof_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (map_from_entries, map_zip_with,
+    transform_values, map_filter): build each user's event-type→count and
+    event-type→value maps, zip them into per-type averages, derive
+    per-type shares against the user's total, and drop rare types — all
+    inside codegen'd map expressions, no second shuffle. (Ratios emit as
+    floor-truncated 4-decimals over the pre-rounded sum: rounding the sum
+    first makes the dividend the identical double on both engines, and
+    floor has no half-way boundary — Spark's round() rounds the double's
+    shortest decimal representation while DuckDB rounds the true binary
+    value, so round() on an exact .xxxx5 quotient diverges; a measured
+    §5.4 addendum.)
+
+    The map is the right carrier when per-entity profiles feed a UDF or
+    sink as ONE row per user (feature stores, model inputs): the
+    alternative — keeping (user, type) rows and re-grouping downstream —
+    shuffles once per consumer. Here the profile pipeline (combine,
+    normalize, prune) runs entirely between two stages. Exploded back to
+    rows + sorted only for the §5.4 hash-stable emit.
+    """
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "v"))
+        ).alias("val_map"),
+    )
+    combined = maps.select(
+        "user_id",
+        F.aggregate(
+            F.map_values("cnt_map"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tot"),
+        F.map_zip_with(
+            "cnt_map",
+            "val_map",
+            lambda k, n, v: F.struct(
+                n.alias("n"),
+                (F.floor(F.round(v, 4) / n * 10000) / 10000).alias(
+                    "avg_value"
+                ),
+            ),
+        ).alias("profile"),
+    )
+    pruned = combined.select(
+        "user_id",
+        "tot",
+        F.map_filter("profile", lambda k, s: s["n"] >= 3).alias("profile"),
+    )
+    return (
+        pruned.select(
+            "user_id", "tot", F.explode("profile").alias("event_type", "s")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.n").alias("n"),
+            F.col("s.avg_value").alias("avg_value"),
+            (F.floor(F.col("s.n") * 10000 / F.col("tot")) / 10000).alias(
+                "pct"
+            ),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "listagg_supplier_roster",
+    category="A9,E106",
+    oracle="""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS roster
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def listagg_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4.0's ordered string aggregation):
+    per-nation comma-joined supplier roster in deterministic name order.
+
+    Versus collect_list+array_join+array_sort (the A9 workaround for the
+    same shape), WITHIN GROUP makes the order part of the AGGREGATE's
+    contract — the sort happens inside the aggregation buffer, not as a
+    separate array pass, and the SQL is portable (ISO/IEC 9075:2016).
+    Deterministic ordering is what makes the string hash-comparable at
+    all; an unordered listagg is a nondeterminism footgun at any scale.
+    """
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS roster
+        FROM supplier_v
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+        """
+    )
+
+
+@query(
+    "bitmap_builtin_daily_uniques",
+    category="A3,E107",
+    oracle="""
+SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_b,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniques
+FROM events
+GROUP BY day_b
+ORDER BY day_b
+""",
+)
+def bitmap_builtin_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in bitmap aggregates (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count): exact
+    daily uniques where the shuffle carries 4 KB bitmap buckets instead
+    of raw ids — the engine-native version of E31's hand-rolled
+    bigint-word bitmaps.
+
+    Two-level shape: ids fold into per-(day, bucket) bitmaps map-side
+    (bucket = id/32768, position = id%32768), the shuffle moves only
+    distinct (day, bucket) binaries, and bitmap_count sums survivors per
+    day. Shuffle volume is bounded by domain/32768 buckets per day
+    regardless of event volume — and unlike count(DISTINCT), the bitmap
+    partials also compose upward into week/month rollups via
+    bitmap_or_agg without rescanning the base.
+    """
+    e = load(spark, sf_dir, "events")
+    buckets = (
+        e.select(
+            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias(
+                "day_b"
+            ),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("day_b", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        buckets.groupBy("day_b")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("uniques"))
+        .orderBy("day_b")
+    )
+
+
+@query(
+    "transpose_pricing_matrix",
+    category="P1,E108",
+    oracle="""
+WITH a AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.metric,
+       max(CASE WHEN l_returnflag = 'A' THEN val END) AS "A",
+       max(CASE WHEN l_returnflag = 'N' THEN val END) AS "N",
+       max(CASE WHEN l_returnflag = 'R' THEN val END) AS "R"
+FROM a, LATERAL (VALUES ('sum_qty', sum_qty), ('sum_price', sum_price),
+                        ('n_rows', n_rows)) m(metric, val)
+GROUP BY m.metric
+ORDER BY m.metric
+""",
+)
+def transpose_pricing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): flip a per-returnflag metrics
+    table so metrics become rows and flag values become columns — the
+    report-matrix shape pivot tables feed to humans.
+
+    transpose() uses the first column's values as the new header (sorted,
+    which keeps the output schema deterministic — a transpose whose
+    column order depended on row order would be a hash footgun) and
+    requires the remaining columns to share one least-common type, hence
+    the count cast to DOUBLE up front. This is a driver-coordinated op on
+    an already-aggregated k-row frame — the 100 TB discipline is
+    aggregate FIRST, transpose the k×m result, never the base table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    wide = agg.select(
+        "l_returnflag", "sum_qty", "sum_price", "n_rows"
+    ).transpose()
+    first = wide.columns[0]
+    return wide.withColumnRenamed(first, "metric").orderBy("metric")
+
+
+@query(
+    "observe_metrics_certified",
+    category="A2,E109",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS total_qty,
+       TRUE AS observed_matches
+FROM lineitem
+""",
+)
+def observe_metrics_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API (df.observe + CollectMetrics): piggyback dataset
+    metrics on an EXISTING action instead of paying a second scan.
+
+    At 100 TB this is the only affordable way to get row counts /
+    checksums / null tallies out of a pipeline run: the metrics
+    accumulate inside the already-running stages (an accumulator under
+    the hood) and surface on the driver when the action finishes — a
+    separate .agg() would re-read the table. The certified check: the
+    observed metrics must equal the same aggregates computed the
+    expensive way; the oracle pins the equality boolean TRUE next to the
+    exact values.
+    """
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    row = direct.collect()[0]
+    ok = m["n_rows"] == row["n_rows"] and abs(
+        m["total_qty"] - row["total_qty"]
+    ) < 1e-9
+    return direct.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "total_qty",
+        F.lit(bool(ok)).alias("observed_matches"),
+    )
+
+
+@query(
+    "interval_arithmetic_span",
+    category="F3,E110",
+    oracle="""
+SELECT user_id,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000) AS BIGINT)
+         AS full_hours,
+       strftime(max(ts) + INTERVAL 2 HOUR + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS followup_at
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def interval_arithmetic_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic surface (timestamp_diff + make_interval): each
+    user's activity span in COMPLETE hours and a follow-up timestamp 2 h
+    30 m after their last event.
+
+    timestamp_diff('HOUR', a, b) counts complete elapsed hours
+    (truncation toward zero — NOT hour-boundary crossings, which is what
+    DuckDB's date_diff counts; the oracle uses the epoch floor to pin the
+    complete-hours semantics explicitly). make_interval builds a proper
+    year-to-second interval from numeric columns — the composable form
+    when the offset itself is data, where a string literal interval can't
+    vary per row. Formatted to second precision for the ns-vs-µs-safe
+    emit (§5.4).
+    """
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    return (
+        spans.select(
+            "user_id",
+            F.timestamp_diff("HOUR", F.col("first_ts"), F.col("last_ts"))
+            .cast("bigint")
+            .alias("full_hours"),
+            F.date_format(
+                F.col("last_ts")
+                + F.make_interval(
+                    F.lit(0), F.lit(0), F.lit(0), F.lit(0), F.lit(2), F.lit(30)
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("followup_at"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "session_dynamic_gap",
+    category="X3,E111",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 3600000000
+              ELSE 1800000000 END AS gap_us
+  FROM events
+), o AS (
+  SELECT *, max(us + gap_us) OVER (
+      PARTITION BY user_id ORDER BY us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+), b AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END
+              AS brk
+  FROM o
+), s AS (
+  SELECT *, sum(brk) OVER (
+      PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor((max(us + gap_us) - min(us)) / 1000000.0) AS BIGINT) AS span_s
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, sess_start
+""",
+)
+def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window with a DYNAMIC, per-event gap (Spark's
+    session_window(ts, gap_expression)): purchases hold a session open
+    for 1 hour, everything else 30 minutes.
+
+    Static-gap sessionization (X3) treats all activity alike; real
+    engagement models keep high-intent events "sticky". The gap column
+    makes the window spec data-dependent — each event contributes
+    [ts, ts+gap) and overlapping windows merge, so the session end is
+    the running max of event ends, not last-event+constant. The oracle
+    twin is that exact definition in SQL: a cumulative-max break detector
+    (new session when an event starts at/after every previous end) plus
+    a cumulative-sum session id — the W3+W5 composition, proving the
+    declarative operator against first principles. Span floors to whole
+    seconds for the §5.4-stable emit.
+    """
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            "n_events",
+            F.floor(
+                (
+                    F.unix_micros(F.col("w.end"))
+                    - F.unix_micros(F.col("w.start"))
+                )
+                / 1000000.0
+            )
+            .cast("bigint")
+            .alias("span_s"),
+        )
+        .orderBy("user_id", "sess_start")
+    )
