@@ -1578,3 +1578,49 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_start")
     )
+
+
+@query(
+    "join_hints_strategies",
+    category="J1,E112",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_hints_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints (MERGE, SHUFFLE_HASH): the same three-table
+    revenue rollup with the physical strategy PINNED per join instead of
+    left to cost estimation.
+
+    customer⋈orders is hinted MERGE (sort-merge: both sides sort-spill —
+    the safe choice when both sides are huge and memory is tight);
+    ⋈lineitem is hinted SHUFFLE_HASH (build a hash table per partition:
+    cheaper than sorting when one side is much smaller per key but still
+    too big to broadcast). At 100 TB these hints are how you override a
+    mis-estimated cardinality before it picks a plan that spills for
+    hours; the result must be IDENTICAL under any strategy — which is
+    exactly what the hash check proves. tests/test_plans.py pins both
+    operators in the pre-AQE plan.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    co = c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+    full = co.join(
+        li.hint("shuffle_hash"), co.o_orderkey == li.l_orderkey
+    )
+    return (
+        full.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -8,6 +8,7 @@ was lossless."""
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -248,3 +249,82 @@ def python_datasource_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+_ticks_counter = itertools.count()
+
+
+@query(
+    "python_stream_source_ticks",
+    category="S8,S4,E114",
+    oracle="""
+WITH ticks AS (
+  SELECT i AS tick_id, i % 5 AS series,
+         ((i * 2654435761) % 1000) / 10.0 AS value
+  FROM range(5000) t(i)
+)
+SELECT series,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total,
+       CAST(max(tick_id) AS BIGINT) AS last_tick
+FROM ticks
+GROUP BY series
+ORDER BY series
+""",
+)
+def python_stream_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python data source (Spark 4
+    SimpleDataSourceStreamReader): a deterministic tick generator served
+    through offset-tracked micro-batches into a complete-mode aggregation.
+
+    The streaming half of E58's batch DataSource point: initialOffset /
+    read(start) / readBetweenOffsets give Spark an exactly-once replayable
+    cursor over a system it has no connector for (the readBetweenOffsets
+    recovery path is why the generator must be a pure function of the
+    offset — same property that makes it oracle-checkable from range()).
+    The run drains TICK_TOTAL rows across 5 micro-batches on a tight
+    processing-time trigger, then stops; complete mode makes the final
+    sink table the full aggregate regardless of chunking. The simple
+    reader serves batches driver-side — the partition-parallel
+    DataSourceStreamReader is the scale variant; this surface is the
+    offset-management contract.
+    """
+    import time as _time
+
+    from ..sources.python_datasource import (
+        TICK_TOTAL,
+        register_streaming,
+    )
+
+    register_streaming(spark)
+    sdf = spark.readStream.format("synthticks").load()
+    agg = sdf.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.max("tick_id").alias("last_tick"),
+    )
+    name = f"sg_ticks_{next(_ticks_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            try:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("n").alias("tot"))
+                    .collect()[0]["tot"]
+                )
+            except Exception:
+                got = None
+            if got == TICK_TOTAL:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("series")

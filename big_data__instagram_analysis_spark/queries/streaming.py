@@ -708,3 +708,102 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append").orderBy(
         "win_start", "event_type"
     )
+
+
+# --- E113 (extension): stream-stream LEFT OUTER join --------------------------
+
+
+@query(
+    "stream_stream_left_outer",
+    category="X8,E113",
+    oracle="""
+WITH e AS (  -- µs-floor like Spark's timestamp type (SURVEY.md §5.4)
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events
+), v AS (SELECT * FROM e WHERE event_type = 'view'),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+m AS (
+  SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+         CAST((p.us - v.us) // 1000000 AS BIGINT) AS gap_s, v.us
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.us >= v.us
+   AND p.us <= v.us + CAST(1800000000 AS BIGINT)
+), wm AS (  -- global watermark = min over both streams' ms-floored maxima
+  SELECT (least((SELECT max(us) FROM v), (SELECT max(us) FROM p)) // 1000
+          - 3600000) * 1000 AS w)
+SELECT view_id, purchase_id, user_id, gap_s FROM m
+UNION ALL
+SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
+FROM v, wm
+WHERE v.event_id NOT IN (SELECT view_id FROM m)
+  AND v.us + CAST(1800000000 AS BIGINT) < wm.w
+ORDER BY view_id, purchase_id
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view matched to same-user
+    purchases within 30 min, plus a NULL-extended row for views whose
+    match window closed unmatched — the attribution shape where
+    "no conversion" is itself the signal.
+
+    Outer emission is watermark-driven: a buffered left row can only emit
+    its NULL row once the watermark proves no future right match is
+    possible (view.ts + 30 min < watermark). Single-data-batch replay +
+    the availableNow no-data finalization batch make this exactly
+    SQL-expressible: nothing is ever late (one batch sees everything), so
+    matches equal the batch join, and the final watermark (max ts − 1 h)
+    closes precisely the windows below it — the oracle reproduces that
+    cutoff with the same strict inequality. Multi-trigger replay would
+    drop late rows instead (the E13/X4 territory); the single-batch form
+    pins outer-join state semantics, not late-data policy. (Watermark
+    twin details, both measured: each stream's event-time stats floor to
+    MILLISECONDS before the delay subtraction, and the query's global
+    watermark is the MIN across the two filtered streams' maxima — the
+    default multipleWatermarkPolicy — so the oracle computes
+    (least(max_view_us, max_purchase_us)//1000 − 3_600_000)·1000; a
+    µs-precise or overall-max twin overshoots the closed-window set.)
+
+    At 100 TB this runs unbounded: join state holds only rows whose
+    window the watermark hasn't closed, so state size is bounded by
+    arrival rate × (window + delay), not by history.
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return run_available_now(joined, output_mode="append").orderBy(
+        "view_id", "purchase_id"
+    )

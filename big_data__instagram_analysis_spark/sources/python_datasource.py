@@ -72,3 +72,70 @@ class SynthEdgesSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration on a (possibly driver-owned) session."""
     spark.dataSource.register(SynthEdgesSource)
+
+
+# --- Streaming variant (Spark 4 SimpleDataSourceStreamReader) -----------------
+
+TICK_TOTAL = 5_000
+TICK_BATCH = 1_000
+_SERIES = 5
+
+
+def tick_row(i: int) -> tuple:
+    """Closed-form tick i → (tick_id, series, value) — shared by the stream
+    reader and (via tick_formula_sql) the DuckDB oracle."""
+    return (i, i % _SERIES, ((i * _A) % 1000) / 10.0)
+
+
+def tick_formula_sql() -> str:
+    """DuckDB SQL producing the identical tick table (the oracle twin)."""
+    return (
+        f"SELECT i AS tick_id, i % {_SERIES} AS series, "
+        f"((i * {_A}) % 1000) / 10.0 AS value FROM range({TICK_TOTAL}) t(i)"
+    )
+
+
+class TickStreamReader:
+    """SimpleDataSourceStreamReader: offset = next unread tick index.
+
+    The simple reader contract is driver-side reads with executor-side
+    REPLAY: ``read(start)`` serves a fresh micro-batch and advances the
+    offset; ``readBetweenOffsets`` regenerates any (start, end) range
+    deterministically for recovery — which is why the generator must be a
+    pure function of the offset, the same property that makes the source
+    oracle-checkable. A partition-parallel production source implements
+    DataSourceStreamReader with ``partitions()`` instead; the simple
+    variant trades parallelism for the minimal offset-management surface.
+    """
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + TICK_BATCH, TICK_TOTAL)
+        return iter([tick_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([tick_row(i) for i in range(start["i"], end["i"])])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthTicksSource(DataSource):
+    """``spark.readStream.format("synthticks").load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, series int, value double"
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader()
+
+
+def register_streaming(spark) -> None:
+    spark.dataSource.register(SynthTicksSource)

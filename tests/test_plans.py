@@ -242,3 +242,16 @@ def test_sql_udf_is_inlined(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_join_hints_pin_strategies(spark, sf_dir):
+    """MERGE and SHUFFLE_HASH hints must surface as SortMergeJoin and
+    ShuffledHashJoin in the pre-AQE plan — and suppress the broadcast
+    conversion cost estimation would otherwise pick at this size."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    df = get_specs()["join_hints_strategies"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:400]
+    assert "ShuffledHashJoin" in plan, plan[:400]
+    assert "BroadcastHashJoin" not in plan, plan[:400]
