@@ -1624,3 +1624,205 @@ def join_hints_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "udtf_polymorphic_tokens",
+    category="U5,L4,E118",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < 50
+), x AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+  FROM s
+), w AS (
+  SELECT doc_id, word,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+           AS pos
+  FROM x WHERE word <> ''
+)
+SELECT doc_id, word, pos
+FROM w
+ORDER BY doc_id, pos
+""",
+)
+def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (static analyze()): the table function's
+    output schema is computed at plan time from its arguments instead of
+    being declared once — Spark 4's answer to generic exploders whose
+    shape depends on input.
+
+    U5's udtf_shingles declares a fixed returnType; here analyze()
+    returns the AnalyzeResult, so one registration serves any schema the
+    arguments imply (the extension point behind things like
+    variant_explode). The eval body stays a plain generator; rows flow
+    through Arrow like any UDTF. Empty tokens are skipped to keep the
+    SQL twin (split + unnest) exact.
+    """
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+
+    class Tokens:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = (
+                StructType()
+                .add("doc_id", LongType())
+                .add("word", StringType())
+                .add("pos", IntegerType())
+            )
+            return AnalyzeResult(schema)
+
+        def eval(self, doc_id, text):
+            pos = 0
+            for w in str(text).split(" "):
+                if w:
+                    yield (doc_id, w, pos)
+                    pos += 1
+
+    tok = udtf(Tokens)
+    spark.udtf.register("sg_tokens", tok)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_tok_v")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.word, t.pos
+        FROM docs_tok_v d,
+             LATERAL sg_tokens(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )
+
+
+@query(
+    "sql_pipe_syntax_rollup",
+    category="A1,E119",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+ORDER BY o_orderpriority
+""",
+)
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>`): the same logical query written as
+    a left-to-right dataflow — FROM … |> WHERE … |> AGGREGATE … GROUP BY
+    … |> WHERE … |> ORDER BY — instead of the inside-out SELECT nesting.
+
+    Each pipe stage is exactly one relational operator applied to the
+    rows flowing in, so query text order finally matches plan order
+    (post-aggregation filters are just another WHERE — no HAVING
+    special case). Catalyst compiles both spellings to the identical
+    plan; the hash check against the classic form proves it.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n, total
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "parameterized_sql_identifier",
+    category="P2,E120",
+    oracle="""
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 1000.0
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def parameterized_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named args) + the IDENTIFIER() clause: the
+    table NAME and the filter threshold both arrive as bind parameters —
+    no f-string splicing anywhere.
+
+    Untrusted-input discipline at any scale: value parameters bind as
+    literals (plan-cache friendly, injection-proof) and IDENTIFIER()
+    is the only sanctioned way to parameterize an identifier — it
+    resolves through the analyzer's quoting rules instead of raw text
+    concatenation. One spark.sql call, two parameter kinds, same plan
+    as the static query.
+    """
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_param_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_param_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM IDENTIFIER(:sup_tab) JOIN IDENTIFIER(:nat_tab)
+          ON s_nationkey = n_nationkey
+        WHERE s_acctbal > :min_bal
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+        args={
+            "sup_tab": "supplier_param_v",
+            "nat_tab": "nation_param_v",
+            "min_bal": 1000.0,
+        },
+    )
+
+
+@query(
+    "sql_scripting_compound",
+    category="A2,E121",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+)
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_priorities,
+       CAST((SELECT sum(n) FROM g) AS BIGINT) AS n_orders,
+       CAST((SELECT max(n) FROM g) AS BIGINT) AS busiest_n
+""",
+)
+def sql_scripting_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 BEGIN…END): a compound statement with
+    DECLAREd session variables computed by nested queries, returning the
+    final SELECT — procedural glue *inside* the SQL surface, where ETL
+    control flow otherwise leaks into Python driver code.
+
+    Each SET executes as an ordinary Catalyst query whose scalar lands
+    in a session variable; the script's value is its last statement.
+    At 100 TB the win is operational: multi-step maintenance jobs
+    (compute threshold → apply filter → record audit row) ship as ONE
+    auditable script, not a Python loop of spark.sql calls with state
+    in the driver.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_pri BIGINT DEFAULT 0;
+          DECLARE n_ord BIGINT DEFAULT 0;
+          DECLARE busiest BIGINT DEFAULT 0;
+          SET n_pri = (SELECT count(DISTINCT o_orderpriority)
+                       FROM orders_script_v);
+          SET n_ord = (SELECT count(*) FROM orders_script_v);
+          SET busiest = (SELECT max(n) FROM (
+              SELECT count(*) AS n FROM orders_script_v
+              GROUP BY o_orderpriority));
+          SELECT n_pri AS n_priorities, n_ord AS n_orders,
+                 busiest AS busiest_n;
+        END
+        """
+    )
