@@ -1826,3 +1826,83 @@ def sql_scripting_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "approx_top_k_event_types",
+    category="A4,E122",
+    oracle="""
+SELECT event_type AS item,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, item
+LIMIT 3
+""",
+)
+def approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4.1's heavy-hitter sketch): top-3 event types
+    by frequency from a bounded-memory frequent-items summary.
+
+    The sketch tracks maxItemsTracked (default 10k) candidate items with
+    Space-Saving-style counts: one pass, map-side combinable, fixed
+    memory — the 100 TB shape for "top domains / top tokens" where exact
+    GROUP BY would shuffle the full key domain. The accuracy contract
+    that makes it hash-checkable here: counts are EXACT whenever the
+    distinct-item count stays within the tracked budget (5 event types ≪
+    10k), so the emit equals the exact GROUP BY top-3; beyond the budget
+    you get approximate heavy hitters and would switch to a certified
+    containment check (the E42 freqItems pattern).
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_topk_v")
+    return spark.sql(
+        """
+        SELECT t.s.item AS item, CAST(t.s.count AS BIGINT) AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 3)) AS s
+              FROM events_topk_v) t
+        ORDER BY cnt DESC, item
+        """
+    )
+
+
+@query(
+    "variant_explode_props",
+    category="F9,E123",
+    oracle="""
+SELECT event_id,
+       0 AS pos,
+       'k' AS key,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS val_json
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variant_explode (Spark 4 TVF): flatten semi-structured VARIANT
+    values into (pos, key, value) rows — the schema-on-read exploder for
+    payloads whose keys aren't known at write time.
+
+    parse_json lands the props column as VARIANT (binary-encoded,
+    predicate-pushable — the E70 shredding surface); the LATERAL TVF then
+    walks each value's top level without any declared schema, unlike
+    from_json which needs one up front. Values re-serialize via to_json
+    for the §5.4-stable emit (variant binaries are not hash-portable).
+    The fixture's single-key objects keep the oracle closed-form; ragged
+    multi-key payloads would emit one row per key by the same plan.
+    """
+    e = load(spark, sf_dir, "events")
+    e.where(F.col("event_id") < 500).select(
+        "event_id", F.parse_json("props").alias("v")
+    ).createOrReplaceTempView("events_variant_v")
+    return spark.sql(
+        """
+        SELECT e.event_id,
+               CAST(t.pos AS INT) AS pos,
+               t.key,
+               to_json(t.value) AS val_json
+        FROM events_variant_v e,
+             LATERAL variant_explode(e.v) t
+        ORDER BY e.event_id, t.pos
+        """
+    )
