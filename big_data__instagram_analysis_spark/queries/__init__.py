@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     scale_ops,
     setops,
     social,
+    sources_meta,
     sources_sinks,
     streaming,
     subqueries,

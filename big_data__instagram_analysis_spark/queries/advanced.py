@@ -1520,7 +1520,7 @@ WITH e AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM e
 ), b AS (
-  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END
+  SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end THEN 1 ELSE 0 END
               AS brk
   FROM o
 ), s AS (
@@ -1546,9 +1546,14 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement models keep high-intent events "sticky". The gap column
     makes the window spec data-dependent — each event contributes
     [ts, ts+gap) and overlapping windows merge, so the session end is
-    the running max of event ends, not last-event+constant. The oracle
+    the running max of event ends, not last-event+constant. Boundary
+    semantics: Spark merges on TOUCH — an event starting exactly at the
+    previous running end extends the session (fuzz-verified in
+    tests/test_session_hypothesis.py), so the break condition is strictly
+    ``us > prev_end``. The oracle
     twin is that exact definition in SQL: a cumulative-max break detector
-    (new session when an event starts at/after every previous end) plus
+    (new session only when an event starts strictly after every previous
+    end) plus
     a cumulative-sum session id — the W3+W5 composition, proving the
     declarative operator against first principles. Span floors to whole
     seconds for the §5.4-stable emit.

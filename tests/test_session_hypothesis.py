@@ -4,7 +4,10 @@ reference (SURVEY.md §5.3 second-oracle discipline, E111).
 Spark's session_window(ts, gap_expr) merges overlapping [ts, ts+gap)
 windows per key. The reference implementation below is the from-first-
 principles definition: sort by ts, break a session whenever an event
-starts at/after the running max end of everything before it. Hypothesis
+starts strictly after the running max end of everything before it (Spark
+merges on touch: an event at exactly prev_end extends the session —
+verified against the falsifying example [(0,0,10),(0,10,10)] which Spark
+sessionizes as ONE window [0,20)). Hypothesis
 generates small random (user, ts_sec, gap_sec) frames; session starts,
 sizes, and ends must agree exactly.
 
@@ -40,7 +43,7 @@ def _reference_sessions(rows):
         evs.sort()
         sess = None  # [start, n, max_end]
         for ts, gap in evs:
-            if sess is None or ts >= sess[2]:
+            if sess is None or ts > sess[2]:
                 if sess is not None:
                     out.add((u, sess[0], sess[1], sess[2]))
                 sess = [ts, 1, ts + gap]
