@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     llm_similarity,
     llm_text,
     projections,
+    runtime,
     scalars,
     scale_ops,
     setops,

@@ -255,3 +255,25 @@ def test_join_hints_pin_strategies(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan[:400]
     assert "ShuffledHashJoin" in plan, plan[:400]
     assert "BroadcastHashJoin" not in plan, plan[:400]
+
+
+def test_cached_dim_reuse_hits_memory_cache(spark, sf_dir):
+    """Both branches of the union must read the dim from the columnar cache
+    (InMemoryTableScan), not re-join parquet twice."""
+    plan = _plan(spark, sf_dir, "cached_dim_reuse")
+    assert plan.count("InMemoryTableScan") >= 2, plan[:600]
+
+
+def test_distribute_sort_by_is_partition_local(spark, sf_dir):
+    """DISTRIBUTE BY must hash-exchange; SORT BY must stay partition-local
+    (no range exchange = no global sort)."""
+    plan = _plan(spark, sf_dir, "distribute_sort_by_layout")
+    assert "hashpartitioning(l_suppkey" in plan, plan[:600]
+    assert "rangepartitioning" not in plan.lower(), "SORT BY planned a global sort"
+
+
+def test_date_spine_broadcasts_daily_agg(spark, sf_dir):
+    """The spine join must broadcast (tiny calendar), never shuffle the
+    aggregated fact side by date."""
+    plan = _plan(spark, sf_dir, "date_spine_gap_fill")
+    assert "BroadcastHashJoin" in plan, plan[:600]
