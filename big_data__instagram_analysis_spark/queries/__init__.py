@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     projections,
     runtime,
     scalars,
+    scalars_ext,
     scale_ops,
     setops,
     social,

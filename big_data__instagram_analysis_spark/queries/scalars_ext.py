@@ -1,0 +1,257 @@
+"""Scalar-surface extensions (§2.12 E135-E138): AES column encryption,
+embedded-CSV parsing, outer generators, and histogram binning.
+
+Each is the Spark-native answer to a request the base scalar families (F1-F9)
+don't cover: encrypt-at-rest PII columns, ingest CSV payloads embedded in
+another table, preserve empty groups through explosion, and bin continuous
+measures — exact (width_bucket) and sketched (histogram_numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# 16-byte demo key (AES-128). Real deployments pull this from a KMS and
+# rotate it; the point here is the engine surface, not key management.
+_AES_KEY = "0123456789abcdef"
+
+
+@query(
+    "aes_pii_roundtrip",
+    category="F1,L8,E135",
+    oracle="""
+SELECT c_custkey, c_name AS recovered_name,
+       TRUE AS roundtrip_ok, TRUE AS block_aligned
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+)
+def aes_pii_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``aes_encrypt``/``aes_decrypt``: PII-at-rest column encryption inside
+    the engine (no UDF, no driver round trip). ECB mode is used HERE because
+    determinism makes the round trip oracle-checkable; the docstring caveat
+    is the real guidance — GCM (the default) for production, since ECB
+    leaks equality of plaintexts.
+
+    The emit certifies the full loop: decrypt(encrypt(name)) recovers the
+    exact name (hash-matched against the raw column by the oracle), and
+    every ciphertext is AES-block-aligned (len % 16 == 0) — structure only
+    the real cipher produces. At 100 TB this runs as a codegen'd JVM
+    expression per row: no shuffle, no Python.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    key = F.lit(_AES_KEY)
+    enc = F.expr(
+        f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB', 'PKCS')"
+    )
+    out = c.select(
+        "c_custkey",
+        "c_name",
+        enc.alias("ct"),
+    ).select(
+        "c_custkey",
+        F.expr(f"CAST(aes_decrypt(ct, '{_AES_KEY}', 'ECB', 'PKCS') AS STRING)")
+        .alias("recovered_name"),
+        "c_name",
+        (F.length("ct") % 16 == 0).alias("block_aligned"),
+    )
+    return (
+        out.select(
+            "c_custkey",
+            "recovered_name",
+            (F.col("recovered_name") == F.col("c_name")).alias("roundtrip_ok"),
+            "block_aligned",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "embedded_csv_parse",
+    category="F1,F6,E136",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+""",
+)
+def embedded_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_csv``/``from_csv``: CSV records embedded in a column (message
+    queues and log lines carry these constantly). A struct is serialized to
+    a one-line CSV string, then parsed back with an explicit schema —
+    typed extraction without exploding to a file round trip.
+
+    Proving serialize∘parse == identity through the engine's own CSV
+    dialect is the property that matters: quoting, decimal formatting, and
+    null encoding all live inside it. Runs as JVM expressions — the 100 TB
+    path for "parse the CSV payload column" never leaves codegen.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    csv_line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")
+        )
+    )
+    parsed = F.from_csv(
+        csv_line, "k bigint, status string, price double"
+    )
+    return (
+        o.select("o_orderkey", parsed.alias("p"))
+        .select(
+            "o_orderkey",
+            F.col("p.status").alias("status"),
+            F.round("p.price", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "generator_outer_family",
+    category="F7,E137",
+    oracle="""
+WITH arrs AS (
+  SELECT c_custkey,
+         list_sort(list_filter(list(o_orderpriority), p -> p = '1-URGENT'))
+           AS arr
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE c_custkey <= 300
+  GROUP BY c_custkey
+)
+SELECT c_custkey, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS pri
+FROM arrs WHERE len(arr) = 0
+UNION ALL
+SELECT c_custkey,
+       CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+       unnest(arr) AS pri
+FROM arrs
+WHERE len(arr) > 0
+ORDER BY c_custkey, pos
+""",
+)
+def generator_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``posexplode_outer``: the OUTER generator family. A plain explode
+    DROPS rows whose array is empty — silently losing every customer with
+    no urgent orders from the output. The _outer variants emit one
+    (NULL pos, NULL value) row instead, preserving the left cardinality —
+    the LEFT JOIN of the generator world.
+
+    The per-customer array is built with sort_array(collect_list) + filter
+    (possibly to empty), so both branches of the semantics are exercised in
+    one result. The oracle spells the same contract as an explicit
+    empty-branch UNION over unnest.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    o = load(spark, sf_dir, "orders")
+    arrs = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sort_array(
+                F.filter(
+                    F.collect_list("o_orderpriority"),
+                    lambda p: p == "1-URGENT",
+                )
+            ).alias("arr")
+        )
+    )
+    return (
+        arrs.select(
+            "c_custkey", F.posexplode_outer("arr").alias("pos", "pri")
+        )
+        .select("c_custkey", F.col("pos").cast("bigint").alias("pos"), "pri")
+        .orderBy("c_custkey", "pos")
+    )
+
+
+@query(
+    "width_bucket_histogram",
+    category="F4,A1,E138",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 11
+            ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``width_bucket``: exact equi-width histogram binning — bucket i of
+    [0, 500000) in 10 steps, with the under/overflow buckets 0 and 11 the
+    function defines. The oracle recomputes the bucket arithmetic from its
+    definition (floor-divide on the same IEEE doubles), so the hash match
+    pins Spark's function to first principles.
+
+    This is the exact counterpart to the sketched ``histogram_numeric``
+    (histogram_numeric_certified): same shape, no approximation, one
+    map-side-combined aggregation — at 100 TB an equi-width histogram is a
+    single shuffle of at most n_buckets rows per task.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("width_bucket(o_totalprice, 0D, 500000D, 10)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "histogram_numeric_certified",
+    category="A4,E139",
+    oracle="""
+SELECT CAST(8 AS INT) AS n_bins,
+       CAST(count(*) AS BIGINT) AS total_weight,
+       TRUE AS centers_in_range,
+       TRUE AS centers_ascending
+FROM orders
+""",
+)
+def histogram_numeric_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_numeric``: Spark's streaming equi-depth-ish histogram
+    sketch (Ben-Haim/Tom-Tov decision-tree histogram — centroid merge, one
+    pass, mergeable across partitions). Bin centers are
+    implementation-defined, so the certified-property pattern applies: the
+    emit pins the sketch's CONTRACT — exactly 8 bins, bin weights summing
+    to the exact row count (nothing dropped or double-counted), centers
+    inside [min, max], and strictly ascending.
+
+    At 100 TB this is the shape for "distribution of X" dashboards: fixed
+    sketch size per partition, one merge, no sort, no exact percentile
+    shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    row = o.select(
+        F.expr("histogram_numeric(o_totalprice, 8)").alias("h"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    return row.select(
+        F.size("h").alias("n_bins"),
+        F.aggregate(
+            "h", F.lit(0.0), lambda acc, b: acc + b["y"]
+        )
+        .cast("bigint")
+        .alias("total_weight"),
+        F.forall(
+            "h", lambda b: (b["x"] >= F.col("lo")) & (b["x"] <= F.col("hi"))
+        ).alias("centers_in_range"),
+        F.expr(
+            "forall(zip_with(slice(h, 1, size(h) - 1), slice(h, 2, size(h) - 1),"
+            " (a, b) -> a.x < b.x), v -> v)"
+        ).alias("centers_ascending"),
+    )
