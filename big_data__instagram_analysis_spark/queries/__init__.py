@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     llm_similarity,
     llm_text,
     projections,
+    retrieval,
     runtime,
     scalars,
     scalars_ext,
@@ -42,6 +43,7 @@ from . import (  # noqa: F401
     sources_sinks,
     streaming,
     subqueries,
+    tpch_deep,
     udfs,
     windows,
 )
