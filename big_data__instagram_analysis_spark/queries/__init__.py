@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     llm_multimodal,
     llm_similarity,
     llm_text,
+    pipeline_ops,
     projections,
     retrieval,
     runtime,

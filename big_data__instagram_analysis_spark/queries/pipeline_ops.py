@@ -1,0 +1,371 @@
+"""Pipeline-operations extensions (SURVEY.md §2.12 E150, E152, E154, E155).
+
+Four ops a production data platform runs daily that aren't plain relational
+queries: duplicate-cluster survivor selection (the step that actually DROPS
+data in a dedup pipeline), small-file compaction planning (table
+maintenance), an ordered multi-step funnel with per-step time bounds (the
+MATCH_RECOGNIZE shape), and BFS shortest-path levels (iterative graph
+traversal checked against a recursive-CTE oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..operators.dedup import ngram_jaccard_pairs
+from ..registry import query
+
+# --- E150: dedup survivor selection (keep-best, not keep-first) --------------
+
+_KEEP_BEST = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+), label AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+), ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM labeled
+)
+SELECT cluster_id,
+       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS survivor_chars,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(count(*) - 1 AS BIGINT) AS removed_docs,
+       CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         AS removed_chars
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@query("dedup_keep_best_survivors", category="E150,L2", oracle=_KEEP_BEST)
+def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup clusters: keep the LONGEST document
+    per cluster (n_chars, doc_id tiebreak) — the policy step that turns
+    cluster labels into an actual dedup decision. Crawl pipelines keep the
+    best-quality member, not the arbitrary min-id one; this emits, per
+    cluster, the survivor plus how many docs/chars the decision removes.
+
+    Scale: clusters come from operators/graph.py's alternating
+    large-star/small-star CC (O(log n) shuffle rounds); survivor pick is
+    one rank window partitioned by cluster_id — group size = cluster size,
+    bounded by true duplication multiplicity. The oracle recomputes
+    components via recursive-CTE transitive closure + the same rank.
+    """
+    from ..operators.graph import attach_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    labeled = attach_components(
+        d.select("doc_id", "n_chars"), pairs, "doc_id", src="doc_a", dst="doc_b"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    ranked = labeled.select(
+        F.col("component").alias("cluster_id"), "doc_id", "n_chars", rk.alias("rk")
+    )
+    survivor_chars = F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "survivor_doc_id"
+            ),
+            survivor_chars.alias("survivor_chars"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).alias("removed_docs"),
+            (F.sum("n_chars") - survivor_chars).alias("removed_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --- E152: small-file compaction planning ------------------------------------
+
+_TARGET_ROWS = 8000
+_COMPACT_FILES = 6
+
+_COMPACTION = f"""
+WITH per_file AS (
+  SELECT CAST(o_orderkey % {_COMPACT_FILES} AS INTEGER) AS file_idx,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders
+  GROUP BY 1
+), binned AS (
+  SELECT file_idx, n_rows,
+         CAST(floor((sum(n_rows) OVER (ORDER BY file_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_rows) / {_TARGET_ROWS}) AS BIGINT) AS bin_id
+  FROM per_file
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       array_to_string(list(CAST(file_idx AS VARCHAR) ORDER BY file_idx), ',')
+         AS file_idxs
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+@query("small_file_compaction_plan", category="E152,S7", oracle=_COMPACTION)
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance planning: write orders partitioned into 6 bucket
+    dirs (the "too many small files" state), then build the compaction
+    plan — roll files in order into ~8k-row target bins via a prefix-sum
+    floor-divide. Emits per-bin file lists the rewrite job would execute.
+
+    Scale: the plan is metadata-only — per-file row counts come from
+    grouping on the hidden `_metadata.file_path` column (file identity
+    recovered FROM the path, proving path↔partition agreement like
+    metadata_hidden_columns), and the binning is one window over #files
+    rows, not #rows. The partition key is an explicit o_orderkey % 6
+    column rather than opaque writer hash-partitioning so the oracle can
+    recompute every per-file count from the base table without touching
+    the sink (the suite's sink-free oracle convention).
+    """
+    from ..sources.readers_writers import sink_path
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % _COMPACT_FILES).cast("int")
+    )
+    path = sink_path("compaction_orders", sf_dir)
+    o.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.regexp_extract(F.col("_metadata.file_path"), r"bucket=(\d+)", 1)
+            .cast("int")
+            .alias("file_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("file_idx").rowsBetween(Window.unboundedPreceding, 0)
+    binned = per_file.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_rows").over(w) - F.col("n_rows")) / _TARGET_ROWS).cast(
+            "bigint"
+        ),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("file_idx").cast("string"))),
+                ",",
+            ).alias("file_idxs"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# --- E154: ordered 3-step funnel with per-step time bounds -------------------
+
+_STEP_NS = 24 * 3600 * 1_000_000_000  # 24 hours per step (fixture events are ~2/user/day)
+
+_FUNNEL3 = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events
+), v AS (
+  SELECT user_id, min(ns) AS v_ns FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ns) AS c_ns
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ns > v.v_ns
+    AND e.ns <= v.v_ns + {_STEP_NS}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ns) AS p_ns
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ns > c.c_ns
+    AND e.ns <= c.c_ns + {_STEP_NS}
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(v.v_ns AS BIGINT) AS v_ns,
+       CAST(c.c_ns AS BIGINT) AS c_ns,
+       CAST(p.p_ns AS BIGINT) AS p_ns,
+       CAST((p.p_ns - v.v_ns) // 1000000 AS BIGINT) AS total_ms
+FROM v JOIN c ON v.user_id = c.user_id
+       JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
+@query("funnel_3step_timed", category="E154,W3", oracle=_FUNNEL3)
+def funnel_3step_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel with per-step deadlines: first view → first
+    click within 24 h of it → first purchase within 24 h of THAT click — the
+    MATCH_RECOGNIZE / sequential-pattern shape, emitted per completing
+    user with exact int64-ns stage timestamps.
+
+    Scale: three conditional-min aggregations, each one shuffle on
+    user_id (co-partitioned, so AQE elides re-exchange after the first);
+    each later stage joins the previous stage's per-user single row, never
+    the raw event history — state per user is O(1), unlike a
+    collect-sort-scan UDF. Time math stays in exact integer nanoseconds
+    (io.load's ts_ns ↔ DuckDB epoch_ns), immune to timezone and float
+    issues.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("v_ns"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts_ns") > F.col("v_ns"))
+            & (F.col("ts_ns") <= F.col("v_ns") + F.lit(_STEP_NS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("c_ns"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts_ns") > F.col("c_ns"))
+            & (F.col("ts_ns") <= F.col("c_ns") + F.lit(_STEP_NS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("p_ns"))
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            "v_ns",
+            "c_ns",
+            "p_ns",
+            F.expr("(p_ns - v_ns) div 1000000").alias("total_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- E155: BFS levels vs recursive-CTE shortest path -------------------------
+
+_NS_PER_HOUR = 3600 * 1_000_000_000
+_BFS_MAX_DEPTH = 4
+
+_BFS = f"""
+WITH RECURSIVE hours AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_HOUR} AS h
+  FROM events WHERE user_id < 60
+), edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM hours a JOIN hours b ON a.h = b.h AND a.user_id <> b.user_id
+), root AS (
+  SELECT min(src) AS s FROM edges
+), walk(node, dist) AS (
+  SELECT s, 0 FROM root
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_BFS_MAX_DEPTH}
+)
+SELECT CAST(node AS BIGINT) AS user_id, CAST(min(dist) AS INTEGER) AS dist
+FROM walk
+GROUP BY node
+ORDER BY user_id
+"""
+
+
+@query("bfs_levels_coactivity", category="E155,E12", oracle=_BFS)
+def bfs_levels_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path levels (≤4 hops) from the lowest-id user over the
+    hour-bucket co-activity graph — the traversal primitive behind
+    friend-of-friend and contamination-spread queries. Oracle = bounded
+    recursive CTE taking min(dist) per node.
+
+    Scale: frontier-expansion BFS — each round joins the CURRENT FRONTIER
+    (not the visited set) against edges on src, anti-joins the visited
+    set, and localCheckpoint()s so the plan stays O(1) per round instead
+    of nesting; rounds = graph diameter (bounded to 4 here), shuffle
+    volume per round = frontier fan-out, the textbook distributed BFS.
+    The driver loop only orchestrates — no per-node data ever collects.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    hours = e.select(
+        "user_id", (F.col("ts_ns") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("h")
+    ).distinct()
+    a, b = hours.alias("a"), hours.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    root = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    visited = root.localCheckpoint()
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("bigint").alias("user_id"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("user_id")
