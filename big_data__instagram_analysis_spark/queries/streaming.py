@@ -809,6 +809,100 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- E157 (extension): stream-stream FULL OUTER join --------------------------
+
+
+@query(
+    "stream_stream_full_outer",
+    category="X8,E157",
+    oracle="""
+WITH e AS (  -- µs-floor like Spark's timestamp type (SURVEY.md §5.4)
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events
+), v AS (SELECT * FROM e WHERE event_type = 'view'),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+m AS (
+  SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+         CAST((p.us - v.us) // 1000000 AS BIGINT) AS gap_s, v.us AS vus
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.us >= v.us
+   AND p.us <= v.us + CAST(1800000000 AS BIGINT)
+), wm AS (  -- global watermark = min over both streams' ms-floored maxima
+  SELECT (least((SELECT max(us) FROM v), (SELECT max(us) FROM p)) // 1000
+          - 3600000) * 1000 AS w)
+SELECT view_id, purchase_id, user_id, gap_s FROM m
+UNION ALL
+SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
+FROM v, wm
+WHERE v.event_id NOT IN (SELECT view_id FROM m)
+  AND v.us + CAST(1800000000 AS BIGINT) < wm.w
+UNION ALL
+SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id, CAST(NULL AS BIGINT)
+FROM p, wm
+WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+  AND p.us < wm.w
+ORDER BY view_id NULLS LAST, purchase_id
+""",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: matches within 30 min plus NULL rows
+    for BOTH sides once the watermark proves no counterpart can arrive —
+    unmatched views (no conversion) and unmatched purchases (no preceding
+    view: the dark-conversion / attribution-gap signal).
+
+    The two sides close on DIFFERENT watermark conditions, measured here
+    (single-data-batch + availableNow finalization, as E113): a view's
+    window closes when v_ts + 30 min < watermark (no future purchase can
+    land inside it), but a purchase closes as soon as p_ts < watermark —
+    its candidate views lie in [p_ts − 30 min, p_ts], all BELOW p_ts, so
+    any view still arriving (event time ≥ watermark > p_ts) fails
+    v_ts ≤ p_ts outright. The oracle pins both inequalities; the
+    asymmetry is exactly the state-eviction math a 100 TB deployment
+    sizes its state store by (left state lives window+delay, right state
+    only delay).
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return run_available_now(joined, output_mode="append").orderBy(
+        F.col("view_id").asc_nulls_last(), "purchase_id"
+    )
+
+
 # --- E115: RocksDB state store backend ----------------------------------------
 
 
@@ -1006,5 +1100,80 @@ def statestore_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.select(F.col("key.event_type").alias("event_type"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .orderBy("event_type")
+    )
+
+
+# --- E158 (extension): foreachBatch multi-sink fan-out ------------------------
+
+
+@query(
+    "stream_foreachbatch_fanout",
+    category="S9,E158",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS sinks_agree
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch fan-out: ONE stream feeds TWO sinks (parquet metrics +
+    CSV audit) from the same batch function — the standard way to get
+    multiple destinations per micro-batch, since a query has one sink.
+
+    Exactly-once across BOTH sinks comes from epoch-keyed idempotence:
+    each sink writes its per-batch aggregate to a directory named by
+    epoch_id with mode=overwrite, so a retried batch replaces rather than
+    doubles its own output (checkpoint replay re-runs the same epoch id).
+    Totals are then per-epoch partial aggregates summed at read — chunking
+    (maxFilesPerTrigger=3) cannot change the sum, which is what the batch
+    oracle checks; the pinned boolean certifies the two sinks agree row
+    for row. At 100 TB the same shape writes the partial aggs partitioned
+    by key instead of collecting anything.
+    """
+    base = scratch_dir(f"fanout_{next(_upsert_counter)}_{os.getpid()}")
+
+    def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        agg.write.mode("overwrite").parquet(
+            os.path.join(base, f"pq_gen_{epoch_id}")
+        )
+        agg.write.mode("overwrite").csv(
+            os.path.join(base, f"csv_gen_{epoch_id}"), header=True
+        )
+
+    s = events_stream(spark, sf_dir, max_files_per_trigger=3)
+    q = s.writeStream.foreachBatch(fan_out).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    pq = (
+        spark.read.parquet(os.path.join(base, "pq_gen_*"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    csv = (
+        spark.read.csv(
+            os.path.join(base, "csv_gen_*"),
+            header=True,
+            schema="event_type string, n long",
+        )
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_csv"))
+    )
+    return (
+        pq.join(csv, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") == F.col("n_csv")).alias("sinks_agree"),
+        )
         .orderBy("event_type")
     )
