@@ -369,3 +369,185 @@ def bfs_levels_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("user_id"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("user_id")
+
+
+# --- E161: exact rolling median (window percentile) --------------------------
+
+_ROLL_MED = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_ns(ts) AS ns, value
+  FROM events WHERE user_id < 20
+)
+SELECT event_type, event_id,
+       CAST(floor(median(value) OVER (PARTITION BY event_type
+                                      ORDER BY ns, event_id
+                                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  * 10000 + 0.5) AS BIGINT) AS med7_x1e4
+FROM e
+ORDER BY event_type, event_id
+"""
+
+
+@query("rolling_median_value", category="E161,W6,A7", oracle=_ROLL_MED)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-row median per event type — the robust-smoothing
+    window (median is the order statistic moving averages can't fake, and
+    percentile-in-a-frame is the shape engines often lack).
+
+    Scale: one shuffle on the window partition key; the frame holds ≤7
+    values per row so the per-row sort inside percentile() is O(7 log 7) —
+    constant — and state never exceeds the frame. Exact (not approx)
+    because the frame is bounded: percentile sketches are for unbounded
+    groups, not fixed frames. Both engines average the two middle doubles
+    identically for even frames (IEEE, same operands); the emit is
+    floor(x*1e4+0.5) — exact integer, immune to the engine round()
+    half-boundary divergence (observed on E163's first cut).
+    The (ns, event_id) order key is a total order — frame contents are
+    engine-independent.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("event_type", "event_id", "ts_ns", "value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            F.floor(F.expr("percentile(value, 0.5)").over(w) * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("med7_x1e4"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+# --- E163: linear interpolation over an hourly spine -------------------------
+
+_NS_HOUR = 3600 * 1_000_000_000
+
+_LERP = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // {_NS_HOUR} AS h, value
+  FROM events WHERE user_id < 10
+), known AS (
+  -- exact integer micro-units per event, then identical sum/count division
+  SELECT user_id, h,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000.0 AS v
+  FROM e GROUP BY user_id, h
+), span AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM known GROUP BY user_id
+), spine AS (
+  SELECT s.user_id, g.h
+  FROM span s, LATERAL (SELECT unnest(range(s.h0, s.h1 + 1)) AS h) g
+), joined AS (
+  SELECT sp.user_id, sp.h, k.v
+  FROM spine sp LEFT JOIN known k ON k.user_id = sp.user_id AND k.h = sp.h
+), bounded AS (
+  SELECT user_id, h, v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT user_id, CAST(h AS BIGINT) AS h,
+       (v IS NOT NULL) AS observed,
+       CAST(floor((CASE
+         WHEN v IS NOT NULL THEN v
+         ELSE pv + (nv - pv) * (h - ph) / (nh - ph)
+       END) * 1000000 + 0.5) AS BIGINT) AS v_interp_u
+FROM bounded
+ORDER BY user_id, h
+"""
+
+
+@query("linear_interpolate_hourly", category="E163,W6", oracle=_LERP)
+def linear_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense hourly spine: per user, hours
+    without observations get pv + (nv − pv)·(h − ph)/(nh − ph) between the
+    bracketing known points — the time-series regularization step before
+    any windowed model (gap_fill_forward's ffill only repeats; this
+    actually interpolates).
+
+    Scale: the spine is explode(sequence(h0, h1)) per user — generated at
+    the executor, rows ∝ span-hours, no driver loop; bracketing points
+    come from two IGNORE NULLS window passes (last-before, first-after)
+    over the spine order, each one shuffle on user_id. Determinism: every
+    observation converts to exact integer micro-units first, the per-hour
+    mean is written as the same sum/count/1e6 division chain on both
+    engines, and the lerp output emits as floor(x*1e6+0.5) — an exact
+    BIGINT, because engine round() half-boundary behavior diverges on
+    doubles (the first cut failed exactly there).
+    Interior hours always have both brackets (spine ends at observed
+    extremes); `observed` flags real vs synthesized rows for downstream.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            F.expr(f"ts_ns div {_NS_HOUR}").alias("h"),
+            "value",
+        )
+    )
+    value_u = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    known = e.groupBy("user_id", "h").agg(
+        (
+            F.sum(value_u).cast("double") / F.count(F.lit(1)) / F.lit(1_000_000.0)
+        ).alias("v")
+    )
+    span = known.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = spine.join(known, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    kh = F.when(F.col("v").isNotNull(), F.col("h"))
+    bounded = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(kh, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(kh, ignorenulls=True).over(wf).alias("nh"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("h") - F.col("ph")
+    ) / (F.col("nh") - F.col("ph"))
+    return bounded.select(
+        "user_id",
+        F.col("h").cast("bigint").alias("h"),
+        F.col("v").isNotNull().alias("observed"),
+        F.floor(
+            (F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("v_interp_u"),
+    ).orderBy("user_id", "h")
