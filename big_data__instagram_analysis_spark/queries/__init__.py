@@ -22,6 +22,7 @@ Module ↔ SURVEY.md §2 section map:
 from . import (  # noqa: F401
     advanced,
     aggregates,
+    analytics_ext,
     bucketing,
     core,
     curation,

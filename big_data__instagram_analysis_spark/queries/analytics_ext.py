@@ -1,0 +1,356 @@
+"""Analytics extensions (SURVEY.md §2.12 E164, E169, E172, E175).
+
+Nearest-direction as-of join with tolerance, exact weighted median,
+cumulative-new-entities growth accounting, and hierarchical share-of-parent
+ratios. Determinism follows the suite conventions: integer time (ns),
+integer cents/weights, share ratios emitted as floor(x*scale+0.5) BIGINTs
+(engine round() diverges at double half-boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..operators.asof import asof_join
+from ..registry import query
+
+# --- E164: nearest as-of join with tolerance ---------------------------------
+
+_TOL_NS = 7 * 24 * 3600 * 1_000_000_000  # ±7 days
+
+_NEAREST = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ns
+  FROM events WHERE user_id < 50
+), r AS (
+  SELECT o_custkey, epoch_ns(o_orderdate) AS ons,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         max(o_totalprice) AS price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, n.order_date,
+       round(n.price, 2) AS price,
+       CAST(n.gap_ns // 1000000000 AS BIGINT) AS gap_s
+FROM e
+JOIN LATERAL (
+  SELECT r.order_date, r.price, abs(r.ons - e.ns) AS gap_ns
+  FROM r
+  WHERE r.o_custkey = e.user_id AND abs(r.ons - e.ns) <= {_TOL_NS}
+  ORDER BY abs(r.ons - e.ns), r.ons
+  LIMIT 1
+) n ON TRUE
+ORDER BY e.event_id
+"""
+
+
+@query("asof_nearest_order", category="E164,J8", oracle=_NEAREST)
+def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    each event gets its user's CLOSEST order within ±7 days — backward or
+    forward, whichever is nearer, backward preferred on exact ties.
+
+    Scale: NOT a per-row lateral re-scan (that's only the oracle's
+    spelling). Two passes of the union+window as-of machinery — backward
+    as-is, forward by negating the integer-ns axis (greatest −t' ≤ −t ⇔
+    smallest t' ≥ t) — then an argmin on the two candidate gaps. Each pass
+    is one shuffle on (key, ts); no join ever materializes more than one
+    candidate per direction per row. Tie rule bd_gap ≤ fd_gap matches the
+    oracle's ORDER BY gap, right_ts.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select("event_id", "user_id", F.col("ts_ns").alias("ns"))
+    )
+    r = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+        .select(
+            "o_custkey",
+            # o_orderdate is TIMESTAMP_NTZ; tune() pins the session to UTC so
+            # the cast is identity and matches DuckDB's naive epoch_ns.
+            (
+                F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+                * F.lit(1000)
+            ).alias("ons"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "price",
+        )
+    )
+    bwd = asof_join(
+        e,
+        r.select(
+            "o_custkey",
+            F.col("ons").alias("b_ons"),
+            F.col("order_date").alias("b_date"),
+            F.col("price").alias("b_price"),
+        ),
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ns",
+        right_ts="b_ons",
+        payload=["b_ons", "b_date", "b_price"],
+        how="left",
+    )
+    # Forward pass: negate the axis so "greatest ≤" becomes "smallest ≥".
+    fwd = asof_join(
+        e.select("event_id", "user_id", (-F.col("ns")).alias("neg_ns")),
+        r.select(
+            "o_custkey",
+            (-F.col("ons")).alias("neg_ons"),
+            F.col("ons").alias("f_ons"),
+            F.col("order_date").alias("f_date"),
+            F.col("price").alias("f_price"),
+        ),
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="neg_ns",
+        right_ts="neg_ons",
+        payload=["f_ons", "f_date", "f_price"],
+        how="left",
+    ).select("event_id", "f_ons", "f_date", "f_price")
+
+    both = bwd.join(fwd, "event_id")
+    b_gap = F.col("ns") - F.col("b_ons")
+    f_gap = F.col("f_ons") - F.col("ns")
+    b_ok = F.col("b_ons").isNotNull() & (b_gap <= _TOL_NS)
+    f_ok = F.col("f_ons").isNotNull() & (f_gap <= _TOL_NS)
+    use_b = b_ok & (~f_ok | (b_gap <= f_gap))
+    use_f = f_ok & ~use_b
+    return (
+        both.where(use_b | use_f)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(use_b, F.col("b_date")).otherwise(F.col("f_date")).alias(
+                "order_date"
+            ),
+            F.round(
+                F.when(use_b, F.col("b_price")).otherwise(F.col("f_price")), 2
+            ).alias("price"),
+            (
+                F.when(use_b, b_gap).otherwise(f_gap)
+                / F.lit(1_000_000_000)
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- E169: exact weighted median ---------------------------------------------
+
+_WMEDIAN = """
+WITH u AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS unit_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), grouped AS (
+  SELECT flag, unit_cents, CAST(sum(w) AS BIGINT) AS w
+  FROM u GROUP BY flag, unit_cents
+), cum AS (
+  SELECT flag, unit_cents, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY unit_cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tot
+  FROM grouped
+)
+SELECT flag,
+       CAST(min(unit_cents) AS BIGINT) AS wmedian_cents,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tot
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+@query("weighted_median_unitprice", category="E169,A7", oracle=_WMEDIAN)
+def weighted_median_unitprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median unit price per return flag — the
+    lower weighted median (first value whose cumulative weight reaches
+    half the total), the volume-aware center plain median misses.
+
+    Scale: values collapse to the DISTINCT (flag, unit_cents) domain FIRST
+    (one partial-agg shuffle — the domain is bounded by price granularity,
+    not row count), then one cumulative-sum window per flag over that
+    compacted domain. All weight math in exact integers: the 2·cw ≥ tot
+    test cannot float-flip, and duplicate values can't split across the
+    threshold because they were pre-merged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    grouped = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            unit_cents.alias("unit_cents"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("flag", "unit_cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("unit_cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag")
+    cum = grouped.select(
+        "flag",
+        "unit_cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("unit_cents").alias("wmedian_cents"),
+            F.min("tot").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --- E172: cumulative new users ----------------------------------------------
+
+_CUM_NEW = """
+WITH first_day AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS d
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM first_day GROUP BY d
+), active AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY d
+)
+SELECT a.d, coalesce(p.n_new, 0) AS n_new, a.n_active,
+       CAST(sum(coalesce(p.n_new, 0)) OVER (ORDER BY a.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM active a LEFT JOIN per_day p ON p.d = a.d
+ORDER BY a.d
+"""
+
+
+@query("cumulative_new_users", category="E172,A3,W5", oracle=_CUM_NEW)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, first-seen (new) users, active users,
+    and the cumulative user base to date — the new/active/cumulative
+    triplet behind every growth dashboard, computed without rescanning
+    history per day.
+
+    Scale: "new" comes from min(day) per user (one shuffle on user_id —
+    each user reduced to one first-seen row, the incremental-friendly
+    form; a day×user distinct-over-window would recompute per day),
+    actives from one day-grain distinct agg, and the cumulative sum is a
+    window over #days rows — trivial however large the fact table.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    )
+    per_day = (
+        e.groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    active = e.groupBy("d").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(per_day, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "n_active",
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("d")
+    )
+
+
+# --- E175: hierarchical share-of-parent --------------------------------------
+
+_SHARE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY n.n_name, r.r_name
+), tot AS (
+  SELECT nation, region, cents,
+         sum(cents) OVER (PARTITION BY region) AS region_cents,
+         sum(cents) OVER () AS global_cents
+  FROM rev
+)
+SELECT nation, region,
+       round(cents / 100.0, 2) AS revenue,
+       CAST(floor(cents * 1000000.0 / region_cents + 0.5) AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(floor(cents * 1000000.0 / global_cents + 0.5) AS BIGINT)
+         AS share_of_global_ppm
+FROM tot
+ORDER BY region, nation
+"""
+
+
+@query("share_of_parent_revenue", category="E175,W1,A1", oracle=_SHARE)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ratio-to-report: each nation's supplier revenue as a
+    share of its region and of the world — the two-level percent-of-parent
+    every BI drilldown needs, in one pass.
+
+    Scale: one fact shuffle (join + per-nation agg, dims broadcast-sized),
+    then two partial sums as windows over the 25-row aggregate — the
+    parent totals are derived FROM the child aggregate, never a second
+    fact scan. Money in exact integer cents; shares emitted as
+    floor(x·1e6 + 0.5) parts-per-million BIGINTs (identical double
+    division of identical integers on both engines; no engine round()).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dim = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(
+        "n_nationkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    )
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(dim), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("nation", "region")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    tot = rev.select(
+        "nation",
+        "region",
+        "cents",
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(wg).alias("global_cents"),
+    )
+    ppm = lambda parent: F.floor(  # noqa: E731
+        F.col("cents") * 1_000_000.0 / F.col(parent) + F.lit(0.5)
+    ).cast("bigint")
+    return tot.select(
+        "nation",
+        "region",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        ppm("region_cents").alias("share_of_region_ppm"),
+        ppm("global_cents").alias("share_of_global_ppm"),
+    ).orderBy("region", "nation")
