@@ -277,3 +277,85 @@ def test_date_spine_broadcasts_daily_agg(spark, sf_dir):
     aggregated fact side by date."""
     plan = _plan(spark, sf_dir, "date_spine_gap_fill")
     assert "BroadcastHashJoin" in plan, plan[:600]
+
+
+# --- Round-3 third wave (E140-E175) ------------------------------------------
+
+
+def test_q17_decorrelates_to_single_partkey_shuffle(spark, sf_dir):
+    """E140: the correlated AVG must become an aggregate + equi-join on
+    l_partkey — no NLJ / cartesian, and the quantity range condition rides
+    the hash join as a residual, not a join strategy."""
+    plan = _plan(spark, sf_dir, "small_qty_revenue_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_avg" in plan, "per-part AVG should pre-aggregate map-side"
+
+
+def test_q21_semi_and_anti_are_hash_joins(spark, sf_dir):
+    """E142: both correlations must plan as equi-keyed (semi/anti) hash
+    joins on l_orderkey with the supplier inequality as a residual —
+    an NLJ here would be quadratic in lineitem."""
+    plan = _plan(spark, sf_dir, "sole_returned_supplier_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:400]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_lineitem_once(spark, sf_dir):
+    """E141: the decorrelated form computes the per-order quantity sum ONCE
+    (one pair of partial/final aggs over lineitem), where the nested oracle
+    form scans lineitem twice."""
+    plan = _plan(spark, sf_dir, "large_volume_orders_q18")
+    # Exactly one scan of the lineitem parquet file.
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_share_of_parent_single_fact_scan(spark, sf_dir):
+    """E175: parent totals must derive from the child aggregate via
+    windows — exactly one lineitem scan, dims broadcast."""
+    plan = _plan(spark, sf_dir, "share_of_parent_revenue")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
+    """E148: df (3 rows) and corpus stats (1 row) must be broadcast sides;
+    the only full-data shuffle is the per-doc aggregation."""
+    plan = _plan(spark, sf_dir, "bm25_rational_topdocs")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan, "top-20 must plan as top-k"
+
+
+def test_filtered_ann_prunes_before_matmul(spark, sf_dir):
+    """E146: the label predicate must reach the corpus parquet scan feeding
+    mapInPandas — post-filtering after distance math would waste the
+    matmul on ineligible vectors."""
+    plan = _plan(spark, sf_dir, "ann_filtered_topk")
+    assert "MapInPandas" in plan
+    # The modulo predicate must appear in the plan segment BEFORE the first
+    # MapInPandas operator id — i.e. on the scan side of the Python boundary.
+    m = re.search(r"\((\d+)\) MapInPandas", plan)
+    assert m, plan[:300]
+    cond = re.search(r"label#\d+ % 3", plan)
+    assert cond, "label % 3 filter missing from the plan entirely"
+    mod_line_pos = cond.start()
+    # The condition is attached to a numbered Filter node; that node's id
+    # must be smaller than the MapInPandas id (formatted plans number
+    # operators bottom-up from the scan).
+    filt = re.search(r"\((\d+)\) Filter", plan[: mod_line_pos + 200])
+    assert filt and int(filt.group(1)) < int(m.group(1)), (
+        "label filter must sit below the Python mapper"
+    )
+
+
+def test_rolling_median_single_window_shuffle(spark, sf_dir):
+    """E161: one Window over one exchange on event_type — a second exchange
+    would mean the frame computation re-shuffles."""
+    plan = _plan(spark, sf_dir, "rolling_median_value")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan.count(
+        "Exchange hashpartitioning"
+    )
