@@ -103,3 +103,88 @@ def asof_join(
     if how == "inner":
         out = out.where(F.col("__matched").isNotNull())
     return out.drop("__t", "__side", "__matched")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tolerance: int,
+) -> DataFrame:
+    """pandas merge_asof(direction='nearest'): attach the payload of the
+    right row CLOSEST in time within ±tolerance; backward wins exact ties
+    (pandas' rule). Unmatched left rows are dropped.
+
+    Distributed form: a backward pass (asof_join as-is) plus a forward pass
+    on the NEGATED integer time axis (greatest −t' ≤ −t ⇔ smallest t' ≥ t),
+    then an argmin over the two candidate gaps — two (key, ts) window
+    shuffles total, never a per-row range re-scan. ``left_ts``/``right_ts``
+    must be integer-typed (negation must be exact).
+
+    Returns left's columns plus ``payload`` and ``__gap`` (the winning
+    absolute distance, same units as the ts columns). The left frame's
+    non-ts columns must uniquely identify each row (the two directional
+    passes re-join on them); pass a row id if they don't.
+    """
+    rk = right_key or key
+    r = right.withColumnRenamed(rk, key) if rk != key else right
+
+    b_pay = [f"__b_{c}" for c in payload]
+    bwd = asof_join(
+        left,
+        r.select(
+            key,
+            right_ts,
+            F.col(right_ts).alias("__b_ts"),
+            *[F.col(c).alias(b) for c, b in zip(payload, b_pay)],
+        ),
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        payload=["__b_ts", *b_pay],
+        how="left",
+    )
+
+    f_pay = [f"__f_{c}" for c in payload]
+    fwd = asof_join(
+        left.select(key, (-F.col(left_ts)).alias("__neg_t"), *[
+            c for c in left.columns if c not in (key, left_ts)
+        ]),
+        r.select(
+            key,
+            (-F.col(right_ts)).alias("__neg_rt"),
+            F.col(right_ts).alias("__f_ts"),
+            *[F.col(c).alias(f) for c, f in zip(payload, f_pay)],
+        ),
+        key=key,
+        left_ts="__neg_t",
+        right_ts="__neg_rt",
+        payload=["__f_ts", *f_pay],
+        how="left",
+    ).select(*[c for c in left.columns if c != left_ts], "__f_ts", *f_pay)
+
+    join_keys = [c for c in left.columns if c != left_ts]
+    both = bwd.join(fwd, join_keys)
+    b_gap = F.col(left_ts) - F.col("__b_ts")
+    f_gap = F.col("__f_ts") - F.col(left_ts)
+    b_ok = F.col("__b_ts").isNotNull() & (b_gap <= tolerance)
+    f_ok = F.col("__f_ts").isNotNull() & (f_gap <= tolerance)
+    use_b = b_ok & (~f_ok | (b_gap <= f_gap))
+    use_f = f_ok & ~use_b
+    picked = [
+        F.when(use_b, F.col(b)).otherwise(F.col(f)).alias(c)
+        for c, b, f in zip(payload, b_pay, f_pay)
+    ]
+    return (
+        both.where(use_b | use_f)
+        .select(
+            *left.columns,
+            *picked,
+            F.when(use_b, b_gap).otherwise(f_gap).alias("__gap"),
+        )
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_nearest
 from ..registry import query
 
 # --- E164: nearest as-of join with tolerance ---------------------------------
@@ -81,66 +81,23 @@ def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price",
         )
     )
-    bwd = asof_join(
+    out = asof_join_nearest(
         e,
-        r.select(
-            "o_custkey",
-            F.col("ons").alias("b_ons"),
-            F.col("order_date").alias("b_date"),
-            F.col("price").alias("b_price"),
-        ),
+        r,
         key="user_id",
         right_key="o_custkey",
         left_ts="ns",
-        right_ts="b_ons",
-        payload=["b_ons", "b_date", "b_price"],
-        how="left",
+        right_ts="ons",
+        payload=["order_date", "price"],
+        tolerance=_TOL_NS,
     )
-    # Forward pass: negate the axis so "greatest ≤" becomes "smallest ≥".
-    fwd = asof_join(
-        e.select("event_id", "user_id", (-F.col("ns")).alias("neg_ns")),
-        r.select(
-            "o_custkey",
-            (-F.col("ons")).alias("neg_ons"),
-            F.col("ons").alias("f_ons"),
-            F.col("order_date").alias("f_date"),
-            F.col("price").alias("f_price"),
-        ),
-        key="user_id",
-        right_key="o_custkey",
-        left_ts="neg_ns",
-        right_ts="neg_ons",
-        payload=["f_ons", "f_date", "f_price"],
-        how="left",
-    ).select("event_id", "f_ons", "f_date", "f_price")
-
-    both = bwd.join(fwd, "event_id")
-    b_gap = F.col("ns") - F.col("b_ons")
-    f_gap = F.col("f_ons") - F.col("ns")
-    b_ok = F.col("b_ons").isNotNull() & (b_gap <= _TOL_NS)
-    f_ok = F.col("f_ons").isNotNull() & (f_gap <= _TOL_NS)
-    use_b = b_ok & (~f_ok | (b_gap <= f_gap))
-    use_f = f_ok & ~use_b
-    return (
-        both.where(use_b | use_f)
-        .select(
-            "event_id",
-            "user_id",
-            F.when(use_b, F.col("b_date")).otherwise(F.col("f_date")).alias(
-                "order_date"
-            ),
-            F.round(
-                F.when(use_b, F.col("b_price")).otherwise(F.col("f_price")), 2
-            ).alias("price"),
-            (
-                F.when(use_b, b_gap).otherwise(f_gap)
-                / F.lit(1_000_000_000)
-            )
-            .cast("bigint")
-            .alias("gap_s"),
-        )
-        .orderBy("event_id")
-    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "order_date",
+        F.round("price", 2).alias("price"),
+        (F.col("__gap") / F.lit(1_000_000_000)).cast("bigint").alias("gap_s"),
+    ).orderBy("event_id")
 
 
 # --- E169: exact weighted median ---------------------------------------------

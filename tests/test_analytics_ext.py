@@ -1,0 +1,120 @@
+"""Tests for the E164-E175 analytics extensions beyond oracle parity.
+
+- asof_join_nearest is differentially fuzzed against pandas.merge_asof
+  (direction='nearest', same tolerance) — a second independent oracle, the
+  same strategy test_asof_hypothesis.py uses for the backward join. pandas
+  also prefers backward on exact-distance ties, so agreement is exact.
+- weighted_median_unitprice is property-checked against the defining
+  inequalities of the lower weighted median, recomputed in pandas from the
+  raw fixture (not from the query's own intermediate state).
+- cumulative_new_users invariants: the final cumulative count equals the
+  distinct-user total, the series is monotone, and actives bound news.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data__instagram_analysis_spark.operators.asof import asof_join_nearest
+from big_data__instagram_analysis_spark.registry import get_specs
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=3),   # key
+    st.integers(min_value=0, max_value=50),  # ts
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=st.lists(row, min_size=1, max_size=15),
+    right_rows=st.lists(row, min_size=1, max_size=15, unique=True),
+    tol=st.integers(min_value=0, max_value=60),
+)
+def test_nearest_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
+    right_dedup = {}
+    for i, (k, t) in enumerate(right_rows):
+        right_dedup[(k, t)] = float(i)
+    right_pdf = pd.DataFrame(
+        [(k, t, v) for (k, t), v in sorted(right_dedup.items())],
+        columns=["key", "ts", "payload"],
+    )
+    left_pdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["rid", "key", "ts"],
+    )
+
+    expected = pd.merge_asof(
+        left_pdf.sort_values("ts", kind="stable"),
+        right_pdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="key",
+        direction="nearest",
+        tolerance=tol,
+    ).dropna(subset=["payload"])
+
+    left = spark.createDataFrame(left_pdf, "rid long, key long, ts long")
+    right = spark.createDataFrame(right_pdf, "key long, ts long, payload double")
+    got = (
+        asof_join_nearest(
+            left,
+            right,
+            key="key",
+            left_ts="ts",
+            right_ts="ts",
+            payload=["payload"],
+            tolerance=tol,
+        )
+        .select("rid", "payload")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected[["rid", "payload"]]
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_weighted_median_defining_inequalities(spark, sf_dir):
+    """The lower weighted median m must satisfy, per group:
+    sum(w | v < m) < tot/2  and  sum(w | v <= m) >= tot/2 — recomputed
+    from the raw lineitem fixture in pandas."""
+    import math
+
+    res = (
+        get_specs()["weighted_median_unitprice"].fn(spark, sf_dir).toPandas()
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["unit_cents"] = (
+        li.l_extendedprice / li.l_quantity * 100 + 0.5
+    ).apply(math.floor).astype("int64")
+    li["w"] = li.l_quantity.astype("int64")
+    assert len(res) > 0
+    for _, r in res.iterrows():
+        g = li[li.l_returnflag == r.flag]
+        tot = int(g.w.sum())
+        assert tot == int(r.total_weight)
+        below = int(g.loc[g.unit_cents < r.wmedian_cents, "w"].sum())
+        at_or_below = int(g.loc[g.unit_cents <= r.wmedian_cents, "w"].sum())
+        assert 2 * below < tot, (r.flag, below, tot)
+        assert 2 * at_or_below >= tot, (r.flag, at_or_below, tot)
+        # The median must be an actually-observed value.
+        assert (g.unit_cents == r.wmedian_cents).any()
+
+
+def test_cumulative_new_users_invariants(spark, sf_dir):
+    res = get_specs()["cumulative_new_users"].fn(spark, sf_dir).toPandas()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert int(res.cum_users.iloc[-1]) == e.user_id.nunique()
+    assert res.cum_users.is_monotonic_increasing
+    assert (res.n_active >= res.n_new).all()
+    assert int(res.n_new.sum()) == e.user_id.nunique()
