@@ -292,3 +292,92 @@ def pandas_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(500)
     )
+
+
+# --- E183: UDTF with TABLE argument + PARTITION BY/ORDER BY -------------------
+
+
+@query(
+    "udtf_table_arg_gap_stats",
+    category="U5,E183",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ns
+  FROM events WHERE user_id < 30
+), g AS (
+  SELECT user_id, ns,
+         ns - lag(ns) OVER (PARTITION BY user_id ORDER BY ns) AS gap
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(gap) AS BIGINT) AS max_gap_ns,
+       CAST(max(ns) - min(ns) AS BIGINT) AS span_ns
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def udtf_table_arg_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF taking a TABLE argument with PARTITION BY ... ORDER BY —
+    the Spark-3.5+ table-function API where the ENGINE groups and sorts the
+    input and hands each partition to one UDTF instance in order
+    (eval per row, terminate emits the partition summary). This is the
+    sanctioned home for per-key sequential logic that a window can't
+    express (state machines, custom session logic): the shuffle and sort
+    stay in the engine, only the per-partition fold runs in Python.
+
+    The fold here (count, max consecutive gap, span over ns-ordered
+    events) is deliberately window-expressible so the DuckDB lag/group
+    twin can hash-check the MACHINERY — partition isolation, in-partition
+    order, one terminate per key. Arrow batches rows in; one row out per
+    partition — shuffle volume O(#users).
+    """
+    from pyspark.sql.types import LongType, StructType
+
+    class GapStats:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.prev = None
+            self.max_gap = None
+            self.first = None
+            self.last = None
+
+        def eval(self, row) -> None:
+            self.user = row["user_id"]
+            ns = row["ns"]
+            self.n += 1
+            if self.prev is not None:
+                gap = ns - self.prev
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev = ns
+            if self.first is None:
+                self.first = ns
+            self.last = ns
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.n, self.max_gap, self.last - self.first)
+
+    schema = (
+        StructType()
+        .add("user_id", LongType())
+        .add("n", LongType())
+        .add("max_gap_ns", LongType())
+        .add("span_ns", LongType())
+    )
+    gap_udtf = udtf(GapStats, returnType=schema)
+    spark.udtf.register("sg_gap_stats", gap_udtf)
+    load(spark, sf_dir, "events").where(F.col("user_id") < 30).select(
+        "user_id", F.col("ts_ns").alias("ns")
+    ).createOrReplaceTempView("events_gap_v")
+    return spark.sql(
+        """
+        SELECT user_id, n, max_gap_ns, span_ns
+        FROM sg_gap_stats(TABLE(events_gap_v)
+                          PARTITION BY user_id ORDER BY ns)
+        ORDER BY user_id
+        """
+    )
