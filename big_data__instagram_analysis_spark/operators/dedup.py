@@ -215,3 +215,54 @@ def simhash_neardup_pairs(
     return cand.where(hamming <= max_hamming).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: shared/|small| ≥ threshold with
+    the smaller shingle set as numerator — catches quotes, excerpts and
+    boilerplate wrappers that symmetric Jaccard misses (a 100-shingle doc
+    fully embedded in a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0 — the CCNet/RefinedWeb-style dedup criterion).
+
+    Same 100 TB-safe candidate generation as ngram_jaccard_pairs: the
+    shared-shingle equi-join means only docs sharing a shingle ever meet;
+    a hot shingle is a skew key AQE splits. Returns
+    (doc_small, doc_big, containment, jaccard) — containment for the
+    decision, Jaccard alongside to show what it would have missed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    na, nb = F.col("sa.n_sh"), F.col("sb.n_sh")
+    small_n = F.least(na, nb)
+    containment = F.col("shared") / small_n
+    jac = F.col("shared") / (na + nb - F.col("shared"))
+    # Smaller set is the contained side; equal sizes tiebreak to doc_a.
+    small_is_a = na <= nb
+    return (
+        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        .where(containment >= threshold)
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+            F.round(containment, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -353,3 +353,54 @@ def neardup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- E185 (extension): asymmetric containment near-dup ------------------------
+
+
+@query(
+    "containment_neardup_pairs",
+    category="L2,E185",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CASE WHEN x.n_sh <= y.n_sh THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN x.n_sh <= y.n_sh THEN doc_b ELSE doc_a END AS doc_big,
+       round(shared * 1.0 / least(x.n_sh, y.n_sh), 6) AS containment,
+       round(shared * 1.0 / (x.n_sh + y.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / least(x.n_sh, y.n_sh) >= 0.8
+ORDER BY doc_small, doc_big
+""",
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    ngram_containment_pairs): shared/|smaller| ≥ 0.8 flags quotes,
+    excerpts and boilerplate-wrapped copies whose symmetric Jaccard is
+    tiny — the criterion CCNet/RefinedWeb-style pipelines apply after
+    Jaccard. Jaccard is emitted alongside to show the gap. Same
+    shared-shingle equi-join candidate generation as L2's Jaccard pairs —
+    sub-quadratic, skew-splittable.
+    """
+    d = load(spark, sf_dir, "documents")
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(d, n=3, threshold=0.8).orderBy(
+        "doc_small", "doc_big"
+    )
