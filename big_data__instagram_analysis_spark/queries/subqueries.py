@@ -192,3 +192,55 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE)
+
+
+# --- E184 (extension): modern SQL surface — FILTER, lateral alias, * EXCEPT --
+
+_MODERN = """
+WITH base AS (
+  SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate)
+  FROM orders
+)
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final,
+       CAST(floor(n_big * 1000000.0 / n + 0.5) AS BIGINT) AS big_share_ppm
+FROM base
+GROUP BY o_orderpriority
+ORDER BY prio
+"""
+
+_MODERN_SPARK = """
+WITH base AS (
+  SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate)
+  FROM orders
+)
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final,
+       CAST(floor(n_big * 1000000.0 / n + 0.5) AS BIGINT) AS big_share_ppm
+FROM base
+GROUP BY o_orderpriority
+ORDER BY prio
+"""
+
+
+@query("sql_modern_surface", category="E184,F5,A6", oracle=_MODERN)
+def sql_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three modern SQL-frontend features in one hash-checked query:
+    ``* EXCEPT (cols)`` star projection (DuckDB spells it EXCLUDE),
+    aggregate ``FILTER (WHERE ...)`` clauses (the standard form of
+    conditional aggregation — Catalyst compiles them to the same
+    count(CASE WHEN) plan as A6), and LATERAL COLUMN ALIASES: big_share_ppm
+    references the n_big and n aliases defined earlier in the same SELECT
+    list, which the analyzer resolves by inlining (no self-join, no CTE
+    duplication — plan-identical to writing the aggregates twice).
+
+    All three are analysis-time rewrites with zero runtime cost at any
+    scale; the hash check proves both engines' sugar desugars to the same
+    arithmetic (share emitted as floor-ppm integer per §5.4).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_MODERN_SPARK)
