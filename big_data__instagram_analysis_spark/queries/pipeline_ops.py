@@ -551,3 +551,159 @@ def linear_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_interp_u"),
     ).orderBy("user_id", "h")
+
+
+# --- E186: MERGE INTO emulation (update / insert / delete in one pass) -------
+
+_MERGE = """
+WITH src AS (  -- deterministic change feed derived from the table itself
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'D'
+              WHEN c_custkey % 10 = 1 THEN 'U' END AS op
+  FROM customer
+  WHERE c_custkey % 10 IN (0, 1)
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I' FROM customer WHERE c_custkey % 10 = 2
+), merged AS (
+  SELECT coalesce(t.c_custkey, s.c_custkey) AS k,
+         CASE
+           WHEN s.op = 'D' THEN NULL                          -- matched+delete
+           WHEN s.op = 'U' THEN round(t.c_acctbal + 100, 2)   -- matched+update
+           WHEN s.op = 'I' THEN 0.0                           -- not-matched+insert
+           ELSE round(t.c_acctbal, 2)                         -- untouched
+         END AS bal,
+         CASE WHEN s.op IS NULL THEN 'keep' ELSE s.op END AS action
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN bal IS NOT NULL
+                     THEN CAST(round(bal * 100) AS BIGINT) END) AS BIGINT)
+         AS bal_cents
+FROM merged
+GROUP BY action
+ORDER BY action
+"""
+
+
+@query("merge_into_emulation", category="E186,J3", oracle=_MERGE)
+def merge_into_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics — WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    WHEN NOT MATCHED INSERT — as one full-outer-join pass, the batch form
+    of the lakehouse upsert (what Delta/Iceberg MERGE compiles to when no
+    file-skipping applies). The change feed is derived deterministically
+    from the table itself (key%10: 0→delete, 1→update, 2→insert-new) so
+    the oracle rebuilds the identical merge in SQL.
+
+    Scale: ONE shuffle on the merge key for the full outer join; each
+    clause is a projection case — no per-clause scans, no second pass.
+    A real table format adds file pruning on top (only files whose
+    key-range intersects the source rewrite); the row-level semantics are
+    exactly this join. Deleted rows stay visible here with NULL balance
+    under action='D' so the hash check covers all four outcomes.
+    """
+    c = load(spark, sf_dir, "customer")
+    upd_del = c.where(F.col("c_custkey") % 10 < 2).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = c.where(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"), F.lit("I").alias("op")
+    )
+    src = upd_del.unionByName(ins)
+    t = c.select(F.col("c_custkey").alias("t_key"), "c_acctbal")
+    merged = t.join(src, t.t_key == src.c_custkey, "full_outer").select(
+        F.when(F.col("op") == "D", F.lit(None).cast("double"))
+        .when(F.col("op") == "U", F.round(F.col("c_acctbal") + 100, 2))
+        .when(F.col("op") == "I", F.lit(0.0))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal"),
+        F.coalesce("op", F.lit("keep")).alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("bal").isNotNull(),
+                    F.round(F.col("bal") * 100).cast("bigint"),
+                )
+            ).alias("bal_cents"),
+        )
+        .orderBy("action")
+    )
+
+
+# --- E191: exact chi-square independence statistic ---------------------------
+
+_CHISQ = """
+WITH obs AS (
+  SELECT e.event_type AS t, c.c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY 1, 2
+), margins AS (
+  SELECT t, seg, o,
+         sum(o) OVER (PARTITION BY t) AS row_tot,
+         sum(o) OVER (PARTITION BY seg) AS col_tot,
+         sum(o) OVER () AS n
+  FROM obs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(n) AS BIGINT) AS n_obs,
+       CAST(floor(sum(
+         (o - row_tot * col_tot * 1.0 / n)
+         * (o - row_tot * col_tot * 1.0 / n)
+         / (row_tot * col_tot * 1.0 / n)
+       ) * 1000000 + 0.5) AS BIGINT) AS chi2_x1e6
+FROM margins
+"""
+
+
+@query("chisq_type_by_segment", category="E191,A8", oracle=_CHISQ)
+def chisq_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for event_type × market segment — the
+    categorical-independence test behind every A/B significance check,
+    computed EXACTLY: observed counts and margins are integers, expected
+    counts are the identical rational expression row·col/n on both
+    engines, and the statistic emits as floor(x·1e6+0.5). No p-value on
+    purpose — that needs the incomplete-gamma from libm, whose last ulp
+    differs across runtimes; the statistic is the deterministic part
+    (df = (R−1)(C−1) lets any caller look it up).
+
+    Scale: one fact join+agg shuffle to the contingency table (R×C rows),
+    margins as windows OVER that tiny table, one-row output.
+
+    The sum over cells is order-dependent in principle (float adds), but
+    each term derives from exact integers with magnitudes within 2^53 and
+    the cell count is 25 — verified hash-stable across both engines at
+    both SFs; a paranoid caller can sort-aggregate the terms instead.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(
+            F.col("event_type").alias("t"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wr = Window.partitionBy("t")
+    wc2 = Window.partitionBy("seg")
+    wg = Window.partitionBy()
+    m = obs.select(
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc2).alias("col_tot"),
+        F.sum("o").over(wg).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("n").alias("n_obs"),
+        F.floor(F.sum(term) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("chi2_x1e6"),
+    )
