@@ -650,3 +650,164 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+# --- E192 (extension): BPE merge-pair counting --------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    category="L5,E192",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks
+)
+SELECT pair,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of the BPE/WordPiece training inner loop: count every
+    ADJACENT token pair across the corpus and rank the merge candidates —
+    the step a distributed tokenizer trainer repeats until the vocab is
+    full. (Full BPE iterates with re-tokenization; each iteration is
+    exactly this shape, so the one-step count is the honest distributed
+    primitive.)
+
+    Scale: adjacent pairs come from a positional transform over the
+    in-row token array (zero shuffle — pairs never leave their executor
+    until pre-aggregated), then ONE count shuffle on the pair key with
+    map-side combine; the top-50 finishes as TakeOrderedAndProject. Pair
+    frequency + document frequency together feed the merge policy.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 2, pairs_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+# --- E193 (extension): T5-style span-corruption mask generation ---------------
+
+
+@query(
+    "span_corruption_masks",
+    category="L4,E193",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 200
+), spans AS (
+  -- candidate span starts every 8 tokens; a start is SELECTED when its
+  -- md5 bucket (seedless, engine-recomputable) falls under the 40% rate;
+  -- each selected span masks 3 tokens -> ~15% corruption.
+  SELECT doc_id, g.start_pos
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1, 8))
+                  AS start_pos) g
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(g.start_pos AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 40
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) * 3 AS BIGINT) AS masked_tokens,
+       array_to_string(list(CAST(start_pos AS VARCHAR) ORDER BY start_pos),
+                       ',') AS span_starts
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask plan: deterministic 3-token mask
+    spans at a ~15% corruption rate, selected by a seedless
+    md5(doc_id:pos) bucket so any engine — or a re-run on different
+    cluster topology — derives the IDENTICAL masks. Reproducible masking
+    is what makes a training run resumable and debuggable; RNG-per-task
+    masking is not.
+
+    Scale: candidate starts are a stride-8 sequence generated in-row
+    (zero shuffle), the hash filter is a scan-level predicate, and the
+    per-doc mask list aggregates on doc_id — the same single-shuffle
+    shape as any per-document op. The emitted plan (doc, span starts) is
+    what the masking UDF in the training loader consumes.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)), F.lit(8)
+    )
+    cand = d.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 3, starts).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("start_pos"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("start_pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        cand.where(bucket < 40)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            (F.count(F.lit(1)) * 3).alias("masked_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("start_pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("span_starts"),
+        )
+        .orderBy("doc_id")
+    )
