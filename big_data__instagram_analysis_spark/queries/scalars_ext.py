@@ -255,3 +255,109 @@ def histogram_numeric_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> a.x < b.x), v -> v)"
         ).alias("centers_ascending"),
     )
+
+
+# --- E194: URL parsing + checksum/encoding function family --------------------
+
+
+@query(
+    "url_checksum_funcs",
+    category="F1,E194",
+    oracle="""
+WITH u AS (
+  SELECT c_custkey,
+         'https://shop.example.com/u/' || CAST(c_custkey AS VARCHAR)
+           || '?seg=' || lower(c_mktsegment) AS url
+  FROM customer WHERE c_custkey < 200
+), parsed AS (
+  SELECT c_custkey, url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, 'seg=([a-z]+)', 1) AS seg
+  FROM u
+), luhn AS (
+  -- Luhn checksum over the key digits: from the RIGHT, double every 2nd
+  -- digit, subtract 9 when > 9, sum, valid iff % 10 = 0. Pure int math.
+  SELECT c_custkey,
+         list_sum(list_transform(
+           range(1, len(CAST(c_custkey AS VARCHAR)) + 1),
+           i -> CASE WHEN i % 2 = 1
+                THEN CAST(array_extract(reverse(CAST(c_custkey AS VARCHAR)),
+                                        i) AS BIGINT)
+                ELSE CASE
+                  WHEN CAST(array_extract(reverse(CAST(c_custkey AS VARCHAR)),
+                                          i) AS BIGINT) * 2 > 9
+                  THEN CAST(array_extract(reverse(CAST(c_custkey AS VARCHAR)),
+                                          i) AS BIGINT) * 2 - 9
+                  ELSE CAST(array_extract(reverse(CAST(c_custkey AS VARCHAR)),
+                                          i) AS BIGINT) * 2
+                END END)) AS luhn_sum
+  FROM u
+)
+SELECT p.c_custkey, p.host, p.path, p.seg,
+       to_base64(CAST(p.seg AS BLOB)) AS seg_b64,
+       CAST(decode(from_base64(to_base64(CAST(p.seg AS BLOB)))) = p.seg
+            AS BOOLEAN) AS b64_roundtrip,
+       CAST(bit_count(CAST(p.c_custkey AS BIGINT)) AS INTEGER) AS key_bits,
+       CAST(l.luhn_sum % 10 = 0 AS BOOLEAN) AS luhn_valid
+FROM parsed p JOIN luhn l ON l.c_custkey = p.c_custkey
+ORDER BY p.c_custkey
+""",
+)
+def url_checksum_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + encoding/checksum scalar family: parse_url
+    (HOST/PATH/QUERY param — JVM-side, where DuckDB needs three regexes),
+    base64 round trip, bit_count popcount, and a Luhn checksum written as
+    a higher-order fold over the digit array — card-number-style validity
+    in pure integer expressions, no UDF.
+
+    Scale: all row-local whole-stage-codegen expressions — zero shuffle
+    beyond the final sort; the point is surface parity (a user migrating
+    URL/checksum ETL finds every piece) and that even the 'procedural'
+    Luhn loop stays a vectorized HOF, not a Python fallback.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://shop.example.com/u/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?seg="),
+            F.lower("c_mktsegment"),
+        ).alias("url"),
+    )
+    digits_rev = F.split(F.reverse(F.col("c_custkey").cast("string")), "")
+    luhn_sum = F.aggregate(
+        F.filter(
+            F.transform(
+                digits_rev,
+                lambda d, i: F.when(
+                    i % 2 == 0, d.cast("bigint")
+                ).otherwise(
+                    F.when(d.cast("bigint") * 2 > 9, d.cast("bigint") * 2 - 9)
+                    .otherwise(d.cast("bigint") * 2)
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    seg = F.expr("parse_url(url, 'QUERY', 'seg')")
+    return (
+        u.select(
+            "c_custkey",
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            F.expr("parse_url(url, 'PATH')").alias("path"),
+            seg.alias("seg"),
+            F.base64(seg.cast("binary")).alias("seg_b64"),
+            (
+                F.unbase64(F.base64(seg.cast("binary"))).cast("string") == seg
+            ).alias("b64_roundtrip"),
+            F.bit_count(F.col("c_custkey").cast("bigint"))
+            .cast("int")
+            .alias("key_bits"),
+            (luhn_sum % 10 == 0).alias("luhn_valid"),
+        )
+        .orderBy("c_custkey")
+    )
