@@ -118,3 +118,57 @@ def test_cumulative_new_users_invariants(spark, sf_dir):
     assert res.cum_users.is_monotonic_increasing
     assert (res.n_active >= res.n_new).all()
     assert int(res.n_new.sum()) == e.user_id.nunique()
+
+
+def test_containment_dominates_jaccard_and_planted_pair(spark, sf_dir):
+    """containment >= jaccard always (denominator is smaller); and a planted
+    doc fully contained in a bigger one must be flagged with containment 1.0
+    even though its Jaccard is far below the threshold."""
+    import pandas as pd
+    from big_data__instagram_analysis_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    res = (
+        get_specs()["containment_neardup_pairs"].fn(spark, sf_dir).toPandas()
+    )
+    assert len(res) > 0
+    assert (res.containment >= res.jaccard - 1e-9).all()
+    assert (res.containment >= 0.8 - 1e-9).all()
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = " ".join(["x%d y%d" % (i, i) for i in range(40)]) + " " + small
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    planted = ngram_containment_pairs(df, n=3, threshold=0.8).toPandas()
+    assert len(planted) == 1
+    row = planted.iloc[0]
+    assert row.doc_small == 1 and row.doc_big == 2
+    assert abs(row.containment - 1.0) < 1e-9
+    assert row.jaccard < 0.5  # Jaccard alone would have missed it
+
+
+def test_bpe_pair_count_identity(spark, sf_dir):
+    """Total adjacent-pair occurrences across the corpus must equal
+    sum(len(tokens) - 1) over docs with >= 2 tokens — the pairing step
+    loses or invents nothing (checked on totals, not just the top-50)."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.text.str.split(" ").apply(lambda ws: [w for w in ws if w])
+    expected_total = int(sum(max(len(t) - 1, 0) for t in toks))
+
+    from pyspark.sql import functions as F
+    from big_data__instagram_analysis_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    tarr = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    got = (
+        d.select(
+            F.greatest(F.size(tarr) - 1, F.lit(0)).alias("n_pairs")
+        )
+        .agg(F.sum("n_pairs"))
+        .collect()[0][0]
+    )
+    assert int(got) == expected_total
