@@ -311,3 +311,69 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("region_cents").alias("share_of_region_ppm"),
         ppm("global_cents").alias("share_of_global_ppm"),
     ).orderBy("region", "nation")
+
+
+# --- E195: sequential trigram patterns ---------------------------------------
+
+_TRIGRAMS = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id
+  FROM events
+), seq AS (
+  SELECT user_id,
+         event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ns, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ns, event_id) AS c
+  FROM o
+)
+SELECT a || '>' || b || '>' || c AS pattern,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY pattern
+ORDER BY n DESC, pattern
+LIMIT 30
+"""
+
+
+@query("event_trigram_patterns", category="E195,W3", oracle=_TRIGRAMS)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (episode-mining lite): the top-30 ordered
+    event-type TRIGRAMS across user journeys, with user support — the
+    3-step generalization of the Markov transition matrix (2-grams,
+    markov_event_transitions) that surfaces multi-step behavioral motifs.
+
+    Scale: two lead() windows over one shuffle on user_id build the
+    per-row trigram (no self-joins — the naive 3-way join on adjacency
+    shuffles the fact table three times; the window form shuffles once),
+    then a count shuffle on the pattern key (≤ |types|³ = 125 groups) with
+    map-side combine. The (ns, event_id) order key is a total order, so
+    adjacency is engine-independent.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.where(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "a", "b", "c").alias("pattern"),
+        )
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "pattern")
+        .limit(30)
+    )
