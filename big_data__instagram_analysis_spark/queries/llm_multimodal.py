@@ -121,3 +121,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows through a mapInPandas UDTF-shaped stage (schema-stable offsets)."""
     docs = load(spark, sf_dir, "documents")
     return frame_sample(with_media_struct(docs)).orderBy("doc_id", "frame_idx")
+
+
+# --- E196 (extension): ViT-style patch aggregation over raw image bytes ------
+
+_IMG_SIDE = 32
+_PATCH = 4
+_N_PIX = _IMG_SIDE * _IMG_SIDE
+
+
+def _patch_sum_sql(pr: int, pc: int) -> str:
+    """Closed-form SQL for the (pr, pc) 4x4 patch byte-sum of the synthetic
+    image: pixel idx = (4*pr + dr) * 32 + (4*pc + dc), byte = (id*31 + idx*7) % 256."""
+    return f"""CAST(list_sum(list_transform(range(0, 16), k ->
+      (vec_id * 31 + (({pr} * {_PATCH} + k // {_PATCH}) * {_IMG_SIDE}
+                      + {pc} * {_PATCH} + k % {_PATCH}) * 7) % 256))
+    AS BIGINT)"""
+
+
+@query(
+    "image_patch_sums",
+    category="L7,E196",
+    oracle=f"""
+SELECT vec_id,
+       {_patch_sum_sql(0, 0)} AS p00,
+       {_patch_sum_sql(0, 1)} AS p01,
+       {_patch_sum_sql(1, 0)} AS p10,
+       {_patch_sum_sql(7, 7)} AS p77,
+       CAST(list_sum(list_transform(range(0, {_N_PIX}),
+                                    i -> (vec_id * 31 + i * 7) % 256))
+            AS BIGINT) AS total
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+)
+def image_patch_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify over RAW IMAGE BYTES, byte-exact end to end: a
+    32×32 synthetic grayscale image per row (pixel i = (id·31+i·7) mod 256)
+    is materialized as a binary column in one Arrow stage, crosses the
+    JVM↔Python boundary into a SECOND Arrow stage that numpy-reshapes it
+    into 4×4 patches and sums them — the patch-embedding front end of any
+    vision transformer, minus the learned projection.
+
+    The oracle never sees the bytes: it recomputes each patch sum from the
+    closed-form pixel formula, so a hash match proves the binary column
+    survived both Arrow crossings bit-exactly AND the numpy patch
+    arithmetic is right. Real deployments swap the generator stage for a
+    parquet/webdataset binary column; the patchify stage is unchanged.
+
+    Scale: both stages are mapInPandas (zero shuffle); per-row output is
+    5 ints however large the payload, so the binary never shuffles at all.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
+        "vec_id"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_PIX, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            imgs = [
+                ((int(v) * 31 + idx * 7) % 256).astype(np.uint8).tobytes()
+                for v in pdf.vec_id
+            ]
+            yield pd.DataFrame({"vec_id": pdf.vec_id, "img": imgs})
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = _IMG_SIDE // _PATCH
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v, b in zip(pdf.vec_id, pdf.img):
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                m = a.reshape(_IMG_SIDE, _IMG_SIDE)
+                sums = m.reshape(n, _PATCH, n, _PATCH).sum(axis=(1, 3))
+                rows.append(
+                    (
+                        int(v),
+                        int(sums[0, 0]),
+                        int(sums[0, 1]),
+                        int(sums[1, 0]),
+                        int(sums[7, 7]),
+                        int(a.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "p00", "p01", "p10", "p77", "total"]
+            )
+
+    with_img = emb.mapInPandas(gen, "vec_id long, img binary")
+    return with_img.mapInPandas(
+        patchify,
+        "vec_id long, p00 long, p01 long, p10 long, p77 long, total long",
+    ).orderBy("vec_id")
