@@ -221,3 +221,106 @@ def image_patch_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         patchify,
         "vec_id long, p00 long, p01 long, p10 long, p77 long, total long",
     ).orderBy("vec_id")
+
+
+# --- E197 (extension): framed waveform features over int16 PCM binary --------
+
+_N_SAMP = 256
+_FRAME = 64
+
+
+@query(
+    "audio_frame_features",
+    category="L7,E197",
+    oracle=f"""
+WITH frames AS (
+  SELECT vec_id, f.frame
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(0, {_N_SAMP // _FRAME})) AS frame) f
+  WHERE vec_id < 100
+)
+SELECT vec_id, CAST(frame AS INTEGER) AS frame,
+       CAST(list_sum(list_transform(range(0, {_FRAME}), i ->
+         abs((vec_id * 7 + (frame * {_FRAME} + i) * 13) % 61 - 30)))
+         AS BIGINT) AS abs_energy,
+       CAST(list_sum(list_transform(range(1, {_FRAME}), i ->
+         CASE WHEN ((vec_id * 7 + (frame * {_FRAME} + i) * 13) % 61 - 30)
+                   * ((vec_id * 7 + (frame * {_FRAME} + i - 1) * 13) % 61 - 30)
+                   < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+       CAST(list_max(list_transform(range(0, {_FRAME}), i ->
+         abs((vec_id * 7 + (frame * {_FRAME} + i) * 13) % 61 - 30)))
+         AS BIGINT) AS peak
+FROM frames
+ORDER BY vec_id, frame
+""",
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio feature extraction over RAW int16 PCM bytes, byte-exact:
+    a 256-sample synthetic waveform (s[i] = (id·7+i·13) mod 61 − 30) is
+    packed as little-endian int16 binary in one Arrow stage, then a second
+    stage numpy-frames it (64 samples/frame) and emits per-frame absolute
+    energy, strict zero crossings (s[i]·s[i−1] < 0) and peak — the VAD /
+    silence-trim front end of any speech pipeline.
+
+    As with image_patch_sums, the oracle recomputes every feature from the
+    closed-form sample formula without touching bytes: a hash match proves
+    the int16 PCM survived both Arrow crossings (including byte order) and
+    the framing arithmetic. All features are exact integers.
+
+    Scale: two zero-shuffle mapInPandas stages; per-row output is
+    4 frames × 3 ints regardless of payload size.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
+        "vec_id"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_SAMP, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            waves = [
+                (((int(v) * 7 + idx * 13) % 61 - 30))
+                .astype("<i2")
+                .tobytes()
+                for v in pdf.vec_id
+            ]
+            yield pd.DataFrame({"vec_id": pdf.vec_id, "pcm": waves})
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v, b in zip(pdf.vec_id, pdf.pcm):
+                s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                for fi in range(_N_SAMP // _FRAME):
+                    fr = s[fi * _FRAME : (fi + 1) * _FRAME]
+                    zc = int(((fr[1:] * fr[:-1]) < 0).sum())
+                    rows.append(
+                        (
+                            int(v),
+                            fi,
+                            int(np.abs(fr).sum()),
+                            zc,
+                            int(np.abs(fr).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "frame", "abs_energy", "zero_crossings", "peak"],
+            )
+
+    pcm = emb.mapInPandas(gen, "vec_id long, pcm binary")
+    return (
+        pcm.mapInPandas(
+            featurize,
+            "vec_id long, frame int, abs_energy long, "
+            "zero_crossings long, peak long",
+        )
+        .orderBy("vec_id", "frame")
+    )
