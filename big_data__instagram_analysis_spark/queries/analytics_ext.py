@@ -19,85 +19,101 @@ from ..registry import query
 
 # --- E164: nearest as-of join with tolerance ---------------------------------
 
-_TOL_NS = 7 * 24 * 3600 * 1_000_000_000  # ±7 days
+_TOL_NS = 30 * 24 * 3600 * 1_000_000_000  # ±30 days
+_BIG = 250_000  # totalprice split: "big" orders look up their nearest small one
 
 _NEAREST = f"""
-WITH e AS (
-  SELECT event_id, user_id, epoch_ns(ts) AS ns
-  FROM events WHERE user_id < 50
-), r AS (
-  SELECT o_custkey, epoch_ns(o_orderdate) AS ons,
-         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-         max(o_totalprice) AS price
-  FROM orders GROUP BY o_custkey, o_orderdate
-)
-SELECT e.event_id, e.user_id, n.order_date,
-       round(n.price, 2) AS price,
-       CAST(n.gap_ns // 1000000000 AS BIGINT) AS gap_s
-FROM e
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_ns(o_orderdate) AS ons,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         o_totalprice
+  FROM orders
+), big AS (SELECT * FROM o WHERE o_totalprice > {_BIG}),
+small AS (SELECT * FROM o WHERE o_totalprice <= {_BIG})
+SELECT b.o_orderkey AS big_order, b.o_custkey AS custkey, b.d AS big_date,
+       n.small_date, round(n.price, 2) AS small_price,
+       CAST(n.gap_ns // 86400000000000 AS BIGINT) AS gap_days
+FROM big b
 JOIN LATERAL (
-  SELECT r.order_date, r.price, abs(r.ons - e.ns) AS gap_ns
-  FROM r
-  WHERE r.o_custkey = e.user_id AND abs(r.ons - e.ns) <= {_TOL_NS}
-  ORDER BY abs(r.ons - e.ns), r.ons
+  SELECT s.d AS small_date, s.o_totalprice AS price,
+         abs(s.ons - b.ons) AS gap_ns
+  FROM small s
+  WHERE s.o_custkey = b.o_custkey AND abs(s.ons - b.ons) <= {_TOL_NS}
+  ORDER BY abs(s.ons - b.ons), s.ons, s.o_orderkey
   LIMIT 1
 ) n ON TRUE
-ORDER BY e.event_id
+ORDER BY big_order
 """
 
 
 @query("asof_nearest_order", category="E164,J8", oracle=_NEAREST)
 def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
-    each event gets its user's CLOSEST order within ±7 days — backward or
-    forward, whichever is nearer, backward preferred on exact ties.
+    each big order (> $250k) finds the same customer's CLOSEST small order
+    within ±30 days — backward or forward, whichever is nearer, backward
+    preferred on exact ties. (An events→orders variant would be vacuous:
+    the fixture's orders live in 1995-2001 and events in 2024 — verified
+    empty at every SF, so this self-temporal shape keeps the check real:
+    95 matches at sf0.001, 861 at sf0.01.)
 
     Scale: NOT a per-row lateral re-scan (that's only the oracle's
     spelling). Two passes of the union+window as-of machinery — backward
     as-is, forward by negating the integer-ns axis (greatest −t' ≤ −t ⇔
-    smallest t' ≥ t) — then an argmin on the two candidate gaps. Each pass
-    is one shuffle on (key, ts); no join ever materializes more than one
-    candidate per direction per row. Tie rule bd_gap ≤ fd_gap matches the
-    oracle's ORDER BY gap, right_ts.
+    smallest t' ≥ t) — then an argmin on the two candidate gaps
+    (operators/asof.py asof_join_nearest, fuzzed vs pandas in
+    tests/test_analytics_ext.py). Each pass is one shuffle on (key, ts).
+
+    Right-side ties: two small orders the same day would make LIMIT 1
+    depend on o_orderkey order the operator doesn't see, so the right
+    side dedupes to one row per (custkey, day) keeping the lowest
+    orderkey — matching the oracle's ORDER BY gap, ons, o_orderkey.
     """
-    e = (
-        load(spark, sf_dir, "events")
-        .where(F.col("user_id") < 50)
-        .select("event_id", "user_id", F.col("ts_ns").alias("ns"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))") * F.lit(1000)
+        ).alias("ons"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_totalprice",
     )
-    r = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_totalprice").alias("price"))
-        .select(
-            "o_custkey",
-            # o_orderdate is TIMESTAMP_NTZ; tune() pins the session to UTC so
-            # the cast is identity and matches DuckDB's naive epoch_ns.
-            (
-                F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
-                * F.lit(1000)
-            ).alias("ons"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "price",
+    big = o.where(F.col("o_totalprice") > _BIG).select(
+        F.col("o_orderkey").alias("big_order"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("d").alias("big_date"),
+        "ons",
+    )
+    # One row per (custkey, day): min orderkey's price — the oracle's
+    # deterministic tiebreak, applied before the join.
+    small = (
+        o.where(F.col("o_totalprice") <= _BIG)
+        .groupBy("o_custkey", "ons")
+        .agg(
+            F.min_by("o_totalprice", "o_orderkey").alias("price"),
+            F.min("d").alias("small_date"),
         )
     )
     out = asof_join_nearest(
-        e,
-        r,
-        key="user_id",
+        big,
+        small,
+        key="custkey",
         right_key="o_custkey",
-        left_ts="ns",
+        left_ts="ons",
         right_ts="ons",
-        payload=["order_date", "price"],
+        payload=["small_date", "price"],
         tolerance=_TOL_NS,
     )
     return out.select(
-        "event_id",
-        "user_id",
-        "order_date",
-        F.round("price", 2).alias("price"),
-        (F.col("__gap") / F.lit(1_000_000_000)).cast("bigint").alias("gap_s"),
-    ).orderBy("event_id")
+        "big_order",
+        "custkey",
+        "big_date",
+        "small_date",
+        F.round("price", 2).alias("small_price"),
+        (F.col("__gap") / F.lit(86_400_000_000_000)).cast("bigint").alias(
+            "gap_days"
+        ),
+    ).orderBy("big_order")
 
 
 # --- E169: exact weighted median ---------------------------------------------
