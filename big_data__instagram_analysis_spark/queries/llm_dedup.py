@@ -258,23 +258,26 @@ WITH p AS (
 )
 SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS sim
 FROM s
-WHERE round(dot / (na * nb), 6) >= 0.55
+WHERE round(dot / (na * nb), 6) >= 0.4
 """,
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ 0.55.
+    """Embedding near-dup: all pairs with cosine ≥ 0.4.
 
     Two-phase operator (operators/similarity.py cosine_threshold_pairs):
     numpy matmul candidate generation under a safety margin, then a
     bit-exact HOF recompute on the surviving pairs only — oracle-hash-equal
     to DuckDB while the quadratic pair space stays vectorized (the pure-HOF
-    form measured 78 s at sf0.1; this runs in ~2 s). Threshold 0.55 is tuned
-    to the fixture's isotropic similarity distribution (max ≈ 0.48 at
-    sf0.001; a handful of pairs exceed 0.55 at sf0.1)."""
+    form measured 78 s at sf0.1; this runs in ~2 s). Threshold 0.4 sits in
+    the upper tail of the fixture's isotropic similarity distribution
+    (measured max 0.479 at sf0.001, 0.513 at sf0.01) — the original 0.55
+    exceeded the max at EVERY SF, so the green hash was an empty-vs-empty
+    comparison proving nothing (found in the round-3 zero-row audit;
+    59 pairs at sf0.01 now)."""
     from ..operators.similarity import cosine_threshold_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return cosine_threshold_pairs(e, spark, threshold=0.55)
+    return cosine_threshold_pairs(e, spark, threshold=0.4)
 
 
 @query(

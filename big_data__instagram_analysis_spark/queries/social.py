@@ -28,9 +28,16 @@ from ..registry import query
     "hashtag_top5_per_lang",
     category="F2,W2,L4,E11",
     oracle="""
-WITH tags AS (
+WITH tagged AS (  -- fixture text carries no literal hashtags (verified 0 at
+                  -- every SF): promote 4 marker words to #tags first, the
+                  -- same deterministic rewrite on both engines
+  SELECT lang,
+         regexp_replace(text, '\\b(vector|window|stream|filter)\\b',
+                        '#\\1', 'g') AS text
+  FROM documents
+), tags AS (
   SELECT lang, lower(tag) AS tag
-  FROM documents, unnest(regexp_extract_all(text, '#\\w+')) AS t(tag)
+  FROM tagged, unnest(regexp_extract_all(text, '#\\w+')) AS t(tag)
 ), counts AS (
   SELECT lang, tag, count(*) AS n
   FROM tags GROUP BY lang, tag
@@ -50,10 +57,23 @@ def hashtag_top5_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode happens executor-side inside codegen (no UDF); the count is
     a two-phase agg on (lang, tag); the rank window shuffles once on lang.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").withColumn(
+        # No literal '#' exists in the fixture corpus (the original query
+        # returned 0 rows at every SF — a vacuous hash). Promote 4 marker
+        # words to hashtags with the identical rewrite the oracle applies.
+        "text",
+        F.regexp_replace(
+            "text", r"\b(vector|window|stream|filter)\b", r"#$1"
+        ),
+    )
     tags = d.select(
         "lang",
-        F.explode(F.expr(r"regexp_extract_all(text, '#\\w+')")).alias("raw_tag"),
+        # group index 0 (whole match): Spark defaults to group 1 and raises
+        # only when a match actually exists — the latent error the vacuous
+        # version never hit.
+        F.explode(F.expr(r"regexp_extract_all(text, '#\\w+', 0)")).alias(
+            "raw_tag"
+        ),
     ).select("lang", F.lower("raw_tag").alias("tag"))
     counts = tags.groupBy("lang", "tag").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tag"))
