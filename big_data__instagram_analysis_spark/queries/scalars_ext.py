@@ -361,3 +361,62 @@ def url_checksum_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- E198: exact DECIMAL money arithmetic ------------------------------------
+
+
+@query(
+    "decimal_exact_money",
+    category="F6,E198",
+    oracle="""
+WITH d AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS p
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) AS VARCHAR) AS total_exact,
+       CAST(min(p) AS VARCHAR) AS min_exact,
+       CAST(max(p) AS VARCHAR) AS max_exact,
+       CAST(CAST(sum(p) * 100 AS BIGINT) AS BIGINT) AS total_cents
+FROM d
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed money arithmetic: prices cast to DECIMAL(14,2), summed
+    and min/maxed in exact fixed-point — the type system's answer to the
+    float-sum order-dependence this suite otherwise handles with the
+    integer-cents convention. Totals emit as strings (decimal→string is
+    canonical on both engines) plus an exact cents BIGINT.
+
+    Scale: decimal aggregation is still a two-phase hash agg with map-side
+    partials — Spark widens the accumulator (sum of DECIMAL(14,2) →
+    DECIMAL(24,2)) so 10^10 rows cannot overflow; the cost vs double is
+    ~2× per add (128-bit), the payoff is EXACT money at any row count and
+    any partitioning — the same answer DuckDB's decimal engine produces,
+    which is precisely what the hash proves.
+    """
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        o.select("o_orderstatus", p.alias("p"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("s"),
+            F.min("p").alias("mn"),
+            F.max("p").alias("mx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.col("s").cast("string").alias("total_exact"),
+            F.col("mn").cast("string").alias("min_exact"),
+            F.col("mx").cast("string").alias("max_exact"),
+            (F.col("s") * 100).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

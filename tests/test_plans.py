@@ -359,3 +359,4 @@ def test_rolling_median_single_window_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, plan.count(
         "Exchange hashpartitioning"
     )
+
