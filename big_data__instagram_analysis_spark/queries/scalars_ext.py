@@ -420,3 +420,59 @@ def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- E199: timezone conversion family ----------------------------------------
+
+
+@query(
+    "timezone_conversion_family",
+    category="F3,E199",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc,
+       strftime(timezone('America/New_York', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS ny,
+       strftime(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS tokyo,
+       strftime(timezone('Europe/London', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS london,
+       CAST(hour(timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+            AS INTEGER) AS ny_hour
+FROM events
+WHERE user_id < 5
+ORDER BY event_id
+""",
+)
+def timezone_conversion_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC → zone-local rendering across three IANA zones (one DST-bearing
+    western, one fixed-offset eastern, one DST-bearing at UTC±0/1) — the
+    dashboard-localization surface. Spark's from_utc_timestamp twins
+    DuckDB's timezone(tz, ts AT TIME ZONE 'UTC'); both resolve offsets
+    from the IANA tzdb, so January 2024 dates are rule-stable. A session
+    set to a hostile non-UTC timezone must not change the result —
+    from_utc_timestamp is session-tz-independent by definition, which this
+    hash check enforces (the driver probes with America/New_York).
+
+    Scale: pure row-local expressions in whole-stage codegen; the tz
+    lookup is a cached JVM ZoneRules hit, not a per-row parse.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+
+    def local(zone: str):
+        return F.from_utc_timestamp(F.col("ts"), zone)
+
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc"),
+        F.date_format(local("America/New_York"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ny"
+        ),
+        F.date_format(local("Asia/Tokyo"), "yyyy-MM-dd HH:mm:ss").alias(
+            "tokyo"
+        ),
+        F.date_format(local("Europe/London"), "yyyy-MM-dd HH:mm:ss").alias(
+            "london"
+        ),
+        F.hour(local("America/New_York")).cast("int").alias("ny_hour"),
+    ).orderBy("event_id")
