@@ -173,3 +173,59 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# --- E200: whole-catalog health dashboard ------------------------------------
+
+_HEALTH_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+_HEALTH_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST({k} AS BIGINT)) AS BIGINT) AS key_sum,
+       CAST(count(*) - count({k}) AS BIGINT) AS null_keys
+FROM {t}"""
+    for t, k in _HEALTH_TABLES
+) + "\nORDER BY tbl"
+
+
+@query("catalog_health_dashboard", category="S1,E200", oracle=_HEALTH_ORACLE)
+def catalog_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog health check: one plan scans all ten fixture tables
+    and emits per-table row count, key-sum checksum, and null-key count —
+    the data-quality dashboard every warehouse runs nightly, and a
+    pipeline-level smoke that any table drift (lost rows, NULLed keys,
+    re-keyed fixtures) flips the hash.
+
+    Scale: ten parallel single-column scans, each pruned to its key
+    (ReadSchema is one column per table), each a map-side partial agg to
+    one row — the plan's width is free parallelism, its depth is one
+    exchange per table for the 1-row finals. The key-sum is an exact
+    BIGINT checksum (keys are bounded, no overflow at any fixture SF).
+    """
+    from ..io import load as _load
+
+    parts = []
+    for t, k in _HEALTH_TABLES:
+        df = _load(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(k).cast("bigint")).alias("key_sum"),
+                (F.count(F.lit(1)) - F.count(k)).alias("null_keys"),
+            ).select(F.lit(t).alias("tbl"), "n_rows", "key_sum", "null_keys")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")
