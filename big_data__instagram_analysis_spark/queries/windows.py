@@ -246,3 +246,66 @@ def value_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "price", "o_orderkey")
     )
+
+
+# --- E201: nth_value accessor -------------------------------------------------
+
+
+@query(
+    "nth_value_second_order",
+    category="W4,E201",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         nth_value(round(o_totalprice, 2), 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS second_best,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+)
+SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+       round(o_totalprice, 2) AS best, second_best
+FROM w
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def nth_value_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value: each customer's second-highest order price alongside the
+    best — the runner-up accessor rank-then-self-join would need two
+    passes for. NULL when the customer has a single order (nth_value's
+    out-of-frame contract, hash-checked).
+
+    Scale: one shuffle on the window partition key; the full-partition
+    frame is fine because per-customer order counts are bounded (~10).
+    The (price DESC, orderkey) order is total, so 'second' is
+    engine-independent at price ties.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_totalprice",
+            F.nth_value(F.round("o_totalprice", 2), 2).over(wf).alias(
+                "second_best"
+            ),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n_orders"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("o_totalprice", 2).alias("best"),
+            "second_best",
+        )
+        .orderBy("o_custkey")
+    )
