@@ -172,3 +172,57 @@ def test_bpe_pair_count_identity(spark, sf_dir):
         .collect()[0][0]
     )
     assert int(got) == expected_total
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # group
+            st.integers(min_value=1, max_value=30),   # value (cents stand-in)
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_fuzz_vs_reference(spark, rows):
+    """Differential fuzz of the compact-then-cumsum weighted-median plan
+    against a direct python reference (sort values, walk cumulative weight
+    to half total) on random grouped integer data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+    grouped = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    wc = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy("g")
+    cum = grouped.select(
+        "g", "v", F.sum("w").over(wc).alias("cw"), F.sum("w").over(wt).alias("tot")
+    )
+    got = {
+        r.g: r.m
+        for r in cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    }
+
+    by_group: dict[int, dict[int, int]] = {}
+    for g, v, w in rows:
+        by_group.setdefault(g, {}).setdefault(v, 0)
+        by_group[g][v] += w
+    for g, vw in by_group.items():
+        tot = sum(vw.values())
+        acc = 0
+        ref = None
+        for v in sorted(vw):
+            acc += vw[v]
+            if 2 * acc >= tot:
+                ref = v
+                break
+        assert got[g] == ref, (g, got[g], ref, vw)
