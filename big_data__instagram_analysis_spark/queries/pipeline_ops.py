@@ -707,3 +707,81 @@ def chisq_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_x1e6"),
     )
+
+
+# --- E202: join-key skew diagnostic report -----------------------------------
+
+_SKEW = """
+WITH keyed AS (
+  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+  UNION ALL SELECT 'o_custkey', o_custkey FROM orders
+), counts AS (
+  SELECT join_key, k, CAST(count(*) AS BIGINT) AS n
+  FROM keyed GROUP BY join_key, k
+), ranked AS (
+  SELECT join_key, k, n,
+         row_number() OVER (PARTITION BY join_key ORDER BY n DESC, k) AS rn
+  FROM counts
+)
+SELECT c.join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c.n) AS BIGINT) AS n_rows,
+       CAST(max(c.n) AS BIGINT) AS max_per_key,
+       CAST(floor(max(c.n) * 1000.0 * count(*) / sum(c.n) + 0.5) AS BIGINT)
+         AS skew_x1000,
+       CAST(max(CASE WHEN r.rn = 1 THEN c.k END) AS BIGINT) AS hottest_key
+FROM counts c JOIN ranked r ON r.join_key = c.join_key AND r.k = c.k
+GROUP BY c.join_key
+ORDER BY c.join_key
+"""
+
+
+@query("join_key_skew_report", category="E202,A1", oracle=_SKEW)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: for each candidate join key, the key
+    cardinality, row count, hottest key, and a skew factor
+    (max-per-key / mean-per-key, ×1000 integer) — the report that decides
+    BETWEEN the suite's join strategies (broadcast vs shuffle vs salted:
+    skew_x1000 >> 1000 is the E5 salting trigger; AQE's skew-join split
+    threshold is the same statistic at partition granularity).
+
+    Scale: one count shuffle per key column (map-side combined), then
+    per-key-family stats over the count table — the heavy fact table is
+    read once per key column and reduced immediately; nothing wide ever
+    shuffles. The skew factor is emitted in exact integer parts-per-1000.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    def branch(df, name):
+        return df.select(
+            F.lit(name).alias("join_key"), F.col(name).alias("k")
+        )
+
+    keyed = (
+        branch(li, "l_orderkey")
+        .unionByName(branch(li, "l_partkey"))
+        .unionByName(branch(li, "l_suppkey"))
+        .unionByName(branch(o, "o_custkey"))
+    )
+    counts = keyed.groupBy("join_key", "k").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("join_key").orderBy(F.desc("n"), F.asc("k"))
+    )
+    ranked = counts.withColumn("rn", rn)
+    return (
+        ranked.groupBy("join_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_per_key"),
+            F.floor(
+                F.max("n") * 1000.0 * F.count(F.lit(1)) / F.sum("n") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("skew_x1000"),
+            F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("hottest_key"),
+        )
+        .orderBy("join_key")
+    )
