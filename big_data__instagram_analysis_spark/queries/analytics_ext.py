@@ -393,3 +393,94 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pattern")
         .limit(30)
     )
+
+
+# --- E204: exact winsorized means --------------------------------------------
+
+_WINSOR = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (5 * n + 99) // 100 THEN c END) AS lo,
+         max(CASE WHEN rn = n - (5 * n + 99) // 100 + 1 THEN c END) AS hi,
+         max(n) AS n
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(cuts.n AS BIGINT) AS n,
+       CAST(cuts.lo AS BIGINT) AS lo_cents,
+       CAST(cuts.hi AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(r.c, cuts.lo), cuts.hi)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(sum(least(greatest(r.c, cuts.lo), cuts.hi)) * 100 // cuts.n
+            AS BIGINT) AS wmean_cents_x100
+FROM r JOIN cuts USING (event_type)
+GROUP BY r.event_type, cuts.n, cuts.lo, cuts.hi
+ORDER BY r.event_type
+"""
+
+
+@query("winsorized_means", category="E204,A7", oracle=_WINSOR)
+def winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%/95% winsorized mean per event type: rank-based cutoffs
+    (value at ceil(0.05·n) and its mirror in a (cents, event_id) total
+    order), values clamped — not dropped — then averaged. The robust-mean
+    data-cleaning step, engine-side and exact, complementing the U3
+    pandas-UDAF trimmed mean (which DROPS the tails and runs in Python).
+
+    Scale: one rank window per type, a 5-row cutoff broadcast joined back,
+    then a plain aggregation — all integer-cents math including the
+    ceil((5n+99)/100) rank arithmetic, so no float boundary exists
+    anywhere. Clamping beats dropping at scale: the aggregate stays a
+    single pass with no second filter scan.
+    """
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    v = e.select("event_type", "event_id", cents.alias("c"))
+    wr = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k_lo = (5 * F.col("n") + 99) / 100
+    cuts = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor(k_lo), F.col("c"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.col("n") - F.floor(k_lo) + 1, F.col("c")
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        r.select("event_type", "c")
+        .join(F.broadcast(cuts.withColumnRenamed("event_type", "et")),
+              F.col("event_type") == F.col("et"))
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(F.sum(clamped).alias("winsorized_sum_cents"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("lo").cast("bigint").alias("lo_cents"),
+            F.col("hi").cast("bigint").alias("hi_cents"),
+            "winsorized_sum_cents",
+            F.floor(F.col("winsorized_sum_cents") * 100 / F.col("n"))
+            .cast("bigint")
+            .alias("wmean_cents_x100"),
+        )
+        .orderBy("event_type")
+    )

@@ -246,3 +246,28 @@ def sql_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_MODERN_SPARK)
+
+
+# --- E203 (extension): SQL UNPIVOT clause -------------------------------------
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, measure, round(val, 2) AS val
+FROM (SELECT p_partkey, round(p_retailprice, 2) AS retailprice,
+             CAST(p_size AS DOUBLE) AS size_val
+      FROM part WHERE p_partkey < 300)
+UNPIVOT (val FOR measure IN (retailprice, size_val))
+ORDER BY p_partkey, measure
+"""
+
+
+@query("sql_unpivot_clause", category="P1,E203", oracle=_UNPIVOT_SQL)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (wide → long through the frontend), the
+    standard-syntax twin of df.unpivot/melt (unpivot_part_measures): both
+    engines parse the identical text, and both compile to the same
+    generate/expand over each row — zero shuffle before the presentation
+    sort. Measures are pre-cast to one type (UNPIVOT requires a common
+    value type) and pre-rounded so the long rows hash exactly.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_UNPIVOT_SQL)
