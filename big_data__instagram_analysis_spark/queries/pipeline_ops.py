@@ -785,3 +785,91 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_key")
     )
+
+
+# --- E205: referential-integrity audit ---------------------------------------
+
+_RI = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT count(*) FROM nation n
+             WHERE NOT EXISTS (SELECT 1 FROM region r
+                               WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+ORDER BY fk
+"""
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query("referential_integrity_audit", category="E205,J5", oracle=_RI)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit over the whole star schema: for each declared FK
+    edge, the child row count and the orphan count (children whose parent
+    key is missing) — the constraint check a lakehouse runs since parquet
+    enforces nothing. All six edges in one plan.
+
+    Scale: every orphan check is a left-anti join on the FK (the NOT
+    EXISTS rewrite); parents reduce to their DISTINCT key column before
+    the join (one narrow column, broadcastable for dims, shuffled for
+    facts). A healthy catalog returns zeros — which is exactly the
+    assertion: any ingestion bug that strands children flips the hash.
+    The nonempty-oracle gate is satisfied by construction (6 edge rows,
+    never 0)."""
+    counts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pk).distinct()
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        counts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(f"{child}.{fk}->{parent}").alias("fk"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+    out = counts[0]
+    for c2 in counts[1:]:
+        out = out.unionByName(c2)
+    return out.orderBy("fk")
