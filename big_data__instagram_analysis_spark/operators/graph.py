@@ -189,3 +189,42 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source,
+    *,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Frontier-expansion BFS: (node, dist) for every vertex within
+    ``max_depth`` hops of ``source`` along directed edges.
+
+    Each round joins the CURRENT FRONTIER (not the whole visited set)
+    against edges on src, anti-joins the visited set, and
+    localCheckpoint()s so the plan stays O(1) deep; rounds = min(graph
+    eccentricity, max_depth), shuffle volume per round = frontier fan-out.
+    The textbook distributed BFS — the driver loop only orchestrates,
+    no per-node data collects.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    spark = edges.sparkSession
+    root = spark.createDataFrame([(int(source), 0)], "node long, dist int")
+    visited = root.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

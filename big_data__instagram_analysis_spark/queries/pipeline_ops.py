@@ -347,24 +347,10 @@ def bfs_levels_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    root = edges.agg(F.min("src").alias("node")).select(
-        "node", F.lit(0).alias("dist")
-    )
-    visited = root.localCheckpoint()
-    frontier = visited
-    for depth in range(1, _BFS_MAX_DEPTH + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(depth).alias("dist"))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    source = edges.agg(F.min("src")).collect()[0][0]
+    from ..operators.graph import bfs_levels
+
+    visited = bfs_levels(edges, source, max_depth=_BFS_MAX_DEPTH)
     return visited.select(
         F.col("node").cast("bigint").alias("user_id"),
         F.col("dist").cast("int").alias("dist"),

@@ -98,3 +98,35 @@ def test_pagerank_vs_numpy_power_iteration(spark, edges):
         rank = teleport + 0.85 * incoming
     for node in nodes:
         assert got[node] == pytest.approx(rank[idx[node]], abs=1e-9), node
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(edge, min_size=1, max_size=25))
+def test_bfs_levels_vs_python_bfs(spark, edges):
+    from collections import deque
+
+    from big_data__instagram_analysis_spark.operators.graph import bfs_levels
+
+    non_loop = sorted({(a, b) for a, b in edges if a != b})
+    if not non_loop:
+        return
+    source = min(a for a, _ in non_loop)
+    df = spark.createDataFrame(non_loop, "src long, dst long")
+    got = {r.node: r.dist for r in bfs_levels(df, source, max_depth=15).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in non_loop:
+        adj.setdefault(a, []).append(b)
+    ref = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
