@@ -28,7 +28,12 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
-from .graph import attach_components, connected_components, pagerank  # noqa: F401
+from .graph import (  # noqa: F401
+    attach_components,
+    bfs_levels,
+    connected_components,
+    pagerank,
+)
 from .similarity import (  # noqa: F401
     cosine_threshold_pairs,
     cosine_topk_queries,
