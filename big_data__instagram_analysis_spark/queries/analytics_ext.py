@@ -484,3 +484,125 @@ def winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- E206: interval-overlap join via grid bucketing --------------------------
+
+_NS_HOUR_G = 3600 * 1_000_000_000
+_GAP_NS = 30 * 60 * 1_000_000_000
+# Peak = hour with >= 1.5x the mean hourly count (exact integer test
+# 2*n*k >= 3*tot). An absolute cutoff was vacuous at sf0.001 (max 6/hr) —
+# the relative form yields 124 peaks at sf0.001 and 40 at sf0.01.
+
+_OVERLAP = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events
+), marked AS (
+  SELECT user_id, ns,
+         CASE WHEN ns - lag(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ns, event_id) > {_GAP_NS}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, min(ns) AS s_start, max(ns) AS s_end
+  FROM (SELECT user_id, ns,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ns
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+  GROUP BY user_id, sid
+), hours AS (
+  SELECT ns // {_NS_HOUR_G} AS cell, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k
+  FROM hours
+), peaks AS (
+  SELECT h.cell * {_NS_HOUR_G} AS p_start,
+         (h.cell + 1) * {_NS_HOUR_G} AS p_end
+  FROM hours h, tot t WHERE 2 * h.n * t.k >= 3 * t.tot
+)
+SELECT s.user_id,
+       CAST(s.s_start AS BIGINT) AS session_start_ns,
+       CAST(p.p_start AS BIGINT) AS peak_start_ns,
+       CAST((least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start))
+            // 1000000 AS BIGINT) AS overlap_ms
+FROM sess s JOIN peaks p
+  ON s.s_start < p.p_end AND p.p_start < s.s_end
+ORDER BY s.user_id, session_start_ns, peak_start_ns
+"""
+
+
+@query("interval_overlap_sessions", category="E206,J7", oracle=_OVERLAP)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (30-min-gap sessionization)
+    × peak traffic hours (≥40 events), with exact overlap duration — the
+    generalization of J7's point-in-band range join to interval×interval.
+
+    Scale: the oracle's theta join (s.start < p.end AND p.start < s.end)
+    is a nested loop on two unbounded sets. The Spark side GRID-BUCKETS
+    instead: every session explodes into the hour cells it touches
+    (bounded by session length / cell size), peaks are keyed by their
+    hour cell, and the overlap test runs as an EQUI-join on the cell with
+    the strict-overlap predicate as a residual — the standard
+    interval/spatial binning rewrite. A session spanning k hours meets a
+    peak at most once per shared cell and cells are disjoint, so no
+    dedup pass is needed: each (session, peak) pair shares exactly one
+    cell (the peak's own).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_ns").alias("ns")
+    )
+    w = Window.partitionBy("user_id").orderBy("ns", "event_id")
+    brk = (
+        F.when(
+            F.col("ns") - F.lag("ns").over(w) > _GAP_NS, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    sid = F.sum(brk).over(
+        Window.partitionBy("user_id")
+        .orderBy("ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        e.select("user_id", "ns", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ns").alias("s_start"), F.max("ns").alias("s_end"))
+    )
+    hours = e.groupBy(
+        (F.col("ns") / _NS_HOUR_G).cast("bigint").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hours.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    peaks = (
+        hours.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("n") * F.col("k") >= 3 * F.col("tot"))
+        .select(
+            "cell",
+            (F.col("cell") * _NS_HOUR_G).alias("p_start"),
+            ((F.col("cell") + 1) * _NS_HOUR_G).alias("p_end"),
+        )
+    )
+    cells = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                (F.col("s_start") / _NS_HOUR_G).cast("bigint"),
+                (F.col("s_end") / _NS_HOUR_G).cast("bigint"),
+            )
+        ).alias("cell"),
+    )
+    joined = cells.join(peaks, "cell").where(
+        (F.col("s_start") < F.col("p_end"))
+        & (F.col("p_start") < F.col("s_end"))
+    )
+    return joined.select(
+        "user_id",
+        F.col("s_start").alias("session_start_ns"),
+        F.col("p_start").alias("peak_start_ns"),
+        F.expr(
+            "(least(s_end, p_end) - greatest(s_start, p_start)) div 1000000"
+        ).alias("overlap_ms"),
+    ).orderBy("user_id", "session_start_ns", "peak_start_ns")
