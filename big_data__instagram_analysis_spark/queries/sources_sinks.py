@@ -328,3 +328,124 @@ def python_stream_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("series")
+
+
+# --- E207: reliable checkpoint mid-plan --------------------------------------
+
+
+@query(
+    "reliable_checkpoint_midplan",
+    category="E207,S1",
+    oracle="""
+WITH agg AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.l_suppkey,
+       a.n, a.cents,
+       CAST(a.cents - b.cents AS BIGINT) AS self_diff
+FROM agg a JOIN agg b ON a.l_suppkey = b.l_suppkey
+ORDER BY a.l_suppkey
+""",
+)
+def reliable_checkpoint_midplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABLE checkpoint (sc.setCheckpointDir + df.checkpoint) truncating
+    lineage mid-pipeline: the per-supplier aggregate is checkpointed to
+    disk, then consumed TWICE by a self-join — after the checkpoint the
+    join reads the materialized files instead of recomputing the
+    aggregate per branch, and the plan tree below the checkpoint is gone.
+
+    localCheckpoint (used throughout the iterative operators) keeps blocks
+    in executor storage — lost with an executor; the reliable variant
+    survives executor loss, which is the difference that matters on a
+    1000-node cluster where something is always dying. Semantics must be
+    byte-identical either way: the oracle recomputes the plain self-join
+    and self_diff pins the two branches equal (always 0).
+    """
+    prior = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(scratch_dir("reliable_ckpt"))
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    agg = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        .checkpoint()  # eager: materializes to the reliable store
+    )
+    b = agg.select(
+        F.col("l_suppkey").alias("bk"), F.col("cents").alias("b_cents")
+    )
+    out = (
+        agg.join(b, agg.l_suppkey == b.bk)
+        .select(
+            "l_suppkey",
+            "n",
+            "cents",
+            (F.col("cents") - F.col("b_cents")).alias("self_diff"),
+        )
+        .orderBy("l_suppkey")
+    )
+    # Restore any prior checkpoint dir conf state is not needed: the dir is
+    # additive scratch; leaving it set does not alter other queries'
+    # semantics (they call localCheckpoint explicitly).
+    return out
+
+
+# --- E208: CREATE TABLE AS SELECT (CTAS) round trip ---------------------------
+
+
+@query(
+    "ctas_roundtrip",
+    category="E208,S5",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT through the SQL frontend: a filtered slice of
+    orders materializes as a path-based parquet table in one statement
+    (the catalog registers it, the files land at the LOCATION), then the
+    aggregate reads the TABLE by name — the warehouse-native way to stage
+    derived datasets, vs the programmatic df.write path (S5).
+
+    Scale: CTAS is a write-then-register — the SELECT plans like any
+    insert (full pushdown below the write); downstream reads get
+    catalog statistics and partition discovery for free. The table is
+    dropped and recreated per run (CREATE OR REPLACE semantics via DROP +
+    CREATE) so the query is idempotent under driver re-runs.
+    """
+    from ..io import register_views
+
+    import shutil
+
+    register_views(spark, sf_dir)
+    loc = scratch_dir(f"ctas_orders_{os.path.basename(os.path.normpath(sf_dir))}")
+    spark.sql("DROP TABLE IF EXISTS sg_ctas_orders")
+    # CTAS refuses a non-empty LOCATION (no silent overwrite); the rerun
+    # contract here is clean-then-create.
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE sg_ctas_orders
+        USING PARQUET LOCATION '{loc}'
+        AS SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderstatus = 'F'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM sg_ctas_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
