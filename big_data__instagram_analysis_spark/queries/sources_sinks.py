@@ -449,3 +449,78 @@ def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+# --- E209: write-side schema evolution (ALTER TABLE + backfill) ---------------
+
+
+@query(
+    "alter_table_schema_evolution",
+    category="E209,S5",
+    oracle="""
+WITH old_rows AS (
+  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS tier
+  FROM nation WHERE n_nationkey < 10
+), new_rows AS (
+  SELECT n_nationkey, n_name, CAST(n_nationkey % 3 AS INTEGER) AS tier
+  FROM nation WHERE n_nationkey >= 10
+), unioned AS (
+  SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows
+)
+SELECT coalesce(CAST(tier AS VARCHAR), 'pre-evolution') AS tier_label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM unioned
+GROUP BY tier_label
+ORDER BY tier_label
+""",
+)
+def alter_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side schema evolution: a catalog parquet table is created with
+    the OLD schema, ALTER TABLE ADD COLUMNS widens it, new rows land with
+    the new column, and one read serves both generations — old files
+    surface NULL for the added column (parquet's missing-column contract),
+    which downstream labels explicitly. The read-side complement
+    (mergeSchema) is S1/E126; this is the catalog-managed write path a
+    warehouse actually evolves through.
+
+    Scale: ALTER TABLE is a metastore-only operation — zero data rewrite;
+    the cost model of column ADD on parquet is O(1) regardless of table
+    size, which is exactly why additive evolution is the sanctioned
+    pattern (type CHANGES would rewrite everything).
+    """
+    import shutil
+
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    loc = scratch_dir(
+        f"evolve_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    spark.sql("DROP TABLE IF EXISTS sg_evolve_nation")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE sg_evolve_nation
+        USING PARQUET LOCATION '{loc}'
+        AS SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+        """
+    )
+    spark.sql("ALTER TABLE sg_evolve_nation ADD COLUMNS (tier INT)")
+    spark.sql(
+        """
+        INSERT INTO sg_evolve_nation
+        SELECT n_nationkey, n_name, CAST(n_nationkey % 3 AS INT) AS tier
+        FROM nation WHERE n_nationkey >= 10
+        """
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(CAST(tier AS STRING), 'pre-evolution') AS tier_label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM sg_evolve_nation
+        GROUP BY tier_label
+        ORDER BY tier_label
+        """
+    )
