@@ -490,9 +490,13 @@ def winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NS_HOUR_G = 3600 * 1_000_000_000
 _GAP_NS = 30 * 60 * 1_000_000_000
-# Peak = hour with >= 1.5x the mean hourly count (exact integer test
-# 2*n*k >= 3*tot). An absolute cutoff was vacuous at sf0.001 (max 6/hr) —
-# the relative form yields 124 peaks at sf0.001 and 40 at sf0.01.
+# Peak = the 48 busiest hours by event count ((n, cell) DESC rank —
+# deterministic and NON-EMPTY at every SF by construction). Two earlier
+# definitions degenerated: an absolute cutoff was vacuous at sf0.001
+# (max 6 events/hr) and a 1.5x-mean relative cutoff was vacuous at sf0.1
+# (dense uniform data flattens relative variance). Rank-based selection
+# is the scale-invariant form.
+_PEAK_TOPK = 48
 
 _OVERLAP = f"""
 WITH e AS (
@@ -513,13 +517,12 @@ WITH e AS (
 ), hours AS (
   SELECT ns // {_NS_HOUR_G} AS cell, CAST(count(*) AS BIGINT) AS n
   FROM e GROUP BY 1
-), tot AS (
-  SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k
-  FROM hours
+), ranked AS (
+  SELECT cell, row_number() OVER (ORDER BY n DESC, cell) AS rk FROM hours
 ), peaks AS (
-  SELECT h.cell * {_NS_HOUR_G} AS p_start,
-         (h.cell + 1) * {_NS_HOUR_G} AS p_end
-  FROM hours h, tot t WHERE 2 * h.n * t.k >= 3 * t.tot
+  SELECT cell * {_NS_HOUR_G} AS p_start,
+         (cell + 1) * {_NS_HOUR_G} AS p_end
+  FROM ranked WHERE rk <= {_PEAK_TOPK}
 )
 SELECT s.user_id,
        CAST(s.s_start AS BIGINT) AS session_start_ns,
@@ -535,7 +538,7 @@ ORDER BY s.user_id, session_start_ns, peak_start_ns
 @query("interval_overlap_sessions", category="E206,J7", oracle=_OVERLAP)
 def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: user sessions (30-min-gap sessionization)
-    × peak traffic hours (≥40 events), with exact overlap duration — the
+    × the 48 busiest hours, with exact overlap duration — the
     generalization of J7's point-in-band range join to interval×interval.
 
     Scale: the oracle's theta join (s.start < p.end AND p.start < s.end)
@@ -571,12 +574,10 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = e.groupBy(
         (F.col("ns") / _NS_HOUR_G).cast("bigint").alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = hours.agg(
-        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
-    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("cell")))
     peaks = (
-        hours.crossJoin(F.broadcast(tot))
-        .where(2 * F.col("n") * F.col("k") >= 3 * F.col("tot"))
+        hours.withColumn("rk", rk)
+        .where(F.col("rk") <= _PEAK_TOPK)
         .select(
             "cell",
             (F.col("cell") * _NS_HOUR_G).alias("p_start"),
