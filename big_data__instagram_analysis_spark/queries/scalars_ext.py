@@ -476,3 +476,64 @@ def timezone_conversion_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.hour(local("America/New_York")).cast("int").alias("ny_hour"),
     ).orderBy("event_id")
+
+
+# --- E210: regex accessor family + built-in PII mask --------------------------
+
+
+@query(
+    "regex_accessor_masking",
+    category="F2,E210,L8",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source || '-' || CAST(doc_id AS VARCHAR) || '-' || lang AS code
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, code,
+       CAST(len(regexp_extract_all(code, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+       CAST(strpos(code, regexp_extract(code, '[0-9]+')) AS INTEGER)
+         AS first_digit_pos,
+       regexp_extract(code, '[0-9]+') AS first_digit_run,
+       split_part(code, '-', 2) AS middle_part,
+       regexp_replace(regexp_replace(regexp_replace(code,
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+FROM s
+ORDER BY doc_id
+""",
+)
+def regex_accessor_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-3.4+ regex accessor family over a synthesized code column:
+    regexp_count (occurrences), regexp_instr (1-based first-match
+    position), regexp_substr (first match), split_part, and the built-in
+    mask() PII function (upper→X, lower→x, digit→n, punctuation kept) —
+    DuckDB spells the first as len(extract_all), the position as
+    strpos-of-first-match (valid here: any earlier occurrence of the
+    matched digit run would itself start an earlier match — contradiction),
+    and the mask as three class replaces, making every accessor
+    cross-checkable.
+
+    Scale: all row-local codegen; mask() is the engine-native PII
+    primitive that replaces the regex-chain UDFs of the L8 redaction
+    family for the class-masking case.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    code = F.concat_ws(
+        "-", F.col("source"), F.col("doc_id").cast("string"), F.col("lang")
+    )
+    return (
+        d.select("doc_id", code.alias("code"))
+        .select(
+            "doc_id",
+            "code",
+            F.expr("regexp_count(code, '[0-9]+')").cast("int").alias(
+                "n_digit_runs"
+            ),
+            F.expr("regexp_instr(code, '[0-9]+')").cast("int").alias(
+                "first_digit_pos"
+            ),
+            F.expr("regexp_substr(code, '[0-9]+')").alias("first_digit_run"),
+            F.expr("split_part(code, '-', 2)").alias("middle_part"),
+            F.expr("mask(code)").alias("masked"),
+        )
+        .orderBy("doc_id")
+    )
