@@ -537,3 +537,114 @@ def regex_accessor_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- E211: array-edit function family ----------------------------------------
+
+
+@query(
+    "array_edit_functions",
+    category="F7,E211",
+    oracle="""
+WITH base AS (
+  SELECT p_partkey,
+         [CAST(p_size AS BIGINT), CAST(p_partkey % 7 AS BIGINT)] AS arr
+  FROM part WHERE p_partkey < 100
+)
+SELECT p_partkey,
+       array_to_string(list_prepend(CAST(-1 AS BIGINT), arr), ',')
+         AS prepended,
+       array_to_string(list_append(arr, CAST(99 AS BIGINT)), ',')
+         AS appended,
+       array_to_string([arr[1], CAST(0 AS BIGINT), arr[2]], ',')
+         AS inserted_mid,
+       array_to_string(
+         list_filter(list_append(arr, CAST(NULL AS BIGINT)),
+                     x -> x IS NOT NULL), ',') AS compacted
+FROM base
+ORDER BY p_partkey
+""",
+)
+def array_edit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-3.4/3.5 array-EDIT family: array_prepend, array_append,
+    array_insert (middle position), array_compact (NULL removal) — the
+    mutation surface feature pipelines use to build fixed-shape vectors
+    without exploding. DuckDB spells them list_prepend/list_append/
+    explicit reconstruction/list_filter; arrays emit comma-joined so the
+    hasher sees scalars.
+
+    Scale: pure row-local codegen over in-row arrays — no Python, no
+    shuffle; the arrays never leave their executor.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    arr = F.array(
+        F.col("p_size").cast("bigint"), (F.col("p_partkey") % 7).cast("bigint")
+    )
+    join_ = lambda c: F.array_join(c.cast("array<string>"), ",")  # noqa: E731
+    return (
+        p.select("p_partkey", arr.alias("arr"))
+        .select(
+            "p_partkey",
+            join_(F.array_prepend("arr", F.lit(-1).cast("bigint"))).alias(
+                "prepended"
+            ),
+            join_(F.array_append("arr", F.lit(99).cast("bigint"))).alias(
+                "appended"
+            ),
+            join_(
+                F.array_insert("arr", 2, F.lit(0).cast("bigint"))
+            ).alias("inserted_mid"),
+            join_(
+                F.array_compact(
+                    F.array_append("arr", F.lit(None).cast("bigint"))
+                )
+            ).alias("compacted"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --- E212: unicode string semantics ------------------------------------------
+
+
+@query(
+    "unicode_string_semantics",
+    category="F1,E212",
+    oracle="""
+SELECT s,
+       CAST(length(s) AS INTEGER) AS n_chars,
+       CAST(octet_length(encode(s)) AS INTEGER) AS n_bytes,
+       upper(s) AS uppered,
+       reverse(s) AS reversed,
+       CAST(ascii(s) AS INTEGER) AS first_codepoint
+FROM (VALUES ('ascii only'), ('héllo wörld'), ('漢字テスト'),
+             ('mixed 漢 text'), ('émoji-frei')) AS t(s)
+ORDER BY s
+""",
+)
+def unicode_string_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode semantics pinned cross-engine on inline multibyte strings:
+    length counts CODEPOINTS (not bytes — héllo wörld is 11 chars /
+    13 bytes, 漢字テスト 5 / 15), octet_length counts UTF-8 bytes, and
+    upper/reverse/ascii operate on codepoints. The contract every text
+    pipeline silently assumes and byte-oriented engines get wrong;
+    hash-proving it here pins the engine pair's agreement.
+
+    Scale: row-local; the point is semantics, not throughput.
+    """
+    rows = [
+        ("ascii only",),
+        ("héllo wörld",),
+        ("漢字テスト",),
+        ("mixed 漢 text",),
+        ("émoji-frei",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    return df.select(
+        "s",
+        F.length("s").cast("int").alias("n_chars"),
+        F.octet_length("s").cast("int").alias("n_bytes"),
+        F.upper("s").alias("uppered"),
+        F.reverse("s").alias("reversed"),
+        F.ascii("s").cast("int").alias("first_codepoint"),
+    ).orderBy("s")
