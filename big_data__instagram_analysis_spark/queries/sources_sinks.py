@@ -524,3 +524,62 @@ def alter_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY tier_label
         """
     )
+
+
+# --- E213: custom Python DataSource WRITER ------------------------------------
+
+
+@query(
+    "python_datasource_writer",
+    category="E213,S4,S6",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 API, the write-side twin of
+    S4's custom reader): the per-segment customer aggregate goes out
+    through ``df.write.format("simplecsvsink")`` — each task stages a
+    file and returns a WriterCommitMessage, the driver-side commit()
+    publishes them atomically with a _SUCCESS manifest (abort() discards
+    staged files on failure). The result is read back with the plain CSV
+    reader and must hash-match the oracle's direct aggregate — proving
+    the custom sink wrote exactly the rows it was handed.
+
+    Scale: write() runs once per partition on executors (Arrow-batched
+    rows in); the commit protocol is the same stage-then-publish shape
+    production sinks use so speculative/failed tasks never publish.
+    """
+    import shutil
+
+    from ..sources.python_datasource import SimpleCsvSink
+
+    spark.dataSource.register(SimpleCsvSink)
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "bal_cents"
+            ),
+        )
+    )
+    path = scratch_dir(
+        f"pyds_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    agg.write.format("simplecsvsink").option("path", path).mode(
+        "append"
+    ).save()
+    back = spark.read.csv(
+        f"{path}/part-*.csv",
+        schema="c_mktsegment string, n long, bal_cents long",
+    )
+    return back.orderBy("c_mktsegment")

@@ -22,7 +22,13 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 NODE_DOMAIN = 1000
 _A = 2654435761  # Knuth multiplicative hash
@@ -139,3 +145,68 @@ class SynthTicksSource(DataSource):
 
 def register_streaming(spark) -> None:
     spark.dataSource.register(SynthTicksSource)
+
+
+# --- Custom Python DataSource WRITER (Spark 4 writer API) ---------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class SimpleCsvWriter(DataSourceWriter):
+    """Two-phase file writer: each task stages `stage-*.csv`, the driver-side
+    commit() renames staged files into place and drops a _SUCCESS manifest —
+    the same stage-then-publish protocol every production sink uses so a
+    failed/speculated task can abort() without half-written output becoming
+    visible."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"stage-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(",".join(str(v) for v in row) + "\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.csv")
+            os.replace(m.path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"rows": total}))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class SimpleCsvSink(DataSource):
+    """``df.write.format("simplecsvsink").option("path", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "simplecsvsink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return SimpleCsvWriter(self.options)
