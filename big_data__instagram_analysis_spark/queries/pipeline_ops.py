@@ -859,3 +859,69 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c2 in counts[1:]:
         out = out.unionByName(c2)
     return out.orderBy("fk")
+
+
+# --- E214: incremental materialized-JOIN maintenance -------------------------
+
+_IVM_JOIN = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("incremental_join_maintenance", category="E214,J1", oracle=_IVM_JOIN)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view: with base/delta
+    splits of both sides (A = base∪ΔA, B = base∪ΔB), the maintained
+    aggregate is assembled from FOUR partial terms —
+    agg(A₀⋈B₀) + agg(ΔA⋈B₀) + agg(A₀⋈ΔB) + agg(ΔA⋈ΔB) — the classic
+    Δ(A⋈B) IVM identity. The full A⋈B is never formed on the Spark side;
+    the oracle computes it directly, so the hash proves the decomposition.
+
+    The point at 100 TB: when a micro-batch lands, only the Δ-terms run
+    (|Δ|·|B| keyed work, not |A|·|B|), and agg(A₀⋈B₀) is the stored view
+    from the previous run — here recomputed once to keep the query
+    self-contained, with the three delta terms exercising exactly the
+    incremental path. Complements E81's aggregate-only retraction folding
+    with the join-shaped case. Money in exact integer cents; the four
+    partial aggregates merge by summation because count/sum are
+    commutative monoids — the property IVM needs.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    a0 = o.where(F.col("o_orderkey") % 5 != 0)
+    da = o.where(F.col("o_orderkey") % 5 == 0)
+    b0 = c.where(F.col("c_custkey") % 7 != 0)
+    db = c.where(F.col("c_custkey") % 7 == 0)
+
+    def term(orders_part, cust_part):
+        return (
+            orders_part.join(
+                cust_part, orders_part.o_custkey == cust_part.c_custkey
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+        )
+
+    merged = (
+        term(a0, b0)
+        .unionByName(term(da, b0))
+        .unionByName(term(a0, db))
+        .unionByName(term(da, db))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    return merged.orderBy("c_mktsegment")
