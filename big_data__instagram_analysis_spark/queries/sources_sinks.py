@@ -583,3 +583,72 @@ def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_mktsegment string, n long, bal_cents long",
     )
     return back.orderBy("c_mktsegment")
+
+
+# --- E215: mixed-format federation --------------------------------------------
+
+
+@query(
+    "mixed_format_federation",
+    category="E215,S2,S3,S5",
+    oracle="""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def mixed_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated union over three storage formats: the supplier table is
+    split by key residue into parquet, CSV and JSON slices, read back with
+    each format's reader, unioned into ONE plan, and aggregated — the
+    heterogeneous-lake reality where history lives in parquet but edge
+    feeds still arrive as text. The oracle aggregates the unsplit table:
+    hash equality proves no format lost or coerced a row.
+
+    Scale: each branch keeps its own pushdown capabilities (parquet
+    prunes columns/pages; CSV/JSON scan fully — the measured reason
+    columnar wins); the union is plan-level, not a materialization, so
+    the three scans parallelize like any other leaves.
+    """
+    import shutil
+
+    s = load(spark, sf_dir, "supplier")
+    base = scratch_dir(
+        f"federation_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    pq_dir, csv_dir, json_dir = (
+        os.path.join(base, "pq"),
+        os.path.join(base, "csv"),
+        os.path.join(base, "json"),
+    )
+    cols = ["s_suppkey", "s_nationkey", "s_acctbal"]
+    sel = s.select(*cols)
+    sel.where(F.col("s_suppkey") % 3 == 0).write.mode("overwrite").parquet(pq_dir)
+    sel.where(F.col("s_suppkey") % 3 == 1).write.mode("overwrite").csv(
+        csv_dir, header=True
+    )
+    sel.where(F.col("s_suppkey") % 3 == 2).write.mode("overwrite").json(json_dir)
+
+    schema = "s_suppkey long, s_nationkey long, s_acctbal double"
+    parts = [
+        spark.read.parquet(pq_dir),
+        spark.read.csv(csv_dir, header=True, schema=schema),
+        spark.read.json(json_dir, schema=schema),
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint")).alias(
+                "bal_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
