@@ -1911,3 +1911,69 @@ def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY e.event_id, t.pos
         """
     )
+
+
+# --- E216 (extension): HLL sketch set algebra — intersection estimate ---------
+
+
+@query(
+    "hll_intersection_estimate",
+    category="A4,E216",
+    oracle="""
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS exact_view_users,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_purchase_users,
+       CAST((SELECT count(*) FROM v JOIN p USING (user_id)) AS BIGINT)
+         AS exact_intersection,
+       TRUE AS estimate_within_10pct
+""",
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch SET ALGEBRA: |A∩B| estimated by inclusion-exclusion over
+    three mergeable sketches (est(A) + est(B) − est(A∪B)) — sketches only
+    union natively, so intersection must be DERIVED, and its error
+    compounds (the reason theta sketches exist). Certified-contract form:
+    exact sets via joins, the pinned boolean asserts the HLL-derived
+    intersection lands within 10% of the exact one (generous because
+    inclusion-exclusion amplifies the three ±rsd errors).
+
+    Scale: each sketch is one partial-aggregated pass (bytes-sized
+    state); the union is sketch-merge, not data movement — audience
+    overlap at 100 TB without ever shuffling user ids.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select("user_id")
+    p = e.where(F.col("event_type") == "purchase").select("user_id")
+
+    sk = lambda df: df.agg(  # noqa: E731
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est_a = sk(v).select(F.hll_sketch_estimate("sk").alias("ea"))
+    est_b = sk(p).select(F.hll_sketch_estimate("sk").alias("eb"))
+    est_u = (
+        v.unionByName(p)
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("eu"))
+    )
+    exact_v = v.distinct().count()
+    exact_p = p.distinct().count()
+    exact_i = v.distinct().join(p.distinct(), "user_id").count()
+
+    est = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("ei"))
+    )
+    within = est.select(
+        (
+            F.abs(F.col("ei") - F.lit(exact_i))
+            <= F.lit(max(exact_i, 1)) * 0.10
+        ).alias("ok")
+    )
+    return within.select(
+        F.lit(exact_v).cast("bigint").alias("exact_view_users"),
+        F.lit(exact_p).cast("bigint").alias("exact_purchase_users"),
+        F.lit(exact_i).cast("bigint").alias("exact_intersection"),
+        F.col("ok").alias("estimate_within_10pct"),
+    )

@@ -360,3 +360,29 @@ def test_rolling_median_single_window_shuffle(spark, sf_dir):
         "Exchange hashpartitioning"
     )
 
+
+
+def test_aqe_converts_filtered_side_to_broadcast(spark, sf_dir):
+    """AQE must re-plan a statically-SMJ join to broadcast at RUNTIME when
+    the filtered side turns out tiny — the adaptive behavior a 100 TB
+    deployment leans on when static stats mislead. Checked on the FINAL
+    adaptive plan after execution."""
+    from big_data__instagram_analysis_spark.io import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # Static threshold off → planner starts with SMJ; AQE local threshold on.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        tiny = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = li.join(tiny, li.l_orderkey == tiny.o_orderkey).agg(
+            F.count(F.lit(1))
+        )
+        j.collect()  # run so AQE finalizes
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final[:600]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
