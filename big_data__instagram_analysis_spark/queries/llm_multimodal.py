@@ -324,3 +324,83 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "frame")
     )
+
+
+# --- E217 (extension): video motion energy over framed binary -----------------
+
+_VID_FRAMES = 8
+_VID_PIX = 64  # 8x8 per frame
+
+
+@query(
+    "video_motion_energy",
+    category="L7,E217",
+    oracle=f"""
+WITH diffs AS (
+  SELECT vec_id, f.fi
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, {_VID_FRAMES})) AS fi) f
+  WHERE vec_id < 100
+)
+SELECT vec_id, CAST(fi AS INTEGER) AS frame,
+       CAST(list_sum(list_transform(range(0, {_VID_PIX}), p ->
+         abs(((vec_id * 17 + (fi * {_VID_PIX} + p) * 11) % 251)
+             - ((vec_id * 17 + ((fi - 1) * {_VID_PIX} + p) * 11) % 251))))
+         AS BIGINT) AS motion_energy
+FROM diffs
+ORDER BY vec_id, frame
+""",
+)
+def video_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motion energy over a framed 'video' binary — the
+    scene-change / shot-boundary primitive: 8 frames of 8×8 synthetic
+    pixels (pixel = (id·17 + global_idx·11) mod 251) packed as one byte
+    payload, then numpy computes Σ|frame_i − frame_{i−1}| per transition
+    in a second Arrow stage. Completes the byte-exact multimodal triple
+    (image patchify E196, PCM framing E197): image, audio, video all
+    cross the Python boundary as opaque bytes with closed-form oracles.
+
+    Scale: two zero-shuffle mapInPandas stages; output is 7 ints per
+    video regardless of payload size — frame differencing never shuffles
+    pixels, exactly how a shot-boundary pass runs over a petabyte of
+    video.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
+        "vec_id"
+    )
+    total = _VID_FRAMES * _VID_PIX
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(total, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = [
+                ((int(v) * 17 + idx * 11) % 251).astype(np.uint8).tobytes()
+                for v in pdf.vec_id
+            ]
+            yield pd.DataFrame({"vec_id": pdf.vec_id, "video": vids})
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v, b in zip(pdf.vec_id, pdf.video):
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                fr = a.reshape(_VID_FRAMES, _VID_PIX)
+                d = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                for fi, e in enumerate(d, start=1):
+                    rows.append((int(v), fi, int(e)))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "frame", "motion_energy"]
+            )
+
+    vid = emb.mapInPandas(gen, "vec_id long, video binary")
+    return vid.mapInPandas(
+        motion, "vec_id long, frame int, motion_energy long"
+    ).orderBy("vec_id", "frame")

@@ -71,3 +71,57 @@ def test_exact_dedup_idempotent_and_min_id_survivor(spark, rows):
 def test_case_whitespace_variants_collapse(spark):
     rows = ["Hello  World", "hello world", "  HELLO\tWORLD ", "other doc"]
     assert _dedup_ids(spark, range(4), rows) == [0, 3]
+
+
+# --- n-gram Jaccard pairs vs brute-force python -------------------------------
+
+
+_JWORDS = ["join", "scan", "merge", "hash", "row", "batch", "sort", "key"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_JWORDS), min_size=3, max_size=9).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_ngram_jaccard_pairs_vs_bruteforce(spark, texts):
+    """The shared-shingle equi-join must return exactly the pairs (and
+    exactly the Jaccard values) a brute-force python shingle comparison
+    computes — the operator every near-dup family leans on as ground
+    truth deserves its own independent oracle."""
+    from big_data__instagram_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        ws = [w for w in t.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                    if j >= 0.3:
+                        expected[(a, b)] = round(j, 6)
+    assert got == expected, (got, expected)
