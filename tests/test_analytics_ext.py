@@ -226,3 +226,55 @@ def test_weighted_median_fuzz_vs_reference(spark, rows):
                 ref = v
                 break
         assert got[g] == ref, (g, got[g], ref, vw)
+
+
+def test_compaction_bins_respect_target(spark, sf_dir):
+    """Every compaction bin except possibly the last must stop once it
+    reaches the 8k-row target (prefix-sum binning property), and bins must
+    partition the files exactly (no file lost or duplicated)."""
+    res = (
+        get_specs()["small_file_compaction_plan"].fn(spark, sf_dir).toPandas()
+    )
+    assert res.bin_id.is_monotonic_increasing
+    all_files = ",".join(res.file_idxs).split(",")
+    assert len(all_files) == len(set(all_files)) == int(res.n_files.sum())
+    # A bin only opens when the previous one has reached the target.
+    cum = 0
+    for _, r in res.sort_values("bin_id").iterrows():
+        if r.bin_id > 0:
+            assert cum >= 8000 * r.bin_id, (r.bin_id, cum)
+        cum += int(r.total_rows)
+
+
+def test_epoch_replication_count_law(spark, sf_dir):
+    """replicated = floor(epochs)*n_docs + |fractional md5 subset|, and the
+    fractional subset size must be plausible for its rate (exactly
+    recomputable, so equality — not a CI — is asserted)."""
+    import hashlib
+
+    import pandas as pd
+
+    res = (
+        get_specs()["source_epoch_replication"].fn(spark, sf_dir).toPandas()
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def epochs(src):
+        if src in ("src0", "src1"):
+            return 2.5
+        if src in ("src2", "src3"):
+            return 1.25
+        return 1.0
+
+    for _, r in res.iterrows():
+        grp = docs[docs.source == r.source]
+        e = epochs(r.source)
+        base = int(e) * len(grp)
+        frac_pct = round((e - int(e)) * 100)
+        picked = 0
+        if frac_pct:
+            for doc_id in grp.doc_id:
+                h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+                if int(h, 16) % 100 < frac_pct:
+                    picked += 1
+        assert int(r.replicated_docs) == base + picked, r.source
