@@ -1177,3 +1177,74 @@ def stream_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- E218 (extension): row-level foreach sink (ForeachWriter) ------------------
+
+
+@query(
+    "stream_foreach_row_sink",
+    category="S9,E218",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROW-LEVEL foreach sink (ForeachWriter: open/process/close per
+    partition-epoch) — the API for pushing individual rows at external
+    systems with no batch writer. Each writer instance appends its rows
+    to a file keyed by (partition, epoch); open() returning True accepts
+    the epoch (returning False is how retried epochs dedupe — at-least-
+    once becomes effectively-once only if the TARGET is idempotent, the
+    documented contrast with foreachBatch's atomic-publish, E158/E213).
+
+    The read-back aggregates all accepted rows by type; per-row Python
+    writes are the SLOW PATH (the suite's UDF rule applies to sinks too)
+    — this registers the semantics, foreachBatch stays the scale
+    recommendation. Totals are chunking-invariant, so the batch oracle
+    hash-checks the machinery.
+    """
+    base = scratch_dir(f"foreach_rows_{next(_upsert_counter)}_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+
+    class RowWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self.path = os.path.join(
+                base, f"p{partition_id}_e{epoch_id}.csv"
+            )
+            self.fh = open(self.path, "w")
+            return True
+
+        def process(self, row) -> None:
+            self.fh.write(f"{row.event_type},{row.event_id}\n")
+
+        def close(self, error) -> None:
+            self.fh.close()
+            if error is not None and os.path.exists(self.path):
+                os.remove(self.path)
+
+    s = events_stream(spark, sf_dir, max_files_per_trigger=3).select(
+        "event_type", "event_id"
+    )
+    q = s.writeStream.foreach(RowWriter()).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    back = spark.read.csv(
+        os.path.join(base, "*.csv"), schema="event_type string, event_id long"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
