@@ -278,3 +278,62 @@ def test_epoch_replication_count_law(spark, sf_dir):
                 if int(h, 16) % 100 < frac_pct:
                     picked += 1
         assert int(r.replicated_docs) == base + picked, r.source
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=st.lists(row, min_size=1, max_size=15),
+    right_rows=st.lists(row, min_size=1, max_size=15, unique=True),
+    tol=st.integers(min_value=0, max_value=40),
+)
+def test_backward_asof_tolerance_matches_pandas(spark, left_rows, right_rows, tol):
+    """The BACKWARD as-of tolerance path (the attribution-window semantic,
+    operators/asof.py) vs pandas merge_asof(direction='backward',
+    tolerance=...) — the no-tolerance form is fuzzed in
+    test_asof_hypothesis.py; this pins the lookback bound."""
+    from big_data__instagram_analysis_spark.operators.asof import asof_join
+
+    right_dedup = {}
+    for i, (k, t) in enumerate(right_rows):
+        right_dedup[(k, t)] = float(i)
+    right_pdf = pd.DataFrame(
+        [(k, t, v) for (k, t), v in sorted(right_dedup.items())],
+        columns=["key", "ts", "payload"],
+    )
+    left_pdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["rid", "key", "ts"],
+    )
+    expected = pd.merge_asof(
+        left_pdf.sort_values("ts", kind="stable"),
+        right_pdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="key",
+        direction="backward",
+        tolerance=tol,
+    ).dropna(subset=["payload"])
+
+    left = spark.createDataFrame(left_pdf, "rid long, key long, ts long")
+    right = spark.createDataFrame(right_pdf, "key long, ts long, payload double")
+    got = (
+        asof_join(
+            left,
+            right,
+            key="key",
+            left_ts="ts",
+            right_ts="ts",
+            payload=["payload"],
+            how="inner",
+            tolerance=tol,
+        )
+        .select("rid", "payload")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = expected[["rid", "payload"]].sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
