@@ -1977,3 +1977,85 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(exact_i).cast("bigint").alias("exact_intersection"),
         F.col("ok").alias("estimate_within_10pct"),
     )
+
+
+# --- E219 (extension): pandas-on-Spark grouped rolling window ------------------
+
+
+@query(
+    "pandas_api_rolling_mean",
+    category="U3,E219",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_fx
+  FROM events WHERE user_id < 5
+)
+SELECT user_id, event_id,
+       CAST(floor(avg(v_fx) OVER (PARTITION BY user_id
+                                  ORDER BY ns, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  + 0.5) AS BIGINT) AS rmean_fx
+FROM e
+ORDER BY user_id, event_id
+""",
+)
+def pandas_api_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark GROUPED ROLLING window: groupby(...).rolling(3,
+    min_periods=1).mean() written in pandas idiom, executing as a Catalyst
+    window — the construct pandas teams reach for first when porting, and
+    the one that silently becomes a full window shuffle (which is fine:
+    that IS the distributed semantics, unlike toPandas).
+
+    Determinism: the ps frame is pre-sorted by the (ns, event_id) total
+    order so rolling's positional frame equals the SQL ROWS frame; values
+    convert to exact 1e4 fixed-point integers FIRST, so the ≤3-value mean
+    is a deterministic small-integer division on both engines, emitted as
+    floor(x+0.5) — no float-sum order, no engine round().
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v_fx"),
+        )
+        .orderBy("user_id", "ts_ns", "event_id")
+    )
+    psdf = e.pandas_api()
+    roll = (
+        psdf.groupby("user_id")["v_fx"]
+        .rolling(3, min_periods=1)
+        .mean()
+        .reset_index()
+    )
+    out = roll.to_spark()
+    # reset_index yields (user_id, level_1=original positional index, v_fx);
+    # rename to break lineage ambiguity with the ids frame (both derive
+    # from e — Spark's ambiguous-self-join guard).
+    pos_col = [c for c in out.columns if c not in ("user_id", "v_fx")][0]
+    out2 = out.select(
+        F.col(pos_col).alias("rpos"), F.col("v_fx").alias("rmean_raw")
+    )
+    ids = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid"),
+        (F.row_number().over(
+            Window.orderBy("user_id", "ts_ns", "event_id")
+        ) - 1).alias("pos"),
+    )
+    return (
+        out2.join(ids, out2.rpos == ids.pos)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("eid").alias("event_id"),
+            F.floor(F.col("rmean_raw") + F.lit(0.5))
+            .cast("bigint")
+            .alias("rmean_fx"),
+        )
+        .orderBy("user_id", "event_id")
+    )
