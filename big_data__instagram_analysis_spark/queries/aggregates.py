@@ -245,7 +245,9 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 """,
 )
 def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CUBE lattice over two dimensions."""
+    """Full CUBE lattice over two dimensions: all 4 grouping-set levels in
+    ONE pass — Spark expands the lattice before the partial aggregate, so
+    the fact table is scanned once however many levels the cube has."""
     o = load(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")

@@ -70,7 +70,9 @@ WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
 """,
 )
 def filter_between_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BETWEEN / IN / LIKE predicate forms."""
+    """BETWEEN / IN / LIKE predicate forms — all three push into the scan
+    (IN becomes an OR-chain the reader evaluates against row groups; LIKE
+    with a leading literal prefix prunes via min/max stats)."""
     c = load(spark, sf_dir, "customer")
     return c.where(
         F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
