@@ -386,3 +386,14 @@ def test_aqe_converts_filtered_side_to_broadcast(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_interval_overlap_is_equi_join_on_cell(spark, sf_dir):
+    """E206: the interval×interval overlap must execute as an EQUI-join on
+    the grid cell (hash/broadcast join with the overlap test as residual)
+    — a surviving NLJ/cartesian would be the quadratic theta join the
+    rewrite exists to avoid."""
+    plan = _plan(spark, sf_dir, "interval_overlap_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan[:400]
