@@ -337,3 +337,44 @@ def test_backward_asof_tolerance_matches_pandas(spark, left_rows, right_rows, to
     )
     exp = expected[["rid", "payload"]].sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=5000), min_size=1, max_size=20
+    ),
+    target=st.integers(min_value=100, max_value=6000),
+)
+def test_prefix_sum_binning_law_fuzz(spark, sizes, target):
+    """The compaction planner's prefix-sum floor-divide binning, fuzzed on
+    random file-size distributions: bins are contiguous, partition the
+    file set exactly, and a new bin only opens once the cumulative rows
+    before it reach bin_id * target."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "file_idx int, n_rows long"
+    )
+    w = W.orderBy("file_idx").rowsBetween(W.unboundedPreceding, 0)
+    binned = df.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_rows").over(w) - F.col("n_rows")) / target).cast(
+            "bigint"
+        ),
+    ).collect()
+
+    assigned = sorted((r.file_idx, r.bin_id, r.n_rows) for r in binned)
+    assert [a[0] for a in assigned] == list(range(len(sizes)))
+    cum = 0
+    prev_bin = 0
+    for fi, b, n in assigned:
+        assert b >= prev_bin, "bins must be non-decreasing over file order"
+        assert b == cum // target, (fi, b, cum, target)
+        cum += n
+        prev_bin = b
