@@ -7,24 +7,50 @@ amortizes startup: one session, untimed warm-up passes (JIT + codegen +
 parquet footer caches), then a timed sequential pass per query (isolated
 per-query latencies) and a timed concurrent pass of the whole set
 (set throughput — the headline `value`; see the inline rationale).
-Round 3 adds variance: the sequential pass is repeated N_REPS times (per-query
-min/mean/stdev) and the concurrent whole-set N_CONC times, so a round-over-
-round delta can be told apart from run-to-run noise (the r1→r2 `rollup_qty`
-"regression" was exactly this ambiguity with n=1). Prints ONE JSON line:
+Round 3 added variance (N_REPS sequential reps with min/mean/stdev, N_CONC
+concurrent reps). Round 4 adds two things VERDICT r3 asked for:
+
+1. `llm_set` — the expensive LLM-pipeline tail (minhash LSH, simhash,
+   near-dup CC clustering, the curation pipeline; tag `llm_bench`), timed
+   sequentially so a regression in the >3 s queries shows in artifact diffs.
+   These were previously invisible to BENCH_rN.json trendlines.
+
+2. `floor` — a measured job-floor decomposition, so the artifact itself
+   carries the 2×-bar argument instead of a protocol footnote:
+     empty_job_sec    min wall of `spark.range(1).toPandas()` (job submit +
+                      schedule + collect floor; ZERO data work)
+     shuffle2_sec     min wall of a 2-stage 600k-row shuffle+agg job
+     per_query_jobs   Spark jobs launched by each headline query (broadcast
+                      builds and AQE stage materializations are separate
+                      jobs — the floor multiplies by this)
+     floor_sec        Σ per-query jobs × empty_job_sec — the scheduling
+                      cost a 10-query sequential sweep pays that has no
+                      DuckDB equivalent (in-process, no job scheduler)
+     datapath_sec     sequential_wall_sec − floor_sec — the data-plane
+                      work, the number comparable to DuckDB's in-process
+                      1.12 s sweep. This cost amortizes to ~zero at real
+                      scale factors (a 0.1 s job floor is invisible under
+                      minutes-long 100 TB stages); it dominates ONLY when
+                      queries finish in milliseconds.
+
+Prints ONE JSON line:
 
     {"metric": "...", "value": <best concurrent whole-set sec>, "unit": "sec",
      "queries": {name: <min sequential sec>, ...},
      "queries_mean": {...}, "queries_stdev": {...},
      "sequential_wall_sec": ..., "concurrent_wall_sec": ...,
-     "concurrent_runs": [...], "reps": N, "sf": <sf>}
+     "concurrent_runs": [...], "reps": N,
+     "llm_set": {"wall_sec": ..., "queries": {...}, "reps": M},
+     "floor": {...}, "sf": <sf>}
 
-`value` and `queries` keep their r1/r2 meaning (comparable across rounds) but
-now report the min over reps — the standard systems-bench convention for
+`value` and `queries` keep their r1-r3 meaning (comparable across rounds),
+reporting the min over reps — the standard systems-bench convention for
 isolating the code's cost from scheduler jitter.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_REPS (default 5), SPARK_GRAFT_BENCH_CONC_REPS (3).
+     SPARK_GRAFT_BENCH_REPS (default 5), SPARK_GRAFT_BENCH_CONC_REPS (3),
+     SPARK_GRAFT_BENCH_LLM_REPS (default 2, 0 disables the llm_set pass).
 """
 
 from __future__ import annotations
@@ -56,9 +82,11 @@ def main() -> None:
 
     specs = get_specs()
     bench_names = [n for n, s in sorted(specs.items()) if "bench" in s.tags or "flagship" in s.tags]
+    llm_names = [n for n, s in sorted(specs.items()) if "llm_bench" in s.tags]
 
     spark = get_spark("iga-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    tracker = spark.sparkContext.statusTracker()
 
     # Warm-up executes fresh DataFrame instances per query (JIT/codegen
     # caches, broadcast hydration, FS cache). Two passes: C2-tier JIT of the
@@ -75,16 +103,23 @@ def main() -> None:
 
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
+    n_llm = int(os.environ.get("SPARK_GRAFT_BENCH_LLM_REPS", "2"))
 
     samples: dict[str, list[float]] = {name: [] for name in bench_names}
-    for _ in range(n_reps):
+    per_query_jobs: dict[str, int] = {}
+    for rep in range(n_reps):
         # Fresh DataFrame instances per rep: same logical plan, new lineage,
         # so no stage reuse via still-registered shuffle outputs.
         dfs_timed = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
         for name in bench_names:
+            jobs_before = set(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
             dfs_timed[name].toPandas()
             samples[name].append(time.perf_counter() - t0)
+            if rep == 0:
+                per_query_jobs[name] = len(
+                    set(tracker.getJobIdsForGroup(None) or []) - jobs_before
+                )
 
     timings = {name: round(min(s), 4) for name, s in samples.items()}
     timings_mean = {name: round(statistics.fmean(s), 4) for name, s in samples.items()}
@@ -93,6 +128,40 @@ def main() -> None:
         for name, s in samples.items()
     }
     sequential = round(sum(timings.values()), 4)
+
+    # Floor primitives, measured in THIS session right after the timed pass
+    # (same JIT state, same scheduler) — not quoted from a doc.
+    def _min_wall(fn, n=8):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    from pyspark.sql import functions as F
+
+    empty_job = _min_wall(lambda: spark.range(1).toPandas())
+    shuffle2 = _min_wall(
+        lambda: spark.range(600_000)
+        .groupBy((F.col("id") % 10).alias("m"))
+        .count()
+        .toPandas()
+    )
+    floor_sec = round(sum(per_query_jobs.values()) * empty_job, 4)
+    floor = {
+        "empty_job_sec": round(empty_job, 4),
+        "shuffle2_sec": round(shuffle2, 4),
+        "per_query_jobs": per_query_jobs,
+        "total_jobs": sum(per_query_jobs.values()),
+        "floor_sec": floor_sec,
+        "datapath_sec": round(sequential - floor_sec, 4),
+        "note": (
+            "floor_sec = total_jobs x empty_job_sec: per-job scheduling cost "
+            "with zero data work, no in-process-DB equivalent, amortizes to "
+            "~0 at large SF; datapath_sec is the DuckDB-comparable part"
+        ),
+    }
 
     # Whole-set wall: the query set submitted concurrently to the warm
     # scheduler (fresh DataFrame instances again — no stage reuse). At
@@ -120,6 +189,27 @@ def main() -> None:
         conc_runs.append(round(time.perf_counter() - t0, 4))
     concurrent = min(conc_runs)
 
+    # LLM heavy tail (tag llm_bench): sequential, low rep count — these are
+    # the multi-second queries; the point is trendline visibility, not
+    # microbenchmark precision.
+    llm_out = {}
+    if n_llm > 0 and llm_names:
+        for name in llm_names:  # one untimed warm pass
+            specs[name].fn(spark, sf_dir).toPandas()
+        llm_samples: dict[str, list[float]] = {n: [] for n in llm_names}
+        for _ in range(n_llm):
+            dfs_llm = {n: specs[n].fn(spark, sf_dir) for n in llm_names}
+            for name in llm_names:
+                t0 = time.perf_counter()
+                dfs_llm[name].toPandas()
+                llm_samples[name].append(time.perf_counter() - t0)
+        llm_q = {n: round(min(s), 4) for n, s in llm_samples.items()}
+        llm_out = {
+            "wall_sec": round(sum(llm_q.values()), 4),
+            "queries": llm_q,
+            "reps": n_llm,
+        }
+
     print(
         json.dumps(
             {
@@ -133,6 +223,8 @@ def main() -> None:
                 "concurrent_wall_sec": concurrent,
                 "concurrent_runs": conc_runs,
                 "reps": n_reps,
+                "llm_set": llm_out,
+                "floor": floor,
                 "sf": sf,
             }
         )

@@ -254,10 +254,14 @@ def ngram_containment_pairs(
     containment = F.col("shared") / small_n
     jac = F.col("shared") / (na + nb - F.col("shared"))
     # Smaller set is the contained side; equal sizes tiebreak to doc_a.
+    # No broadcast hint on the sizes table: it is one row PER DOCUMENT, so
+    # it grows with the corpus and cannot be a broadcast side at large doc
+    # counts — AQE picks broadcast when it actually fits and a shuffle join
+    # otherwise (the scale-correct default).
     small_is_a = na <= nb
     return (
-        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .where(containment >= threshold)
         .select(
             F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),

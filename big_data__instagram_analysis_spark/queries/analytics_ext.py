@@ -571,8 +571,10 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("ns").alias("s_start"), F.max("ns").alias("s_end"))
     )
+    # Exact integer `div` on ns values — double `/` has a ~256 ns ulp at
+    # 1.7e18, which could flip a boundary-adjacent row vs the oracle's `//`.
     hours = e.groupBy(
-        (F.col("ns") / _NS_HOUR_G).cast("bigint").alias("cell")
+        F.expr(f"ns div {_NS_HOUR_G}").alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
     rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("cell")))
     peaks = (
@@ -590,8 +592,8 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_end",
         F.explode(
             F.sequence(
-                (F.col("s_start") / _NS_HOUR_G).cast("bigint"),
-                (F.col("s_end") / _NS_HOUR_G).cast("bigint"),
+                F.expr(f"s_start div {_NS_HOUR_G}"),
+                F.expr(f"s_end div {_NS_HOUR_G}"),
             )
         ).alias("cell"),
     )

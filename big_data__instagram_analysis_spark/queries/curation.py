@@ -200,6 +200,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "curation_pipeline",
+    tags=("llm_bench",),
     category="L8,E21",
     oracle="""
 WITH RECURSIVE toks AS (

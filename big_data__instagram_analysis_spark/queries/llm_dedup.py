@@ -111,6 +111,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_neardup_pairs",
+    tags=("llm_bench",),
     category="L2",
     oracle=f"""
 WITH tok AS (
@@ -151,6 +152,7 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_neardup",
+    tags=("llm_bench",),
     category="L2",
     oracle="""
 WITH toks AS (
@@ -282,6 +284,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "neardup_cc_clusters",
+    tags=("llm_bench",),
     category="L2,E12",
     oracle="""
 WITH RECURSIVE toks AS (

@@ -333,8 +333,12 @@ def bfs_levels_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver loop only orchestrates — no per-node data ever collects.
     """
     e = load(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    # Exact integer `div` — double division on ~1.7e18 ns has a ~256 ns ulp,
+    # so a timestamp within that of an hour boundary could bucket differently
+    # than the oracle's integer `//` (SKILL.md gotcha; matches
+    # linear_interpolate_hourly).
     hours = e.select(
-        "user_id", (F.col("ts_ns") / F.lit(_NS_PER_HOUR)).cast("bigint").alias("h")
+        "user_id", F.expr(f"ts_ns div {_NS_PER_HOUR}").alias("h")
     ).distinct()
     a, b = hours.alias("a"), hours.alias("b")
     edges = (
@@ -348,6 +352,8 @@ def bfs_levels_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     source = edges.agg(F.min("src")).collect()[0][0]
+    if source is None:  # no co-activity edges (possible on altered fixtures)
+        return spark.createDataFrame([], "user_id bigint, dist int")
     from ..operators.graph import bfs_levels
 
     visited = bfs_levels(edges, source, max_depth=_BFS_MAX_DEPTH)

@@ -364,7 +364,11 @@ def reliable_checkpoint_midplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical either way: the oracle recomputes the plain self-join
     and self_diff pins the two branches equal (always 0).
     """
-    prior = spark.sparkContext.getCheckpointDir()
+    # setCheckpointDir mutates session-global state; restoring the prior dir
+    # isn't possible through the public API mid-plan (the checkpoint below is
+    # eager, but the returned frame's lazy self-join re-reads the files), so
+    # the dir deliberately stays set — it's a scratch path, harmless to
+    # later checkpoints in the same session.
     spark.sparkContext.setCheckpointDir(scratch_dir("reliable_ckpt"))
     li = load(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")

@@ -1198,10 +1198,14 @@ def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ROW-LEVEL foreach sink (ForeachWriter: open/process/close per
     partition-epoch) — the API for pushing individual rows at external
     systems with no batch writer. Each writer instance appends its rows
-    to a file keyed by (partition, epoch); open() returning True accepts
-    the epoch (returning False is how retried epochs dedupe — at-least-
-    once becomes effectively-once only if the TARGET is idempotent, the
-    documented contrast with foreachBatch's atomic-publish, E158/E213).
+    to a file keyed by (partition, epoch); open() always returns True here
+    — idempotence under epoch retry comes from open() TRUNCATING the
+    (partition, epoch)-keyed file (mode "w"), so a replayed epoch
+    overwrites rather than double-appends. (The API's other lever, open()
+    returning False to skip an already-committed epoch, needs an external
+    commit log; at-least-once becomes effectively-once only if the TARGET
+    is idempotent — the documented contrast with foreachBatch's
+    atomic-publish, E158/E213.)
 
     The read-back aggregates all accepted rows by type; per-row Python
     writes are the SLOW PATH (the suite's UDF rule applies to sinks too)

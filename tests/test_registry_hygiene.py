@@ -38,3 +38,20 @@ def test_oracle_coverage_is_total():
     specs = get_specs()
     rows_only = [n for n, s in specs.items() if s.oracle is None]
     assert rows_only == [], rows_only
+
+
+def test_coverage_md_is_current():
+    """COVERAGE.md must match what tools/coverage_report.py would generate
+    (checked via its --check mode, which never writes — VERDICT r3 #8)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "coverage_report.py"), "--check"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr

@@ -1,8 +1,30 @@
-"""Simulate the grading driver: fresh session with NON-default tz, driver-style compare."""
+"""Simulate the grading driver: fresh session with NON-default tz, driver-style compare.
+
+Usage:
+    python tools/drive_driver.py [--sf /root/testdata/sf0.01]
+                                 [--budget tests/sf01_budgets.json]
+                                 [--write-budget tests/sf01_budgets.json]
+
+Runs entry() smoke, then EVERY queries() entry against its oracle_sql() via
+compare_frames, timing each query. With --budget, also fails any query whose
+wall time exceeds its budget (2.5x + 5 s headroom over the recorded
+baseline) — the automated sf0.1 regression sweep VERDICT r3 #4 asked for.
+With --write-budget, records the measured times as the new baseline.
+"""
+import argparse
+import json
 import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
-import duckdb, pandas as pd
+import duckdb
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--sf", default="/root/testdata/sf0.01")
+ap.add_argument("--budget", default=None, help="json {query: baseline_sec}; fail on >2.5x+5s")
+ap.add_argument("--write-budget", default=None, help="write measured times as new baseline json")
+args = ap.parse_args()
 
 # Hostile driver session: different timezone, no tuning, default confs
 spark = (SparkSession.builder.master("local[8]")
@@ -20,23 +42,42 @@ rows = df.collect()
 print("SMOKE entry() rows:", len(rows), "schema:", [f.name for f in df.schema.fields])
 assert len(rows) > 0
 
-# 2. correctness at sf0.01, driver-style
-sf = "/root/testdata/sf0.01"
+# 2. correctness at --sf, driver-style
+sf = args.sf
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-print("declared queries:", len(qs), "with oracle:", len(os_))
+print("declared queries:", len(qs), "with oracle:", len(os_), "sf:", sf)
 from big_data__instagram_analysis_spark.oracle import compare_frames
+
+budgets = json.load(open(args.budget)) if args.budget else {}
 fails = 0
+slow = []
+measured = {}
 for name, fn in sorted(qs.items()):
+    t0 = time.perf_counter()
     spdf = fn(spark, sf).toPandas()
+    dt = time.perf_counter() - t0
+    measured[name] = round(dt, 3)
     if name in os_:
         dpdf = con.execute(os_[name]).fetchdf()
         r = compare_frames(name, spdf, dpdf)
-        print(r.summary())
+        print(f"{r.summary()}  [{dt:.2f}s]")
         fails += 0 if r.ok else 1
     else:
-        print(f"[rows] {name}: {len(spdf)} rows")
+        print(f"[rows] {name}: {len(spdf)} rows  [{dt:.2f}s]")
+    if name in budgets and dt > budgets[name] * 2.5 + 5.0:
+        slow.append(f"{name}: {dt:.1f}s vs budget base {budgets[name]:.1f}s")
+
+if args.write_budget:
+    with open(args.write_budget, "w") as fh:
+        json.dump(measured, fh, indent=1, sort_keys=True)
+    print("wrote budget baseline:", args.write_budget)
+
 print("FAILS:", fails)
-sys.exit(1 if fails else 0)
+if slow:
+    print("TIME-BUDGET BREACHES:", len(slow))
+    for s in slow:
+        print("  ", s)
+sys.exit(1 if (fails or slow) else 0)
