@@ -150,6 +150,13 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(sh, max_hamming=3)
 
 
+#: MinHash tables for the banded candidate join. With 1-row bands the miss
+#: probability for a true pair of Jaccard s is (1-s)^N_TABLES — 0.39% at the
+#: 0.5 threshold boundary, vanishing for real near-dups (0.8 → 2.6e-6);
+#: recall is CERTIFIED by the oracle rows_match, not assumed.
+MINHASH_TABLES = 8
+
+
 @query(
     "minhash_lsh_neardup",
     tags=("llm_bench",),
@@ -181,61 +188,101 @@ WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
 """,
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs via pyspark.ml (shingle → HashingTF →
-    MinHashLSH.approxSimilarityJoin), CERTIFIED against exact Jaccard.
+    """MinHash-LSH near-dup pairs in pure DataFrame algebra, CERTIFIED
+    against exact Jaccard.
 
-    The scale path for Jaccard dedup: LSH banding makes candidate generation
-    sub-quadratic (only bucket-collision pairs meet). Raw LSH output is not
-    hash-checkable (hash seeds engine-internal), so this query applies the
-    same certified-tolerance pattern that fixed approx_count_distinct
-    (aggregates.py): the LSH candidates are joined back to their true
-    shingle sets and the EXACT Jaccard (array_intersect/array_union — pure
-    set math, engine-portable) is emitted per pair with a pinned
-    ``lsh_found`` flag; the oracle recomputes the exact ≥0.5 pair set in
-    SQL. A hash match therefore certifies BOTH precision (every emitted
-    pair truly ≥ threshold — the exact filter guarantees it) and recall
-    (LSH found every true pair; a miss would drop a row and fail
-    rows_match). Candidate generation uses a slack distance threshold
-    (est-dist < 0.55, i.e. est-sim > 0.45) so boundary pairs at exactly
-    0.5 and HashingTF-collision jitter can't cost recall; the exact filter
-    restores the tight ≥0.5 semantics.
+    The scale path for Jaccard dedup — banding makes candidate generation
+    sub-quadratic (only bucket-collision pairs meet):
+
+      1. shingle WITHOUT the in-row HOF chain (transform/concat_ws over
+         arrays is interpreted, measured ~5 s/pass at sf0.1): posexplode
+         tokens → window ``lead(t,1)/lead(t,2)`` per doc → concat — one
+         doc-keyed shuffle, whole-stage codegen, and the (doc, shingle)
+         ROWS feed every later stage (no array column anywhere);
+      2. per (doc, shingle) compute ``xxhash64(shingle, i)`` for
+         i < MINHASH_TABLES; ONE groupBy(doc_id) takes the 8 per-table
+         minima → an 8-long signature row per doc (map-side partial min);
+      3. unpivot signatures to (doc, band, val) and equi-join on
+         (band, val) — the shuffle key is the band bucket, so only
+         same-bucket docs ever meet (never |N|²), skew splittable by AQE;
+      4. verify candidates EXACTLY via shared-shingle counts: candidate
+         pairs join the (doc, shingle) rows on doc_a then equi-join on
+         (doc_b, shingle), count per pair, Jaccard = shared/(na+nb-shared)
+         from exact integer counts, filtered ≥ 0.5.
+
+    Rounds 1-3 used pyspark.ml's MinHashLSH.approxSimilarityJoin — same
+    banding structure but measured 10 s of the query's 11.4 s at sf0.1
+    (vector-type overhead + a non-codegen keyDistance UDF over every of
+    the ~82k candidate pairs, plus HOF shingling recomputed per consumer);
+    this plain-DataFrame form runs the identical contract in ~2.3 s with
+    every operator inside whole-stage codegen.
+
+    Raw LSH candidates are not hash-checkable (hash choice is
+    engine-internal), so the certified-tolerance pattern applies: the
+    oracle recomputes the exact ≥0.5 pair set in SQL — a hash match
+    certifies BOTH precision (the exact filter guarantees emitted pairs
+    are truly ≥ threshold) and recall (a candidate-generation miss would
+    drop a row and fail rows_match; see MINHASH_TABLES).
 
     Sampling/recall statistics are additionally property-tested in
     tests/test_properties.py against ngram_jaccard_pairs ground truth.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    from ..operators.dedup import token_shingles
+    from ..operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    shingled = d.select(
-        "doc_id", token_shingles(F.col("text"), 3).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18
-    ).transform(shingled)
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    ).fit(tf)
-    # Slack threshold on the (feature-index) Jaccard distance: keep anything
-    # with est-dist < 0.55 so exact-0.5 pairs survive candidate generation.
-    cand = model.approxSimilarityJoin(tf, tf, 0.55, distCol="jaccard_dist")
-    pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
-        F.col("datasetA.shingles").alias("sh_a"),
-        F.col("datasetB.shingles").alias("sh_b"),
+    sh_ex = shingle_rows(d, n=3)
+    sizes = sh_ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = sh_ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
+            for i in range(MINHASH_TABLES)
+        ]
     )
-    exact_jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"m{i}").alias("val")
+                    )
+                    for i in range(MINHASH_TABLES)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
+
+    sa = cand.join(sh_ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+    shared = (
+        sa.join(sh_ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    xa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    xb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    exact_jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        pairs.select("doc_a", "doc_b", exact_jac.alias("jac"))
-        .where(F.col("jac") >= 0.5)
+        shared.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .where(exact_jac >= 0.5)
         .select(
             "doc_a",
             "doc_b",
-            F.round("jac", 6).alias("jaccard"),
+            F.round(exact_jac, 6).alias("jaccard"),
             F.lit(True).alias("lsh_found"),
         )
         .orderBy("doc_a", "doc_b")

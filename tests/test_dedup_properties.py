@@ -125,3 +125,43 @@ def test_ngram_jaccard_pairs_vs_bruteforce(spark, texts):
                     if j >= 0.3:
                         expected[(a, b)] = round(j, 6)
     assert got == expected, (got, expected)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),  # tiny alphabet → heavy
+            min_size=0,                              # dup/empty-token traffic
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_shingle_rows_equals_token_shingles(spark, texts):
+    """shingle_rows (codegen posexplode+lead form) must produce EXACTLY the
+    distinct (doc, shingle) set of token_shingles (in-row HOF form) — the
+    equivalence that lets hot paths swap in the fast shape. Fuzzes empty
+    tokens, consecutive spaces, short docs, and repeated shingles."""
+    from pyspark.sql import functions as F
+
+    from big_data__instagram_analysis_spark.operators.dedup import (
+        shingle_rows,
+        token_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["s"])
+        for r in shingle_rows(df, n=3).collect()
+    }
+    want = {
+        (r["doc_id"], r["s"])
+        for r in df.select(
+            "doc_id", F.explode(token_shingles(F.col("text"), 3)).alias("s")
+        ).collect()
+    }
+    assert got == want
