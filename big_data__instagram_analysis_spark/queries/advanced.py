@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 
@@ -774,7 +775,7 @@ def mapinarrow_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="W1,E96",
     oracle="""
 WITH spend AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  SELECT o_custkey, sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spend
   FROM orders GROUP BY o_custkey
 ), tiled AS (
   SELECT o_custkey, total_spend,
@@ -783,7 +784,7 @@ WITH spend AS (
 )
 SELECT quartile,
        CAST(count(*) AS BIGINT) AS n_custs,
-       round(sum(total_spend), 2) AS quartile_spend
+       sum(CAST(floor((total_spend) * 100 + 0.5) AS BIGINT)) / 100.0 AS quartile_spend
 FROM tiled
 GROUP BY quartile
 ORDER BY quartile
@@ -805,7 +806,7 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+        cents_sum(F.col("o_totalprice")).alias("total_spend")
     )
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
     return (
@@ -815,7 +816,7 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_custs"),
-            F.round(F.sum("total_spend"), 2).alias("quartile_spend"),
+            cents_sum(F.col("total_spend")).alias("quartile_spend"),
         )
         .orderBy("quartile")
     )
@@ -827,7 +828,7 @@ def ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - least(l_discount * 2, 0.1))), 2)
+       sum(CAST(floor((l_extendedprice * (1 - least(l_discount * 2, 0.1))) * 100 + 0.5) AS BIGINT)) / 100.0
          AS discounted_revenue
 FROM lineitem
 GROUP BY l_returnflag
@@ -858,7 +859,7 @@ def sql_udf_tiered_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice * (1 - tiered_discount(l_discount))), 2)
+               sum(CAST(floor((l_extendedprice * (1 - tiered_discount(l_discount))) * 100 + 0.5) AS BIGINT)) / CAST(100.0 AS DOUBLE)
                  AS discounted_revenue
         FROM _sqludf_lineitem
         GROUP BY l_returnflag
@@ -873,7 +874,7 @@ def sql_udf_tiered_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) / 100.0 AS volume
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -922,8 +923,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("supp_nation", "cust_nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("volume"),
         )
         .orderBy(F.desc("volume"), "supp_nation", "cust_nation")
@@ -1003,10 +1004,11 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend,
+       coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0
+         AS total_spend,
        round(any_value(c.c_acctbal), 2) AS acctbal,
-       (coalesce(sum(o.o_totalprice), 0) > any_value(c.c_acctbal) * 10)
-         AS overspent
+       (coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0
+        > any_value(c.c_acctbal) * 10) AS overspent
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 ORDER BY c.c_custkey
@@ -1025,6 +1027,7 @@ def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing on one side only still produce a group (empty opposite
     frame) — the LEFT JOIN twin.
     """
+    import numpy as np
     import pandas as pd
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -1035,7 +1038,17 @@ def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
             )
-        spend = float(orders["o_totalprice"].sum()) if not orders.empty else 0.0
+        # Quantize per order to integer cents BEFORE summing: a float sum
+        # here depends on the arrival order of the rows in the cogrouped
+        # frame (PERF.md SS35 determinism discipline).
+        spend = (
+            float(
+                int(np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+            )
+            / 100.0
+            if not orders.empty
+            else 0.0
+        )
         return pd.DataFrame(
             {
                 "c_custkey": [int(key[0])],
@@ -1056,7 +1069,7 @@ def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey",
         "n_orders",
-        F.round("total_spend", 2).alias("total_spend"),
+        F.col("total_spend"),
         F.round("acctbal", 2).alias("acctbal"),
         (F.col("total_spend") > F.col("acctbal") * 10).alias("overspent"),
     ).orderBy("c_custkey")
@@ -1153,7 +1166,7 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_bal,
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_bal,
        round(avg(c_acctbal), 4) AS avg_bal
 FROM customer
 GROUP BY c_mktsegment
@@ -1173,16 +1186,24 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra job. Result returns to the classic API via `to_spark()` for
     the §5.4-rounded, ordered emit.
     """
-    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    # bal_c: per-row integer cents BEFORE the ps groupby, so the sum is an
+    # exact bigint (accumulation-order-proof; PERF.md SS35).
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal_c"),
+    )
     psdf = c.pandas_api()
-    g = psdf.groupby("c_mktsegment").agg({"c_acctbal": ["count", "sum", "mean"]})
-    g.columns = ["n", "total_bal", "avg_bal"]  # flatten the MultiIndex
+    g = psdf.groupby("c_mktsegment").agg(
+        {"bal_c": ["count", "sum"], "c_acctbal": ["mean"]}
+    )
+    g.columns = ["n", "bal_c_sum", "avg_bal"]  # flatten the MultiIndex
     out = g.reset_index().to_spark()
     return (
         out.select(
             "c_mktsegment",
             F.col("n").cast("long").alias("n"),
-            F.round("total_bal", 2).alias("total_bal"),
+            (F.col("bal_c_sum") / 100.0).alias("total_bal"),
             F.round("avg_bal", 4).alias("avg_bal"),
         )
         .orderBy("c_mktsegment")
@@ -1366,7 +1387,7 @@ def bitmap_builtin_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH a AS (
   SELECT l_returnflag,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_price,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
          CAST(count(*) AS DOUBLE) AS n_rows
   FROM lineitem GROUP BY l_returnflag
 )
@@ -1396,7 +1417,7 @@ def transpose_pricing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        cents_sum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_rows"),
     )
     wide = agg.select(
@@ -1591,7 +1612,7 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l_extendedprice), 2) AS revenue
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -1625,7 +1646,7 @@ def join_hints_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            cents_sum(F.col("l_extendedprice")).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1709,7 +1730,7 @@ def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -1733,7 +1754,7 @@ def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM orders_pipe_v
         |> WHERE o_orderstatus = 'F'
-        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |> AGGREGATE count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total
            GROUP BY o_orderpriority
         |> WHERE n > 10
         |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n, total

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 
@@ -16,7 +17,7 @@ from ..registry import query
     oracle="""
 SELECT count(*)                              AS n_rows,
        round(sum(l_quantity), 2)             AS total_qty,
-       round(sum(l_extendedprice), 2)        AS total_price,
+       sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
        round(min(l_discount), 4)             AS min_disc,
        round(max(l_discount), 4)             AS max_disc,
        strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
@@ -30,7 +31,7 @@ def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        cents_sum(F.col("l_extendedprice")).alias("total_price"),
         F.round(F.min("l_discount"), 4).alias("min_disc"),
         F.round(F.max("l_discount"), 4).alias("max_disc"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
@@ -88,7 +89,7 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
+       sum(CAST(floor((CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) * 100 + 0.5) AS BIGINT)) / 100.0 AS finished_value,
        CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open
 FROM orders
 GROUP BY o_orderpriority
@@ -104,13 +105,8 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
             .cast("long")
             .alias("n_big"),
-            F.round(
-                F.sum(
-                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
-                        0.0
-                    )
-                ),
-                2,
+            cents_sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
             ).alias("finished_value"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
         )
@@ -156,7 +152,12 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_linestatus,
        round(stddev_samp(l_quantity), 4)               AS sd_qty,
-       round(var_samp(l_extendedprice), 2)             AS var_price,
+       (CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        - CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+          * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+          / CAST(count(l_extendedprice) AS DOUBLE))
+       / (CAST(count(l_extendedprice) AS DOUBLE) - 1) / 10000.0 AS var_price,
        round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
        round(covar_samp(l_quantity, l_discount), 6)    AS covar_qty_disc
 FROM lineitem
@@ -165,13 +166,35 @@ ORDER BY l_linestatus
 """,
 )
 def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev/variance/corr/covar."""
+    """Statistical aggregates: stddev/variance/corr/covar.
+
+    var_price is computed from EXACT integer moments over cents-quantized
+    prices ((S2 - S1^2/n)/(n-1), converted to double only at the end with
+    a textually identical formula in the oracle) — native var_samp over
+    doubles at ~9e8 magnitude flips its rounded last digits with partial
+    aggregation order (the round-4 sum-determinism audit, PERF.md SS35;
+    S2 needs 128-bit accumulation: decimal(38,0) here, HUGEINT in DuckDB).
+    """
     li = load(spark, sf_dir, "lineitem")
+    _pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     return (
         li.groupBy("l_linestatus")
         .agg(
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            (
+                (
+                    F.sum(
+                        (_pc.cast("decimal(19,0)") * _pc.cast("decimal(19,0)")).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    - F.sum(_pc).cast("double")
+                    * F.sum(_pc).cast("double")
+                    / F.count("l_extendedprice").cast("double")
+                )
+                / (F.count("l_extendedprice").cast("double") - 1)
+                / 10000.0
+            ).alias("var_price"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         )
@@ -211,7 +234,8 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     category="A10",
     oracle="""
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 15
@@ -225,7 +249,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            cents_sum(F.col("o_totalprice")).alias("total_spend"),
         )
         .where(F.col("n_orders") >= 15)
         .orderBy("o_custkey")
@@ -262,7 +286,7 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="A5",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS revenue,
+       sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
        count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -276,7 +300,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS revenue,
+               sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS revenue,
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

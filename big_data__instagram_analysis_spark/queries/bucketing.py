@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load, scratch_dir
+from ..numeric import cents_sum
 from ..registry import query
 
 N_BUCKETS = 8
@@ -52,7 +53,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle="""
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
@@ -81,7 +82,7 @@ def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            cents_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 # --- pivot -------------------------------------------------------------------
@@ -277,7 +278,7 @@ WITH per_cust AS (
              s -> s[2]),
            ',') AS top3,
          CAST(count(*) AS BIGINT) AS n_orders,
-         round(sum(o_totalprice), 2) AS total
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
   FROM orders
   GROUP BY o_custkey
 )
@@ -308,7 +309,7 @@ def nested_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
         ).alias("orders_arr"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum(F.col("o_totalprice")).alias("total"),
     )
     top3 = F.array_join(
         F.transform(

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..operators.asof import asof_join
 from ..registry import query
 
@@ -16,7 +17,8 @@ from ..registry import query
     oracle="""
 SELECT c.c_custkey, c.c_mktsegment,
        CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+       coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0
+         AS total_spend
 FROM customer c
 LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
@@ -33,7 +35,17 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                            "bigint"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                / 100.0
+            ).alias(
                 "total_spend"
             ),
         )
@@ -133,7 +145,8 @@ WITH bands(band, lo, hi) AS (
   VALUES ('xs', 0.0, 25.0), ('s', 25.0, 75.0), ('m', 75.0, 125.0),
          ('l', 125.0, 175.0), ('xl', 175.0, 1e9)
 )
-SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS total_value
+SELECT b.band, count(*) AS n,
+       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band
 ORDER BY b.band
@@ -160,7 +173,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (e.value >= bands.lo) & (e.value < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum(F.col("value")).alias("total_value"))
         .orderBy("band")
     )
 
@@ -258,7 +271,8 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_join_user_segment",
     category="J1,J9,E5",
     oracle="""
-SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+SELECT c.c_mktsegment, count(*) AS n_events,
+       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
@@ -290,7 +304,7 @@ def salted_join_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            cents_sum(F.col("value")).alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -307,7 +321,7 @@ WITH o AS (
                         (NULL, 'pending-unknown')) AS t(k, label)
 )
 SELECT d.label, CAST(count(*) AS BIGINT) AS n,
-       round(sum(o.o_totalprice), 2) AS total
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
 GROUP BY d.label
 ORDER BY d.label
@@ -332,7 +346,7 @@ def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("label")
     )
@@ -344,7 +358,9 @@ def nullsafe_join_status_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n_name, strftime(o_orderdate, '%Y') AS year,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        + 50) // 100 AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey  = p_partkey
@@ -374,18 +390,27 @@ def star_join_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    # Revenue accumulates in EXACT integer ten-thousandths (price has 2
+    # decimals, discount 2 → the product has 4) and emits half-up cents via
+    # integer `div` — round(sum(double), 2) depends on partial-agg
+    # accumulation order at sf0.1 magnitudes (~3e7 on a double sum flipped
+    # the last cent run-to-run; caught by the sf0.1 sweep).
+    rev_1e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
+        .withColumn("rev_1e4", rev_1e4)
         .groupBy("n_name", F.date_format("o_orderdate", "yyyy").alias("year"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.expr("CAST((sum(rev_1e4) + 50) div 100 AS BIGINT)").alias(
+                "revenue_cents"
+            ),
         )
         .orderBy("n_name", "year")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 from ..sources.readers_writers import sink_path
 
@@ -200,7 +201,7 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="S4,E130",
     oracle="""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
        TRUE AS visible_in_catalog
 FROM orders
 GROUP BY o_orderpriority
@@ -221,7 +222,7 @@ def global_temp_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum(F.col("o_totalprice")).alias("total"),
     ).createOrReplaceGlobalTempView("gtv_priority_totals")
     visible = spark.catalog.tableExists("global_temp.gtv_priority_totals")
     return (
@@ -318,7 +319,8 @@ WITH spine AS (
   SELECT CAST(d AS DATE) AS d
   FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)
 ), daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev,
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS rev,
          count(*) AS n
   FROM orders
   WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
@@ -326,7 +328,7 @@ WITH spine AS (
 )
 SELECT strftime(spine.d, '%Y-%m-%d') AS day,
        CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
-       round(coalesce(daily.rev, 0), 2) AS revenue
+       coalesce(daily.rev, 0.0) AS revenue
 FROM spine LEFT JOIN daily ON spine.d = daily.d
 ORDER BY day
 """,
@@ -357,14 +359,14 @@ def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
         )
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n"))
+        .agg(cents_sum(F.col("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n"))
     )
     return (
         spine.join(F.broadcast(daily), "d", "left")
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
-            F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
         )
         .orderBy("day")
     )
@@ -376,9 +378,9 @@ def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                      THEN o_totalprice * 0.9 ELSE o_totalprice END), 2)
-         AS total
+       sum(CAST(floor((CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_totalprice * 0.9 ELSE o_totalprice END) * 100
+                      + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -412,7 +414,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("o_orderpriority")
     )

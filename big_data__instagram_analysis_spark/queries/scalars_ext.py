@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 # 16-byte demo key (AES-128). Real deployments pull this from a KMS and
@@ -178,7 +179,7 @@ SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
             WHEN o_totalprice >= 500000 THEN 11
             ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY 1
 ORDER BY bucket
@@ -203,7 +204,7 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("bucket")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..operators.bloom import bloom_prune
 from ..registry import query
 
@@ -37,7 +38,7 @@ _NS_PER_DAY = 86_400 * _NS_PER_S
     category="J4,E25",
     oracle="""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
 GROUP BY l_returnflag
@@ -66,8 +67,8 @@ def bloom_prune_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
         .orderBy("l_returnflag")
@@ -142,10 +143,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT strftime(l_shipdate, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price,
-       round(round(sum(l_extendedprice), 2) / count(*), 2) AS avg_price
+       floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5)
+         / 100.0 AS avg_price
 FROM lineitem
 GROUP BY month
 ORDER BY month
@@ -431,7 +433,7 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(least(greatest(floor(o_totalprice / 25000), 0), 19) AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY bin
 ORDER BY bin
@@ -455,7 +457,7 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bin_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("bin")
     )
@@ -1326,21 +1328,25 @@ def sketch_binned_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff_cdc",
     category="J3,E62",
     oracle="""
-WITH gen2 AS (
+WITH base AS (
   SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 10 = 3 THEN round(o_totalprice * 1.1, 2)
-              ELSE round(o_totalprice, 2) END AS price
-  FROM orders WHERE o_orderkey % 10 <> 7
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), gen2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN (price_c * 11 + 5) // 10
+              ELSE price_c END AS price_c
+  FROM base WHERE o_orderkey % 10 <> 7
 ), gen1 AS (
-  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
-  FROM orders WHERE o_orderkey % 10 <> 4
+  SELECT o_orderkey, o_custkey, price_c FROM base WHERE o_orderkey % 10 <> 4
 )
 SELECT CASE WHEN g1.o_orderkey IS NULL THEN 'added'
             WHEN g2.o_orderkey IS NULL THEN 'removed'
-            WHEN g1.price <> g2.price THEN 'changed'
+            WHEN g1.price_c <> g2.price_c THEN 'changed'
             ELSE 'unchanged' END AS change,
        CAST(count(*) AS BIGINT) AS n,
-       round(coalesce(sum(g2.price - g1.price), 0), 2) AS price_delta
+       CAST(coalesce(sum(g2.price_c - g1.price_c), 0) AS BIGINT)
+         AS price_delta_cents
 FROM gen1 g1 FULL OUTER JOIN gen2 g2 ON g1.o_orderkey = g2.o_orderkey
 GROUP BY change
 ORDER BY change
@@ -1359,13 +1365,22 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff production shape.
     """
     o = load(spark, sf_dir, "orders")
-    base = o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    # All price math in EXACT integer cents: the +10% mutation is half-up
+    # integer `div` on both engines, and the delta sum is a BIGINT sum —
+    # the previous double sum (~3.7e8 over ~13k deltas) flipped its last
+    # cent with partial-agg accumulation order at sf0.1 (sweep catch).
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
     gen1 = base.filter(F.col("o_orderkey") % 10 != 4)
     gen2 = base.filter(F.col("o_orderkey") % 10 != 7).withColumn(
-        "price",
+        "price_c",
         F.when(
-            F.col("o_orderkey") % 10 == 3, F.round(F.col("price") * 1.1, 2)
-        ).otherwise(F.col("price")),
+            F.col("o_orderkey") % 10 == 3,
+            F.expr("(price_c * 11 + 5) div 10"),
+        ).otherwise(F.col("price_c")),
     )
     g1 = gen1.alias("g1")
     g2 = gen2.alias("g2")
@@ -1373,16 +1388,19 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     change = (
         F.when(F.col("g1.o_orderkey").isNull(), "added")
         .when(F.col("g2.o_orderkey").isNull(), "removed")
-        .when(F.col("g1.price") != F.col("g2.price"), "changed")
+        .when(F.col("g1.price_c") != F.col("g2.price_c"), "changed")
         .otherwise("unchanged")
     )
     return (
         j.groupBy(change.alias("change"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.coalesce(F.sum(F.col("g2.price") - F.col("g1.price")), F.lit(0.0)), 2
-            ).alias("price_delta"),
+            F.coalesce(
+                F.sum(F.col("g2.price_c") - F.col("g1.price_c")),
+                F.lit(0).cast("long"),
+            )
+            .cast("long")
+            .alias("price_delta_cents"),
         )
         .orderBy("change")
     )
@@ -1580,11 +1598,11 @@ def rolling_7d_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-         round(sum(o_totalprice), 2) AS total
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
   FROM orders GROUP BY o_orderpriority
 ), delta AS (
   SELECT o_orderpriority, CAST(sum(sign) AS BIGINT) AS n_d,
-         round(sum(sign * price), 2) AS t_d
+         sum(CAST(floor(sign * price * 100 + 0.5) AS BIGINT)) / 100.0 AS t_d
   FROM (
     SELECT o_orderpriority, -1 AS sign, o_totalprice AS price
     FROM orders WHERE o_orderkey % 10 = 0
@@ -1617,7 +1635,7 @@ def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum(F.col("o_totalprice")).alias("total"),
     )
     repriced = o.filter(F.col("o_orderkey") % 10 == 0)
     delta_rows = repriced.select(
@@ -1633,7 +1651,7 @@ def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = delta_rows.groupBy("o_orderpriority").agg(
         F.sum("sign").cast("bigint").alias("n_d"),
-        F.round(F.sum(F.col("sign") * F.col("price")), 2).alias("t_d"),
+        cents_sum(F.col("sign") * F.col("price")).alias("t_d"),
     )
     return (
         base.join(delta, "o_orderpriority", "left")
@@ -1651,12 +1669,13 @@ def incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="J2,E82",
     oracle="""
 SELECT 0 AS generation, CAST(count(*) AS BIGINT) AS n,
-       round(sum(c_acctbal), 2) AS total_bal
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_bal
 FROM customer
 UNION ALL
 SELECT 1 AS generation, CAST(count(*) AS BIGINT) AS n,
-       round(sum(CASE WHEN c_custkey % 2 = 1 AND c_custkey < 500
-                      THEN c_acctbal + 100 ELSE c_acctbal END), 2) AS total_bal
+       sum(CAST(floor((CASE WHEN c_custkey % 2 = 1 AND c_custkey < 500
+                       THEN c_acctbal + 100 ELSE c_acctbal END) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS total_bal
 FROM customer
 ORDER BY generation
 """,
@@ -1700,7 +1719,7 @@ def scd2_pointintime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(
             F.lit(g).alias("generation"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+            cents_sum(F.col("acctbal")).alias("total_bal"),
         )
         snaps.append(snap.select("generation", "n", "total_bal"))
     return snaps[0].unionByName(snaps[1]).orderBy("generation")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 # --- hashtag leaderboard ------------------------------------------------------
@@ -356,14 +357,16 @@ def engagement_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         round(sum(o_totalprice), 2) AS revenue
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
   FROM orders GROUP BY month
 )
 SELECT month, revenue,
        round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
        round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
              / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct,
-       round(100.0 * revenue / sum(revenue) OVER (), 4) AS share_pct
+       round(100.0 * revenue /
+             (sum(CAST(floor(revenue * 100 + 0.5) AS BIGINT)) OVER () / 100.0),
+             4) AS share_pct
 FROM m
 ORDER BY month
 """,
@@ -382,7 +385,7 @@ def mom_growth_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        cents_sum(F.col("o_totalprice")).alias("revenue")
     )
     w = Window.orderBy("month")
     lag_rev = F.lag("revenue").over(w)
@@ -392,7 +395,15 @@ def mom_growth_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - lag_rev, 2).alias("mom_delta"),
         F.round(100.0 * (F.col("revenue") - lag_rev) / lag_rev, 4).alias("mom_pct"),
         F.round(
-            100.0 * F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4
+            100.0
+            * F.col("revenue")
+            / (
+                F.sum(
+                    F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("bigint")
+                ).over(Window.partitionBy())
+                / 100.0
+            ),
+            4,
         ).alias("share_pct"),
     ).orderBy("month")
 
@@ -580,7 +591,8 @@ def event_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="W3,E77",
     oracle="""
 WITH daily AS (
-  SELECT epoch_ns(ts) // 86400000000000 AS day_b, round(sum(value), 2) AS v
+  SELECT epoch_ns(ts) // 86400000000000 AS day_b,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS v
   FROM events GROUP BY day_b
 ), f AS (
   SELECT day_b, v, lag(v, 7) OVER (ORDER BY day_b) AS pred
@@ -607,9 +619,15 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(
-            (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("bigint").alias("day_b")
+            # exact integer `div` (double / has a ~256 ns ulp at 1.7e18 ns)
+            F.expr("ts_ns div 86400000000000").alias("day_b")
         )
-        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+                / 100.0
+            ).alias("v")
+        )
     )
     w = Window.orderBy("day_b")
     f = daily.withColumn("pred", F.lag("v", 7).over(w)).filter(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 from ..sources.readers_writers import sink_path
 
@@ -83,7 +84,7 @@ def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="S1,S7,E125",
     oracle="""
 SELECT o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice), 2) AS total,
+       sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
        TRUE AS is_parquet, TRUE AS nonempty_file
 FROM orders
 GROUP BY o_orderstatus
@@ -117,7 +118,7 @@ def metadata_hidden_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
             F.every(F.col("fname").endswith(".parquet")).alias("is_parquet"),
             F.every(F.col("fsize") > 0).alias("nonempty_file"),
         )
@@ -132,7 +133,7 @@ def metadata_hidden_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
                 '<pre-evolution>') AS pri,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY 1
 ORDER BY pri
@@ -169,7 +170,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("pri")
     )

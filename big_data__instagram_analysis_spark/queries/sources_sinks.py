@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load, scratch_dir
+from ..numeric import cents_sum
 from ..registry import query
 from ..sources.readers_writers import (
     roundtrip_csv,
@@ -126,7 +127,7 @@ def partitioned_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_with_priority,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 """,
 )
@@ -162,7 +163,7 @@ def merged_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
         ).alias("n_with_priority"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -405,7 +406,7 @@ def reliable_checkpoint_midplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -447,7 +448,7 @@ def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS total
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total
         FROM sg_ctas_orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, scratch_dir
+from ..numeric import cents_sum
 from ..registry import query
 from ..streaming.harness import events_stream, run_available_now
 
@@ -360,7 +361,8 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join_revenue",
     category="X7,X8",
     oracle="""
-SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+SELECT c.c_mktsegment, count(*) AS n_events,
+       sum(CAST(floor((e.value) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -379,7 +381,7 @@ def stream_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         s.join(dim, s.user_id == dim.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), cents_sum(F.col("value")).alias("total_value"))
     )
     return run_available_now(agg, output_mode="complete").orderBy("c_mktsegment")
 

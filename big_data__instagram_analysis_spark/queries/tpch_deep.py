@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 # --- E140: Q17 — small-quantity revenue (correlated scalar AVG) -------------
@@ -33,7 +34,7 @@ from ..registry import query
 _Q17 = """
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_small,
-       round(sum(l.l_extendedprice), 2) AS small_revenue
+       sum(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS small_revenue
 FROM read_parquet_lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -71,7 +72,7 @@ def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+            cents_sum(F.col("l_extendedprice")).alias("small_revenue"),
         )
         .orderBy("p_brand")
     )
@@ -210,7 +211,7 @@ WITH avg_bal AS (
 )
 SELECT c.c_mktsegment AS segment,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       sum(CAST(floor((c.c_acctbal) * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
 FROM customer c, avg_bal
 WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.cents
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -251,7 +252,7 @@ def idle_rich_custs_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            cents_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("segment")
     )

@@ -21,6 +21,7 @@ from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
 from ..io import load
+from ..numeric import cents_sum
 from ..registry import query
 
 # --- U1: row-at-a-time Python scalar UDF ------------------------------------
@@ -62,7 +63,7 @@ def udf_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="U2",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue
+       sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT)) / 100.0 AS net_revenue
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -87,7 +88,7 @@ def pandas_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             net("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
         )
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("net_price"), 2).alias("net_revenue"))
+        .agg(cents_sum(F.col("net_price")).alias("net_revenue"))
         .orderBy("l_returnflag")
     )
 
@@ -150,7 +151,8 @@ WITH s AS (
          count(*)                  OVER (PARTITION BY o_orderpriority) AS n
   FROM orders
 )
-SELECT o_orderpriority, o_orderkey, round((o_totalprice - mu) / sd, 4) AS z
+SELECT o_orderpriority, o_orderkey,
+       round((o_totalprice - mu) / sd, 4) + 0.0 AS z
 FROM s
 WHERE n >= 2 AND sd > 0
 ORDER BY o_orderpriority, o_orderkey
@@ -185,11 +187,20 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     o = load(spark, sf_dir, "orders")
+    # `+ 0.0` after the round: a value whose z is ±tiny (price == group mean)
+    # rounds to SIGNED zero, and -0.0 vs 0.0 string-formats differently per
+    # engine — IEEE -0.0 + 0.0 = +0.0 normalizes both sides (the sf0.1 sweep
+    # caught this; the sign depends on float accumulation order, so it was
+    # also run-to-run flaky).
     return (
         o.select("o_orderpriority", "o_orderkey", "o_totalprice")
         .groupBy("o_orderpriority")
         .applyInPandas(zscore, "o_orderpriority string, o_orderkey long, z double")
-        .select("o_orderpriority", "o_orderkey", F.round("z", 4).alias("z"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.round("z", 4) + F.lit(0.0)).alias("z"),
+        )
         .orderBy("o_orderpriority", "o_orderkey")
     )
 

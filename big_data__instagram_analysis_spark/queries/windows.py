@@ -110,9 +110,9 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="W5",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend,
        round(avg(o_totalprice) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7
@@ -129,7 +129,12 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).over(cum)
+            / 100.0
+        ).alias("running_spend"),
         F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg_7"),
     )
 
@@ -144,9 +149,9 @@ WITH t AS (
   FROM events
 )
 SELECT event_id, user_id, ts_sec,
-       round(sum(value) OVER (
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts_sec
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_value,
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_1h_value,
        CAST(count(*) OVER (
          PARTITION BY user_id ORDER BY ts_sec
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_1h_events
@@ -168,7 +173,10 @@ def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_sec",
-        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).over(w)
+            / 100.0
+        ).alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
     )
 
@@ -211,7 +219,8 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey, o_orderpriority,
        round(o_totalprice, 2) AS price,
        CAST(count(*) OVER w AS BIGINT) AS n_peers,
-       round(sum(o_totalprice) OVER w, 2) AS band_total
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w / 100.0
+         AS band_total
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
              RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
@@ -242,7 +251,12 @@ def value_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.round("o_totalprice", 2).alias("price"),
             F.count(F.lit(1)).over(w).alias("n_peers"),
-            F.round(F.sum("o_totalprice").over(w), 2).alias("band_total"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).over(w)
+                / 100.0
+            ).alias("band_total"),
         )
         .orderBy("o_orderpriority", "price", "o_orderkey")
     )
