@@ -126,8 +126,11 @@ def ngram_jaccard_pairs(
     generation (a hot shingle is a skew key; AQE skew-join splits it).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(token_shingles(F.col(text_col), n)).alias("s")
+    # shingle_rows: codegen posexplode+lead shingling (equivalence
+    # fuzz-pinned against token_shingles) — the HOF array form measured ~5x
+    # slower at sf0.1 and this operator only needs the exploded rows.
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col).alias("doc"), "s"
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -271,9 +274,8 @@ def ngram_containment_pairs(
     (doc_small, doc_big, containment, jaccard) — containment for the
     decision, Jaccard alongside to show what it would have missed.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("s"),
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col).alias("doc"), "s"
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

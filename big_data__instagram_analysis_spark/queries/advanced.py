@@ -1016,51 +1016,68 @@ ORDER BY c.c_custkey
 )
 def cogrouped_spend_vs_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (groupBy().cogroup(...)): per-customer merge
-    of the customer row with ALL their orders in one pandas function.
+    of each customer's row with ALL their orders.
 
     cogroup is the two-sided grouped-map — both inputs shuffle once on
-    the key and arrive as aligned pandas frames per key, the extension
+    the key and arrive as aligned pandas frames per group, the extension
     point for per-entity reconciliation logic too procedural for a join
     + agg (sessional merges, per-account ledger replay). Here the body
-    is deliberately join-expressible so DuckDB can state the oracle;
-    rounding happens Spark-side after the UDF (§5.4 discipline). Keys
-    appearing on one side only still produce a group (empty opposite
-    frame) — the LEFT JOIN twin.
+    is deliberately join-expressible so DuckDB can state the oracle.
+
+    The cogroup KEY is a coarse BUCKET (c_custkey % 64), not the raw
+    customer key: grouped-map/cogroup pays per-group Arrow+pandas setup,
+    so 15k single-customer groups measured 42 s at sf0.1 while 64 bucket
+    groups doing the identical per-customer merge VECTORIZED inside
+    pandas (groupby within the bucket frame) run in ~1.5 s — the same
+    few-large-groups rule grouped_map_zscore documents, applied to
+    cogroup. Both sides bucket identically, so every customer's orders
+    land in that customer's bucket frame; order-side-only keys (no such
+    customer) drop out of the left-merge, the LEFT JOIN twin. Spend is
+    quantized to integer cents before summing (PERF.md SS35 — a float
+    sum inherits the frame's arrival order).
     """
     import numpy as np
     import pandas as pd
 
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 64).alias("bucket")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", (F.col("o_custkey") % 64).alias("bucket")
+    )
 
-    def merge(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-        if cust.empty:  # order-side-only key: not a customer — emit nothing
+    def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:  # order-side-only bucket: no customers — emit nothing
             return pd.DataFrame(
                 columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
             )
-        # Quantize per order to integer cents BEFORE summing: a float sum
-        # here depends on the arrival order of the rows in the cogrouped
-        # frame (PERF.md SS35 determinism discipline).
-        spend = (
-            float(
-                int(np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+        if orders.empty:
+            agg = pd.DataFrame({"n_orders": [], "spend_c": []})
+            agg.index.name = "o_custkey"
+        else:
+            od = orders.assign(
+                spend_c=np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+                    np.int64
+                )
             )
-            / 100.0
-            if not orders.empty
-            else 0.0
+            agg = od.groupby("o_custkey").agg(
+                n_orders=("o_orderkey", "size"), spend_c=("spend_c", "sum")
+            )
+        out = cust.merge(
+            agg, how="left", left_on="c_custkey", right_index=True
         )
         return pd.DataFrame(
             {
-                "c_custkey": [int(key[0])],
-                "n_orders": [len(orders)],
-                "total_spend": [spend],
-                "acctbal": [float(cust["c_acctbal"].iloc[0])],
+                "c_custkey": out["c_custkey"].astype(np.int64),
+                "n_orders": out["n_orders"].fillna(0).astype(np.int64),
+                "total_spend": out["spend_c"].fillna(0).astype(np.int64) / 100.0,
+                "acctbal": out["c_acctbal"].astype(np.float64),
             }
         )
 
     merged = (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        c.groupBy("bucket")
+        .cogroup(o.groupBy("bucket"))
         .applyInPandas(
             merge,
             "c_custkey long, n_orders long, total_spend double, acctbal double",

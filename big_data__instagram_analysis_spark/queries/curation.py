@@ -67,28 +67,34 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram rather than C4's line — the plan is identical (line-hash ↔
     n-gram string).
     """
+    from ..operators.dedup import shingle_rows
+
     d = load(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.expr(_GRAMS3).alias("g"))
-    exploded = grams.select("doc_id", F.explode("g").alias("s"))
+    # Codegen shingling (operators/dedup.shingle_rows) — the per-doc
+    # distinct-gram ARRAY was consumed twice (explode + size), paying the
+    # interpreted HOF chain per pass (~12 s at sf0.1); the row form feeds
+    # the DF table, the join-back, and the per-doc sizes from ONE lineage.
+    sh = shingle_rows(d, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     freq = (
-        exploded.groupBy("s")
+        sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 3)
         .select("s")
     )
     hits = (
-        exploded.join(freq, "s")
+        sh.join(freq, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boilerplate"))
     )
     return (
-        grams.join(hits, "doc_id", "left")
+        sizes.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("g").cast("long").alias("n_grams"),
+            F.col("n_grams").cast("long").alias("n_grams"),
             F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
             F.round(
-                F.coalesce("n_boilerplate", F.lit(0)) / F.size("g"), 6
+                F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_grams"), 6
             ).alias("bp_frac"),
         )
         .orderBy("doc_id")

@@ -529,12 +529,10 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the 100 TB side — streams through map-side: one aggregation
     shuffle keyed by doc_id, no quadratic pair join anywhere.
     """
-    from ..operators.dedup import token_shingles
+    from ..operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(token_shingles(F.col("text"), n=4)).alias("s")
-    )
+    sh = shingle_rows(d, n=4)
     bench = sh.filter(F.col("doc_id") < 5).select("s").distinct()
     cand = sh.filter(F.col("doc_id") >= 5)
     sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
