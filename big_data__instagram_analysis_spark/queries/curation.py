@@ -27,6 +27,7 @@ _GRAMS3 = (
 
 @query(
     "boilerplate_ngram_flags",
+    tags=("llm_bench",),
     category="L4,E17",
     oracle="""
 WITH toks AS (

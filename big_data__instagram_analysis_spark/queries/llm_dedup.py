@@ -42,6 +42,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_neardup",
+    tags=("llm_bench",),
     category="L2",
     oracle="""
 WITH toks AS (
@@ -413,6 +414,7 @@ def neardup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "containment_neardup_pairs",
+    tags=("llm_bench",),
     category="L2,E185",
     oracle="""
 WITH toks AS (

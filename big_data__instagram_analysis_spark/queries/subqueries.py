@@ -116,9 +116,11 @@ def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
-       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_total,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'F'), 0) / 100.0 AS f_total,
        CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
-       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_total,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'O'), 0) / 100.0 AS o_total,
        CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
        round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
 FROM orders
@@ -142,7 +144,9 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
         )
         PIVOT (
-          count(*) AS n, round(coalesce(sum(o_totalprice), 0), 2) AS total
+          count(*) AS n,
+          coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            / CAST(100.0 AS DOUBLE) AS total
           FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
         )
         ORDER BY o_orderpriority
