@@ -4,9 +4,14 @@ E8's IVF tier uses pyspark.ml's KMeans; this module is the from-scratch
 loop, kept because the ITERATION SHAPE is the teachable scale pattern
 (same family as operators/graph.py's CC and PageRank):
 
-  assign   — fact side (vectors) joins a k-row centroid table: always a
-             broadcast join; distance is a zip_with/aggregate HOF inside
-             codegen, argmin via min_by. One pass, no shuffle of vectors.
+  assign   — one Arrow mapInPandas pass over the vectors with the k-row
+             centroid matrix in a task broadcast: numpy computes all k
+             squared distances and the argmin per batch. No shuffle of
+             vectors. (Rounds 1-3 used a broadcast crossJoin with a
+             zip_with/aggregate HOF distance — HOFs are interpreted, not
+             codegen, and the k× row expansion measured ~1.3 s/iteration
+             at sf0.1 vs ~0.2 s for the Arrow pass; same lesson as
+             PERF.md §5's embedding_cosine_neardup.)
   update   — per-cluster dimension-wise mean via posexplode + (cid, pos)
              aggregation: one shuffle of k×dims cells, never vectors.
   centroid table stays k×dims — collected to the driver each round (tiny
@@ -20,16 +25,12 @@ inertia sequence is a testable monotone invariant (Lloyd's guarantee).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _sq_dist(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def kmeans_lloyd(
@@ -59,15 +60,36 @@ def kmeans_lloyd(
     inertia: list[float] = []
     assigned = None
     for _ in range(iterations):
-        cdf = spark.createDataFrame(centroids, "cid int, cen array<double>")
-        assigned = (
-            v.crossJoin(F.broadcast(cdf))
-            .select("vid", "vec", "cid", _sq_dist(F.col("vec"), F.col("cen")).alias("d"))
-            .groupBy("vid", "vec")
-            .agg(
-                F.expr("min_by(cid, struct(d, cid))").alias("cluster_id"),
-                F.min("d").alias("sq_dist"),
-            )
+        cmat = np.array([cen for _, cen in centroids], dtype=np.float64)
+        bc = spark.sparkContext.broadcast(cmat)
+
+        # Default-arg binding pins THIS round's broadcast: the returned
+        # frame's lazy plan would otherwise see the loop variable's final
+        # value through the closure.
+        def assign_batches(
+            batches: Iterator[pd.DataFrame], _bc=bc
+        ) -> Iterator[pd.DataFrame]:
+            cen = _bc.value
+            for b in batches:
+                if b.empty:
+                    continue
+                m = np.stack(b["vec"].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+                # np.argmin returns the FIRST minimum → lowest cluster id,
+                # matching the previous min_by(cid, struct(d, cid)) tiebreak.
+                cid = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vid": b["vid"],
+                        "vec": b["vec"],
+                        "cluster_id": cid.astype(np.int32),
+                        "sq_dist": d2[np.arange(len(m)), cid],
+                    }
+                )
+
+        assigned = v.mapInPandas(
+            assign_batches,
+            "vid long, vec array<double>, cluster_id int, sq_dist double",
         )
         inertia.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
         means = (

@@ -90,46 +90,104 @@ def ann_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH-bucketed scale path --------------------------------------------------
 
 
+#: Random-projection LSH parameters (match the pyspark.ml defaults this
+#: module used through round 3: 6 tables, bucket length 0.25 on unit vectors).
+LSH_TABLES = 6
+LSH_BUCKET_LEN = 0.25
+#: Exact-cosine acceptance: ||a-b||² = 2-2cos for unit vectors, so the
+#: ml-era euclidean cut d ≤ 1.05 ⇔ cos ≥ 1 - 1.05²/2 = 0.44875. The fixture
+#: vectors are near-isotropic (pairwise cos ~ N(0, 1/64), max ≈ 0.48
+#: measured), so this is ≈3.6σ — "near-duplicate" for this corpus.
+LSH_COS_CUT = 1 - 1.05**2 / 2
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH near-neighbor pairs (vec_a, vec_b, cos_sim) — used by the
-    registered certified query below and tests/test_ann.py."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    registered certified query below and tests/test_ann.py.
 
+    Pure DataFrame + Arrow random-projection LSH (rounds 1-3 used
+    pyspark.ml's BucketedRandomProjectionLSH.approxSimilarityJoin — same
+    structure but ~8.5 s at sf0.1 from vector-type overhead and a
+    non-codegen keyDistance UDF; this form runs ~2.5 s):
+
+      1. one mapInPandas pass projects each unit-normalized vector onto
+         LSH_TABLES seeded gaussian unit directions and emits
+         (vec_id, band, floor(proj / bucket_len)) rows — numpy matmul
+         per Arrow batch, centroid-free, broadcast-free;
+      2. per-(band, bucket) brute force via applyInPandas: ONE numpy
+         matmul per bucket emits exactly the pairs clearing LSH_COS_CUT.
+         The fixture corpus is near-isotropic, so projections are
+         N(0, 1/64) and a 0.25 bucket holds ~half the corpus — a
+         row-level self-join on (band, bucket) materializes tens of
+         millions of candidate rows (measured: the dominant cost of both
+         the ml version and a join-based rewrite), while the in-bucket
+         matmul does the same pair space as BLAS flops and emits only
+         the ~10² survivors. Pair work is per-bucket quadratic — the
+         bucketed-LSH contract — so occupancy, set by data clustering
+         and bucket length, is the scale knob;
+      3. distinct across bands (a pair can collide in several bands;
+         cosines are identical doubles, computed from the same vectors).
+         Precision is exact by construction, recall is the certified
+         contract.
+    """
     emb = load(spark, sf_dir, "embeddings")
-    # L2-normalize first so euclidean LSH distance orders like cosine.
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
+    rng = np.random.default_rng(42)
+    proj = rng.normal(size=(LSH_TABLES, 64))
+    proj = proj / np.linalg.norm(proj, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(proj)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pr = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            h = np.floor((m @ pr.T) / LSH_BUCKET_LEN).astype(np.int64)
+            n = len(b)
+            # embedding rides along so the per-bucket scorer needs no
+            # join-back (6x duplication of 64 floats — bounded, columnar).
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(b["vec_id"].to_numpy(), LSH_TABLES),
+                    "band": np.tile(np.arange(LSH_TABLES, dtype=np.int32), n),
+                    "bucket": h.ravel(),
+                    "embedding": np.repeat(b["embedding"].to_numpy(), LSH_TABLES),
+                }
+            )
+
+    buckets = emb.select("vec_id", "embedding").mapInPandas(
+        bucketize, "vec_id long, band int, bucket long, embedding array<float>"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cos_sim": np.float64}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sim = mu @ mu.T
+        ia, ib = np.where(np.triu(sim >= LSH_COS_CUT, k=1))
+        a_ids, b_ids = ids[ia], ids[ib]
+        swap = a_ids > b_ids
+        a_ids, b_ids = (
+            np.where(swap, b_ids, a_ids),
+            np.where(swap, a_ids, b_ids),
         )
-    )
-    vecs = emb.select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double") / norm)
-        ).alias("features"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=0.25,
-        numHashTables=6,
-        seed=42,
-    )
-    model = lsh.fit(vecs)
-    # ||a-b||² = 2-2cos(a,b) for unit vectors → dist 1.05 ≈ cosine 0.45.
-    # The fixture vectors are near-isotropic (pairwise cos ~ N(0, 1/64), max
-    # ≈ 0.48 measured), so 0.45 is ≈3.6σ — "near-duplicate" for this corpus.
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.05, distCol="dist")
+        return pd.DataFrame(
+            {
+                "vec_a": a_ids.astype(np.int64),
+                "vec_b": b_ids.astype(np.int64),
+                "cos_sim": np.round(sim[ia, ib], 6),
+            }
+        )
+
     return (
-        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("cos_sim"),
-        )
+        buckets.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_sim double")
+        .distinct()
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
     )
 
