@@ -397,3 +397,50 @@ def test_interval_overlap_is_equi_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan[:400]
+
+
+def test_minhash_band_join_is_equi_keyed(spark, sf_dir):
+    """Round-4 minhash rewrite: candidate generation must be an EQUI-join on
+    (band, signature value) — a cartesian/NLJ would be the |N|^2 pair space
+    banding exists to avoid — and the whole plan must stay off pyspark.ml
+    (no vector-type UDF scoring)."""
+    plan = _plan(spark, sf_dir, "minhash_lsh_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan[:400]
+
+
+def test_simhash_has_no_row_expansion_join(spark, sf_dir):
+    """Round-4 simhash rewrite: the 60-bit vote computation must NOT
+    broadcast-join a bit table (the 60x row expansion); fingerprints come
+    from ONE aggregate over the token rows — so the fingerprint plan
+    contains no join at all."""
+    plan = _plan(spark, sf_dir, "simhash_docs")
+    assert "Join" not in plan, plan[:600]
+    assert "HashAggregate" in plan
+
+
+def test_lsh_bucketed_scores_in_grouped_pandas(spark, sf_dir):
+    """Round-4 LSH rewrite: per-bucket scoring must run as grouped-map
+    pandas (FlatMapGroupsInPandas) after a shuffle on the bucket key —
+    never a row-level self-join on (band, bucket), which materializes
+    tens of millions of candidate rows on low-selectivity buckets."""
+    plan = _plan(spark, sf_dir, "ann_lsh_bucketed")
+    assert "FlatMapGroupsInPandas" in plan, plan[:600]
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_is_arrow_map_not_hof_join(spark, sf_dir):
+    """Round-4 Lloyd rewrite: the assign step must be a mapInPandas pass
+    (MapInPandas in the plan) with NO join against a centroid table —
+    vectors never shuffle for assignment."""
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=4, iterations=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        assigned._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan, plan[:600]
+    assert "Join" not in plan, plan[:600]
