@@ -59,6 +59,8 @@ def kmeans_lloyd(
     centroids = [(i, init[i]) for i in range(len(init))]
     inertia: list[float] = []
     assigned = None
+    prev_bc = None
+    prev_assigned = None
     for _ in range(iterations):
         cmat = np.array([cen for _, cen in centroids], dtype=np.float64)
         bc = spark.sparkContext.broadcast(cmat)
@@ -87,10 +89,14 @@ def kmeans_lloyd(
                     }
                 )
 
+        # Persist: the assign pass feeds THREE actions (inertia collect,
+        # the means aggregation, and — on the last round — whatever the
+        # caller does with the returned frame). Without the cache each
+        # action re-runs the Arrow scoring pass from the parquet scan.
         assigned = v.mapInPandas(
             assign_batches,
             "vid long, vec array<double>, cluster_id int, sq_dist double",
-        )
+        ).persist()
         inertia.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
         means = (
             assigned.select("cluster_id", F.posexplode("vec").alias("pos", "val"))
@@ -110,4 +116,14 @@ def kmeans_lloyd(
         for r in means:
             new_c[r["cluster_id"]] = [float(x) for x in r["cen"]]
         centroids = sorted(new_c.items())
+        # Superseded round's broadcast + cache are dead once this round's
+        # two actions finished; on a long-running driver leaving them
+        # around is an executor/driver memory leak. The LAST round's stay
+        # alive — the returned frame's plan references them (cache
+        # eviction would re-run assign_batches, which reads the broadcast).
+        if prev_bc is not None:
+            prev_bc.destroy()
+        if prev_assigned is not None:
+            prev_assigned.unpersist()
+        prev_bc, prev_assigned = bc, assigned
     return assigned.select("vid", "cluster_id", "sq_dist"), inertia

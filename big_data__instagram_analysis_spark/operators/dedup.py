@@ -142,9 +142,13 @@ def ngram_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+    # No broadcast hint on the sizes table: one row PER DOCUMENT grows with
+    # the corpus, so a forced broadcast is a scale-killer at large doc
+    # counts — AQE picks broadcast when it actually fits and a shuffle join
+    # otherwise (same reasoning as ngram_containment_pairs below).
     return (
-        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..numeric import cents_sum
+from ..numeric import cents, cents_sum
 from ..operators.bloom import bloom_prune
 from ..registry import query
 
@@ -158,16 +158,24 @@ def partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     figures WITHOUT re-reading base rows — the incremental-rollup pattern
     (continuous aggregates / materialized rollups).
 
-    Daily partials carry (count, sum, min, max); monthly stats derive
-    purely from merging them. The oracle computes the same months directly
-    from base rows, proving the merge is exact. At 100 TB you persist the
-    daily partials once and answer any coarser window from them; only
-    algebraic aggregates (not medians/distincts) compose this way, which
-    is why the sketch variants (A4, E32) exist for the rest. (A
-    sum-of-squares stddev also merges, but its cancellation makes the
+    Daily partials carry (count, cents-sum, min, max); monthly stats
+    derive purely from merging them. The oracle computes the same months
+    directly from base rows, proving the merge is exact. At 100 TB you
+    persist the daily partials once and answer any coarser window from
+    them; only algebraic aggregates (not medians/distincts) compose this
+    way, which is why the sketch variants (A4, E32) exist for the rest.
+    (A sum-of-squares stddev also merges, but its cancellation makes the
     last rounded digit engine-dependent — cent-valued sums put the true
     variance exactly on round() boundaries — so the parity-checked
     surface sticks to the stable four.)
+
+    The price partial is quantized to integer cents PER ROW (numeric.py):
+    a BIGINT daily partial merges into a BIGINT monthly sum with zero
+    accumulation-order dependence — the partial itself is now the exact,
+    mergeable artifact you'd persist, not a double that drifts per merge
+    order. sum_price is cents/100.0 and avg_price is half-up integer
+    division of the cents sum, mirroring the oracle expression by
+    expression.
     """
     li = load(spark, sf_dir, "lineitem")
     daily = li.groupBy(
@@ -175,7 +183,7 @@ def partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM").alias("month"),
     ).agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("l_extendedprice").alias("ps"),
+        F.sum(cents("l_extendedprice")).alias("ps"),
         F.min("l_extendedprice").alias("pmn"),
         F.max("l_extendedprice").alias("pmx"),
     )
@@ -189,13 +197,13 @@ def partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "month",
         n.cast("bigint").alias("n"),
-        F.round(s, 2).alias("sum_price"),
+        (s / 100.0).alias("sum_price"),
         F.round("mn", 2).alias("min_price"),
         F.round("mx", 2).alias("max_price"),
-        # avg from the ROUNDED sum: both engines then divide bit-identical
-        # doubles, so a quotient landing exactly on a .xx5 boundary (68
-        # cent-valued sums do this) still rounds the same way everywhere.
-        F.round(F.round(s, 2) / n, 2).alias("avg_price"),
+        # half-up integer division of exact cents: floor(cents/n + 0.5)
+        # then /100.0 — identical integer on both engines, so the quotient
+        # double is bit-identical too (oracle uses the same expression).
+        (F.floor(s / n + F.lit(0.5)) / 100.0).alias("avg_price"),
     ).orderBy("month")
 
 

@@ -122,7 +122,8 @@ SELECT o_orderpriority,
        coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 FILTER (o_orderstatus = 'O'), 0) / 100.0 AS o_total,
        CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
-       round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'P'), 0) / 100.0 AS p_total
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
