@@ -33,15 +33,20 @@ concurrent reps). Round 4 adds two things VERDICT r3 asked for:
                       minutes-long 100 TB stages); it dominates ONLY when
                       queries finish in milliseconds.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (<1 KB — the driver keeps only the last
+2000 chars of stdout and json-parses the final line, so the full payload
+must not live on stdout):
 
     {"metric": "...", "value": <best concurrent whole-set sec>, "unit": "sec",
      "queries": {name: <min sequential sec>, ...},
-     "queries_mean": {...}, "queries_stdev": {...},
      "sequential_wall_sec": ..., "concurrent_wall_sec": ...,
-     "concurrent_runs": [...], "reps": N,
-     "llm_set": {"wall_sec": ..., "queries": {...}, "reps": M},
-     "floor": {...}, "sf": <sf>}
+     "llm_wall_sec": ..., "floor_sec": ..., "datapath_sec": ...,
+     "datapath_vs_duckdb": ..., "duckdb_baseline_sec": ...,
+     "detail": "BENCH_DETAIL.json", "sf": <sf>}
+
+and writes the complete decomposition (per-query mean/stdev, concurrent
+runs, llm_set per-query, the full floor object) to BENCH_DETAIL.json
+beside this script.
 
 `value` and `queries` keep their r1-r3 meaning (comparable across rounds),
 reporting the min over reps — the standard systems-bench convention for
@@ -271,25 +276,48 @@ def main() -> None:
             "reps": n_llm,
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_sec",
-                "value": concurrent,
-                "unit": "sec",
-                "queries": timings,
-                "queries_mean": timings_mean,
-                "queries_stdev": timings_stdev,
-                "sequential_wall_sec": sequential,
-                "concurrent_wall_sec": concurrent,
-                "concurrent_runs": conc_runs,
-                "reps": n_reps,
-                "llm_set": llm_out,
-                "floor": floor,
-                "sf": sf,
-            }
-        )
-    )
+    # Round 6: the driver records only the LAST 2000 chars of stdout and
+    # json-parses the final line; the full payload (~3.5 KB) has exceeded
+    # that since r4, so BENCH_r4/r5.json carry `parsed: null` and the
+    # headline metric was truncated out of the tail. Stdout now gets a
+    # compact line (<1 KB) with the headline numbers + floor summary; the
+    # complete decomposition goes to BENCH_DETAIL.json beside this script.
+    detail = {
+        "metric": "headline_query_set_wall_sec",
+        "value": concurrent,
+        "unit": "sec",
+        "queries": timings,
+        "queries_mean": timings_mean,
+        "queries_stdev": timings_stdev,
+        "sequential_wall_sec": sequential,
+        "concurrent_wall_sec": concurrent,
+        "concurrent_runs": conc_runs,
+        "reps": n_reps,
+        "llm_set": llm_out,
+        "floor": floor,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": "headline_query_set_wall_sec",
+        "value": concurrent,
+        "unit": "sec",
+        "queries": timings,
+        "sequential_wall_sec": sequential,
+        "concurrent_wall_sec": concurrent,
+        "llm_wall_sec": llm_out.get("wall_sec"),
+        "floor_sec": floor["floor_sec"],
+        "datapath_sec": floor["datapath_sec"],
+        "datapath_vs_duckdb": floor["datapath_vs_duckdb"],
+        "duckdb_baseline_sec": duckdb_baseline,
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"bench stdout line too long ({len(line)}) for driver tail"
+    print(line)
     spark.stop()
 
 

@@ -25,7 +25,7 @@ inertia sequence is a testable monotone invariant (Lloyd's guarantee).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,12 +40,20 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 3,
-) -> tuple[DataFrame, list[float]]:
-    """Run ``iterations`` Lloyd rounds; return (assignments, inertia history).
+) -> tuple[DataFrame, list[float], Callable[[], None]]:
+    """Run ``iterations`` Lloyd rounds; return (assignments, inertia, release).
 
     Assignments: (id, cluster_id, sq_dist). Inertia is recorded AFTER each
     assignment step (sum of squared distances to the current centroids) —
     Lloyd guarantees the sequence is non-increasing.
+
+    RELEASE CONTRACT: the returned frame's plan references the final
+    round's cached assignment and centroid broadcast, which this function
+    intentionally leaves alive (eviction would re-run the Arrow scoring
+    pass). The caller owns them: call ``release()`` once done with the
+    returned frame's actions, or every invocation on a long-running
+    driver accumulates one cached DataFrame + one live broadcast — the
+    same leak class the loop body destroys for superseded rounds.
     """
     spark = vectors.sparkSession
     v = vectors.select(
@@ -126,4 +134,11 @@ def kmeans_lloyd(
         if prev_assigned is not None:
             prev_assigned.unpersist()
         prev_bc, prev_assigned = bc, assigned
-    return assigned.select("vid", "cluster_id", "sq_dist"), inertia
+
+    final_bc, final_assigned = prev_bc, prev_assigned
+
+    def release() -> None:
+        final_assigned.unpersist()
+        final_bc.destroy()
+
+    return assigned.select("vid", "cluster_id", "sq_dist"), inertia, release

@@ -207,8 +207,11 @@ def _lsh_blocked(buckets: DataFrame) -> DataFrame:
     When cnt ≤ B this degenerates to one (0, 0) group with zero fan-out.
     The counts join shares the (band, bucket) hash partitioning with the
     aggregation that produced it, and AQE handles a hot bucket's join
-    skew; the sequence explode happens after column pruning, so only key
-    columns fan out JVM-side until the scorer needs the vectors.
+    skew. Fan-out cost: the exploded projection carries the embedding
+    column, so each row duplicates its full vector ⌈cnt/B⌉ times through
+    the shuffle to the scorer (⌈cnt/B⌉ × vector bytes per row) — the
+    accepted price of bounding group size; only rows in oversized buckets
+    pay it.
     """
     counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     tagged = (

@@ -1029,9 +1029,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     init) over the embeddings — the iterative-ML loop as DataFrame
     algebra (operators/clustering.py).
 
-    Per round: assignment is a broadcast join against the k-row centroid
-    table with a codegen'd zip_with distance (vectors never shuffle);
-    update shuffles only k×64 mean cells.
+    Per round: assignment is an Arrow mapInPandas pass with the k-row
+    centroid matrix in a task broadcast (vectors never shuffle); update
+    shuffles only k×64 mean cells.
 
     Hash-checked via the certified-property pattern: float argmin
     near-ties make cluster MEMBERSHIP engine-sensitive (no hash-portable
@@ -1044,14 +1044,23 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, inertia = kmeans_lloyd(emb, k=8, iterations=3)
+    assigned, inertia, release = kmeans_lloyd(emb, k=8, iterations=3)
     monotone = all(
         a >= b - 1e-6 for a, b in zip(inertia, inertia[1:])
     )
-    return assigned.agg(
+    # Materialize the 1-row certificate eagerly so the final round's cache
+    # + broadcast can be released here (kmeans_lloyd's release contract)
+    # instead of leaking one cached frame per invocation on a long-running
+    # driver. The returned in-memory frame carries no lineage into them.
+    row = assigned.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         (F.count_distinct("cluster_id") <= 8).alias("k_within_bound"),
         F.lit(monotone).alias("inertia_monotone"),
+    ).collect()[0]
+    release()
+    return spark.createDataFrame(
+        [row],
+        "n_assigned bigint, k_within_bound boolean, inertia_monotone boolean",
     )
 
 

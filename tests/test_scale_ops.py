@@ -327,10 +327,11 @@ def test_kmeans_inertia_monotone_and_coverage(spark, sf_dir):
     from big_data__instagram_analysis_spark.operators.clustering import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, inertia = kmeans_lloyd(emb, k=8, iterations=3)
+    assigned, inertia, release = kmeans_lloyd(emb, k=8, iterations=3)
     assert len(inertia) == 3
     assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])), inertia
     rows = assigned.collect()
+    release()
     assert len(rows) == emb.count()
     assert {r["cluster_id"] for r in rows} <= set(range(8))
 
@@ -339,10 +340,12 @@ def test_kmeans_deterministic(spark, sf_dir):
     from big_data__instagram_analysis_spark.operators.clustering import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
-    a, ia = kmeans_lloyd(emb, k=4, iterations=2)
-    b, ib = kmeans_lloyd(emb, k=4, iterations=2)
+    a, ia, rel_a = kmeans_lloyd(emb, k=4, iterations=2)
+    b, ib, rel_b = kmeans_lloyd(emb, k=4, iterations=2)
     assert ia == ib
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    rel_a()
+    rel_b()
 
 
 def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
