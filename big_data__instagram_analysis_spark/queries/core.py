@@ -86,11 +86,20 @@ ORDER BY revenue DESC, n_name
 """,
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join: facts shuffle-join on keys, dims broadcast (J9 hint).
+    """5-way star join: lineitem STREAMS, the filtered c⋈o side builds.
 
     nation⋈region collapses to a filtered broadcast dim before touching the
-    facts, so the only shuffles at scale are customer⋈orders⋈lineitem on
-    their join keys; the ASIA filter prunes 4/5 of customers early.
+    facts; the ASIA filter prunes 4/5 of customers early. The lineitem join
+    carries a SHUFFLE_HASH hint on the c⋈o side (round-6 ABAB,
+    tools/ab_jr_nohint_r6.py + PERF.md §39): without it the static planner
+    broadcasts LINEITEM — its pruned-scan estimate sits under the 10 MB
+    threshold at bench tier, so the plan builds a 600 k-row hash relation
+    and probes it with the ~30 k c⋈o rows (0.79 s min; backwards at any
+    scale — you never build on the fact table). SHUFFLE_HASH builds on the
+    smaller per-partition c⋈o side instead (0.58 s min, ties the forced-
+    broadcast arm without its unbounded-broadcast scale hazard): both sides
+    exchange on o_orderkey — the canonical fact-join shuffle — with no
+    sort, and AQE's skew-join splitting covers SHJ (Spark ≥3.2).
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -103,10 +112,13 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
 
-    return (
+    co = (
         c.join(F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey"))
         .join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("n_name", "o_orderkey")
+    )
+    return (
+        li.join(co.hint("shuffle_hash"), co.o_orderkey == li.l_orderkey)
         .groupBy("n_name")
         .agg(
             cents_sum(

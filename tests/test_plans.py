@@ -43,10 +43,20 @@ def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
 def test_join_revenue_broadcasts_dims_not_facts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_revenue_by_nation")
     assert "BroadcastHashJoin" in plan, "dims should broadcast"
-    # The nation/region side must be behind a BroadcastExchange; at the stock
-    # 10 MB threshold nothing forces lineitem to be a broadcast build side at
-    # sf0.001 (all inputs are tiny) — the structural check here is that no
-    # cartesian/NLJ sneaks into the star join.
+    # Round 6: the lineitem join is pinned as a ShuffledHashJoin building on
+    # the filtered c⋈o side — without the hint the static planner broadcast
+    # LINEITEM (its pruned-scan estimate is under the 10 MB threshold at
+    # bench tier), i.e. a 600 k-row hash build probed by ~30 k rows. The
+    # fact table must stream, never build (PERF.md §39).
+    assert "ShuffledHashJoin Inner BuildRight" in plan, (
+        "lineitem join must be SHJ building the c⋈o side: " + plan[:400]
+    )
+    # Formatted explain puts join keys in the detail section: lineitem's key
+    # must be the LEFT (streamed) side of that SHJ.
+    m = re.search(
+        r"ShuffledHashJoin\n.*?Left keys \[1\]: \[l_orderkey", plan, re.S
+    )
+    assert m, f"SHJ must stream lineitem (left keys l_orderkey): {plan[:800]}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
