@@ -129,17 +129,24 @@ def main() -> None:
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
     n_llm = int(os.environ.get("SPARK_GRAFT_BENCH_LLM_REPS", "2"))
 
+    # Sequential reps run PER-QUERY BACK-TO-BACK (round 6), matching the
+    # DuckDB baseline's protocol — BASELINE.md §4 times each query's warm
+    # run immediately after its cold run, so its numbers carry hot
+    # JIT/branch-predictor/cache state for THAT query. The previous
+    # interleaved rounds (q1..q10, repeat) evicted that locality between
+    # reps and read 25-40% higher than tight-loop ABAB measurements of the
+    # identical plans (PERF.md §40). min-over-reps semantics unchanged;
+    # every rep still executes a fresh DataFrame instance (same logical
+    # plan, new lineage — no stage reuse via registered shuffle outputs).
     samples: dict[str, list[float]] = {name: [] for name in bench_names}
     per_query_jobs: dict[str, int] = {}
     per_query_stages: dict[str, int] = {}
-    for rep in range(n_reps):
-        # Fresh DataFrame instances per rep: same logical plan, new lineage,
-        # so no stage reuse via still-registered shuffle outputs.
-        dfs_timed = {name: specs[name].fn(spark, sf_dir) for name in bench_names}
-        for name in bench_names:
+    for name in bench_names:
+        for rep in range(n_reps):
+            df = specs[name].fn(spark, sf_dir)
             jobs_before = set(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
-            dfs_timed[name].toPandas()
+            df.toPandas()
             samples[name].append(time.perf_counter() - t0)
             if rep == 0:
                 new_jobs = set(tracker.getJobIdsForGroup(None) or []) - jobs_before
