@@ -262,6 +262,136 @@ def value_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- E220: two-sided value band via prefix sums (the W6 scale path) -----------
+
+
+@query(
+    "value_band_prefix_totals",
+    category="W6,E220",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       CAST(count(*) OVER w AS BIGINT) AS n_peers,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w / 100.0
+         AS band_total
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+""",
+)
+def value_band_prefix_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ±10,000 price-band peer stats of value_range_frame_peers,
+    recomputed WITHOUT a two-sided RANGE frame — the 100 TB path PERF.md
+    §41 measured the need for: Spark's SlidingWindowFunctionFrame has no
+    aggregate retraction, so a two-sided RANGE frame re-aggregates its full
+    frame per row (O(n·w); 3.7 s vs DuckDB's 0.11 s segment-tree at sf0.1).
+
+    Decomposition: band(p) = prefix(p+10000) − prefix(<p−10000), with both
+    prefixes read off ONE incremental running window. Each order emits its
+    anchor row (key=price, tag=1, carrying cents/count contributions) plus
+    two zero-contribution probe rows (key=price+10000 tag=2, key=price−10000
+    tag=0). Sorting by (key, tag) places a lo-probe BEFORE anchors at the
+    identical key (an order at exactly price−10000 is inside the band, so
+    it must not be subtracted) and a hi-probe AFTER anchors at the
+    identical key (exactly price+10000 is inside) — the frame's closed
+    bounds fall out of the tag order, with no epsilon arithmetic. The
+    running ROWS-UNBOUNDED-PRECEDING sums are O(1)/row (Spark's unbounded-
+    preceding frame IS incremental), so total work is the sort: O(n log n)
+    vs O(n·w). Probe keys use the same double arithmetic (price ± 10000)
+    DuckDB's RANGE bounds use, so the boundary set is bit-identical —
+    hash-equal to the RANGE-frame form by construction (pinned by
+    tests/test_windows_prefix.py at two scale factors).
+
+    Shape: 3n-row union (one pruned scan), one sort-shuffle on
+    (priority, key, tag), one re-key shuffle on o_orderkey to zip the two
+    probes back together. No join back to the base table — probes carry
+    (priority, price) through.
+    """
+    return band_prefix_totals(load(spark, sf_dir, "orders"))
+
+
+def band_prefix_totals(orders: DataFrame) -> DataFrame:
+    """Prefix-sum two-sided value band over (o_orderkey, o_orderpriority,
+    o_totalprice) — the decomposition value_band_prefix_totals documents;
+    split out so tests can drive it with hand-built boundary fixtures."""
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("p"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    nul = F.lit(None)
+    anchors = o.select(
+        "o_orderpriority",
+        F.col("p").alias("key"),
+        F.lit(1).alias("tag"),
+        nul.cast("bigint").alias("okey"),
+        nul.cast("double").alias("p_out"),
+        F.col("cents").alias("c_contrib"),
+        F.lit(1).cast("bigint").alias("n_contrib"),
+    )
+
+    def probe(tag: int, offset: float) -> DataFrame:
+        return o.select(
+            "o_orderpriority",
+            (F.col("p") + F.lit(offset)).alias("key"),
+            F.lit(tag).alias("tag"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("p").alias("p_out"),
+            F.lit(0).cast("bigint").alias("c_contrib"),
+            F.lit(0).cast("bigint").alias("n_contrib"),
+        )
+
+    stream = anchors.unionByName(probe(0, -10000.0)).unionByName(
+        probe(2, 10000.0)
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("key", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = stream.select(
+        "o_orderpriority",
+        "tag",
+        "okey",
+        "p_out",
+        F.sum("c_contrib").over(w).alias("cum_c"),
+        F.sum("n_contrib").over(w).alias("cum_n"),
+    ).where(F.col("tag") != 1)
+    hi, lo = F.col("tag") == 2, F.col("tag") == 0
+    return (
+        cums.groupBy("okey")
+        .agg(
+            F.max("o_orderpriority").alias("o_orderpriority"),
+            F.round(F.max("p_out"), 2).alias("price"),
+            (
+                F.max(F.when(hi, F.col("cum_n")))
+                - F.max(F.when(lo, F.col("cum_n")))
+            )
+            .cast("bigint")
+            .alias("n_peers"),
+            (
+                (
+                    F.max(F.when(hi, F.col("cum_c")))
+                    - F.max(F.when(lo, F.col("cum_c")))
+                )
+                / 100.0
+            ).alias("band_total"),
+        )
+        .select(
+            F.col("okey").alias("o_orderkey"),
+            "o_orderpriority",
+            "price",
+            "n_peers",
+            "band_total",
+        )
+        .orderBy("o_orderpriority", "price", "o_orderkey")
+    )
+
+
 # --- E201: nth_value accessor -------------------------------------------------
 
 
