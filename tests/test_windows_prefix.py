@@ -57,3 +57,43 @@ def test_prefix_totals_plan_has_no_sliding_range_frame(spark, sf_dir):
     ).lower().replace(" ", "")
     assert "rangeframe" not in plan, "prefix form must not plan a RANGE frame"
     assert "unboundedpreceding" in plan, "running prefix window missing"
+
+
+# --- differential fuzz: prefix decomposition vs python brute force -----------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Prices drawn from a lattice of exact 2,500-steps so ±10,000 boundary
+# collisions (the tie cases the tag ordering handles) occur constantly,
+# plus duplicate prices within and across priorities.
+price = st.integers(min_value=0, max_value=20).map(lambda k: k * 2500.0)
+row = st.tuples(st.sampled_from(["A", "B"]), price)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row, min_size=1, max_size=14))
+def test_prefix_band_equals_bruteforce(spark, rows):
+    data = [(i, prio, p) for i, (prio, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = {
+        r["o_orderkey"]: (r["n_peers"], r["band_total"])
+        for r in band_prefix_totals(df).collect()
+    }
+    assert set(got) == {i for i, _, _ in data}
+    for okey, prio, p in data:
+        peers = [
+            (k, q)
+            for k, pr, q in data
+            if pr == prio and p - 10000.0 <= q <= p + 10000.0
+        ]
+        n = len(peers)
+        total = sum(int(q * 100 + 0.5) for _, q in peers) / 100.0
+        assert got[okey] == (n, total), (okey, p, prio, got[okey], (n, total))
