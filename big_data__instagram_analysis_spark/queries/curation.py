@@ -339,3 +339,130 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- E221: cross-document exact repeated SPANS (suffix-style dedup primitive) -
+
+
+@query(
+    "repeated_span_flags",
+    category="L2,E221",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS g
+  FROM toks
+), pos AS (
+  SELECT doc_id,
+         unnest(g) AS gram,
+         unnest(range(1, len(g) + 1)) AS seq
+  FROM grams
+), dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT p.doc_id, p.seq FROM pos p JOIN dup d ON p.gram = d.gram
+), islands AS (
+  SELECT doc_id, seq,
+         seq - row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS grp
+  FROM flagged
+), runs AS (
+  SELECT doc_id, grp, count(*) AS len FROM islands GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(len) AS BIGINT) AS n_dup_grams,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(len) + 2 AS BIGINT) AS max_span_tokens
+  FROM runs GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.g) AS BIGINT) AS n_grams,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.max_span_tokens, 0) AS max_span_tokens
+FROM grams g LEFT JOIN per_doc p ON g.doc_id = p.doc_id
+ORDER BY g.doc_id
+""",
+)
+def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact repeated SPANS — the distributed form of the
+    suffix-array exact-substring dedup primitive (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": cut exact
+    duplicated substrings above a length threshold, don't drop whole docs).
+    boilerplate_ngram_flags (E17) counts how MANY of a doc's 3-grams are
+    corpus-frequent; this finds how LONG the contiguous duplicated runs
+    are — a 50-token verbatim quote is one long span, not 48 independent
+    grams, and span length is what the cut-vs-keep policy thresholds on.
+
+    Plan: positional 3-gram rows via posexplode + lead over the doc-keyed
+    window (the codegen shingle_rows shape, positions kept); duplicated
+    grams = one groupBy(gram) with count_distinct(doc) ≥ 2 (map-side
+    partial, AQE splits hot-gram skew); a left-semi join flags each doc's
+    duplicated positions; maximal runs fall out of the gaps-and-islands
+    window (seq − row_number is constant within a consecutive run) and one
+    groupBy. Every stage is a key-partitioned shuffle of pre-aggregated or
+    per-position rows — no pair join, no O(docs²) term, so at 100 TB the
+    cost is the gram-frequency shuffle, exactly like boilerplate's. A run
+    of k duplicated 3-gram positions covers k+2 tokens (max_span_tokens).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", " ")).alias("p", "t"),
+    ).where(F.col("t") != "")
+    w = Window.partitionBy("doc").orderBy("p")
+    grams = (
+        toks.select(
+            "doc",
+            (F.row_number().over(w)).alias("seq"),
+            F.concat_ws(
+                " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("gram"),
+            F.lead("t", 2).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi").select("doc", "seq")
+    w2 = Window.partitionBy("doc").orderBy("seq")
+    runs = (
+        flagged.select(
+            "doc", (F.col("seq") - F.row_number().over(w2)).alias("grp")
+        )
+        .groupBy("doc", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    per_doc = runs.groupBy("doc").agg(
+        F.sum("len").cast("bigint").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("len") + 2).cast("bigint").alias("max_span_tokens"),
+    )
+    totals = grams.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return (
+        d.select(F.col("doc_id"))
+        .join(totals, F.col("doc_id") == totals["doc"], "left")
+        .drop(totals["doc"])
+        .join(per_doc, F.col("doc_id") == per_doc["doc"], "left")
+        .drop(per_doc["doc"])
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
