@@ -809,3 +809,100 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- E222: cross-split near-dup leakage audit ---------------------------------
+
+
+@query(
+    "split_leakage_audit",
+    category="L2,E222",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b,
+         round(shared * 1.0 / (x.n_sh + y.n_sh - shared), 6) AS jaccard
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
+), lab AS (
+  SELECT jaccard,
+         CASE WHEN (doc_a * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (doc_a * 2654435761) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS sa,
+         CASE WHEN (doc_b * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (doc_b * 2654435761) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS sb
+  FROM pairs
+)
+SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM lab
+WHERE sa <> sb
+GROUP BY split_lo, split_hi
+ORDER BY split_lo, split_hi
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup LEAKAGE audit: near-duplicate pairs that
+    straddle the train/val/test boundary. benchmark_decontamination (E48)
+    checks the corpus against an EXTERNAL benchmark; this closes the other
+    leak — when val/test are carved from the same crawl as train, a
+    near-duplicate of an eval document sitting in train inflates every
+    metric, and hash-stable split assignment (E47) alone cannot prevent it
+    because near-dups have DIFFERENT ids that hash to different splits.
+
+    Composition of declared primitives, which is the point — the audit a
+    pipeline runs is exactly this join of its own operators: exact 3-gram
+    Jaccard pairs (threshold 0.5, shared-shingle equi-join candidate
+    generation — no quadratic pair space) labeled with E47's Knuth-hash
+    split on each side, filtered to split-crossing pairs, aggregated per
+    (split, split) class. At 100 TB the only added cost over the pair scan
+    is a constant-width projection: split labels are arithmetic on ids
+    already present in the pair rows. Zero leaking pairs is the passing
+    state of a well-built corpus; the fixtures' planted near-dups land in
+    different splits often enough to make the audit's positive path
+    hash-checkable.
+    """
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+    def split_of(col: str):
+        b = (F.col(col) * 2654435761) % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    lab = pairs.select(
+        "jaccard", split_of("doc_a").alias("sa"), split_of("doc_b").alias("sb")
+    )
+    return (
+        lab.where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
