@@ -466,3 +466,171 @@ def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- E223: span-cut plan (the ACTION for E221's detection) --------------------
+
+
+@query(
+    "repeated_span_cut_plan",
+    category="L2,E223",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS g,
+         len(t) AS n_tokens
+  FROM toks
+), pos AS (
+  SELECT doc_id,
+         unnest(g) AS gram,
+         unnest(range(1, len(g) + 1)) AS seq
+  FROM grams
+), dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT p.doc_id, p.seq FROM pos p JOIN dup d ON p.gram = d.gram
+), islands AS (
+  SELECT doc_id, seq,
+         seq - row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS grp
+  FROM flagged
+), runs AS (
+  SELECT doc_id, min(seq) AS s, count(*) AS len FROM islands
+  GROUP BY doc_id, grp HAVING count(*) >= 8
+), iv AS (
+  SELECT doc_id, s AS st, s + len + 1 AS en FROM runs
+), marked AS (
+  SELECT doc_id, st, en,
+         CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= st
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+), numbered AS (
+  SELECT doc_id, st, en,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY st, en
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island_id
+  FROM marked
+), merged AS (
+  SELECT doc_id, island_id, max(en) - min(st) + 1 AS cut_len
+  FROM numbered GROUP BY doc_id, island_id
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_cut_spans,
+         CAST(sum(cut_len) AS BIGINT) AS n_cut_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(p.n_cut_spans, 0) AS n_cut_spans,
+       coalesce(p.n_cut_tokens, 0) AS n_cut_tokens,
+       CAST(g.n_tokens AS BIGINT) - coalesce(p.n_cut_tokens, 0)
+         AS n_tokens_after
+FROM grams g LEFT JOIN per_doc p ON g.doc_id = p.doc_id
+ORDER BY g.doc_id
+""",
+)
+def repeated_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT plan for E221's detection — Lee et al.'s policy is to excise
+    exact duplicated substrings above a length threshold, not drop whole
+    documents. Runs of ≥ 8 consecutive cross-doc-duplicated 3-gram
+    positions (≥ 10 duplicated tokens) become token intervals
+    [start, start+len+1]; intervals from nearby runs can OVERLAP (two runs
+    separated by one clean gram position share up to 2 covered tokens), so
+    per-doc interval MERGING — the running-cummax gaps-and-islands form:
+    an interval starts a new island iff its start exceeds the max end seen
+    so far — is required before token accounting double-counts the
+    overlap. Output per doc: tokens before, merged cut spans, tokens cut,
+    tokens after. All-integer arithmetic end to end — no rounding surface
+    at all.
+
+    Scale shape: everything through the run table is E221's plan (one
+    gram-frequency shuffle, no pair join); the interval merge adds one
+    doc-keyed window over rows-per-doc ≈ a handful of runs. The cummax
+    frame is ROWS UNBOUNDED PRECEDING — Spark's incremental frame, O(1)
+    per row (§41's distinction).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", " ")).alias("p", "t"),
+    ).where(F.col("t") != "")
+    w = Window.partitionBy("doc").orderBy("p")
+    grams = (
+        toks.select(
+            "doc",
+            F.row_number().over(w).alias("seq"),
+            F.concat_ws(
+                " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("gram"),
+            F.lead("t", 2).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi").select("doc", "seq")
+    w2 = Window.partitionBy("doc").orderBy("seq")
+    runs = (
+        flagged.select(
+            "doc", "seq", (F.col("seq") - F.row_number().over(w2)).alias("grp")
+        )
+        .groupBy("doc", "grp")
+        .agg(F.min("seq").alias("s"), F.count(F.lit(1)).alias("len"))
+        .where(F.col("len") >= 8)
+    )
+    iv = runs.select(
+        "doc", F.col("s").alias("st"), (F.col("s") + F.col("len") + 1).alias("en")
+    )
+    w3 = Window.partitionBy("doc").orderBy("st", "en")
+    marked = iv.select(
+        "doc",
+        "st",
+        "en",
+        F.when(
+            F.max("en").over(w3.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("st"),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    numbered = marked.select(
+        "doc",
+        "st",
+        "en",
+        F.sum("is_new")
+        .over(w3.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island_id"),
+    )
+    merged = numbered.groupBy("doc", "island_id").agg(
+        (F.max("en") - F.min("st") + 1).alias("cut_len")
+    )
+    per_doc = merged.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans"),
+        F.sum("cut_len").cast("bigint").alias("n_cut_tokens"),
+    )
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    totals = d.select("doc_id", n_tok.cast("bigint").alias("n_tokens"))
+    return (
+        totals.join(per_doc, totals["doc_id"] == per_doc["doc"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_cut_spans", F.lit(0)).cast("bigint").alias("n_cut_spans"),
+            F.coalesce("n_cut_tokens", F.lit(0)).cast("bigint").alias("n_cut_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("n_cut_tokens", F.lit(0))
+            ).cast("bigint").alias("n_tokens_after"),
+        )
+        .orderBy("doc_id")
+    )
