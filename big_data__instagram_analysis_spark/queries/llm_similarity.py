@@ -588,3 +588,287 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# E224: SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+#: SemDeDup cluster count: the coarse semantic buckets pairs are scored in.
+SEMDEDUP_K = 8
+#: Within-cluster cosine at/above which two documents are semantic dups.
+#: ≈2.8σ of the fixture's near-isotropic pairwise-cosine distribution
+#: (σ = 1/√64): 77/75/1073 same-cluster pairs at sf0.001/0.01/0.1 —
+#: non-vacuous at every SF (the round-3 zero-row-audit rule).
+SEMDEDUP_TAU = 0.35
+
+
+def _vec_double(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _l2(a):
+    return F.sqrt(_dot(a, a))
+
+
+_EMPTY_SEM_PAIRS = pd.DataFrame(
+    {"cluster_id": [], "vec_a": [], "vec_b": []}
+).astype({"cluster_id": np.int64, "vec_a": np.int64, "vec_b": np.int64})
+
+
+def _semdedup_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Score one (band, cluster, bi, bj) group: candidate pairs ≥ τ − margin.
+
+    Same chunked block-pair brute force as _block_pairs, but emits bare id
+    pairs under a SAFETY-MARGIN cut — the exact HOF recompute downstream
+    applies the true rounded threshold, so the hash is engine-exact while
+    the quadratic pair space stays in numpy (the cosine_threshold_pairs
+    two-phase pattern, per semantic cluster)."""
+    from ..operators.similarity import ROUND_MARGIN
+
+    if len(pdf) < 2:
+        return _EMPTY_SEM_PAIRS
+    cut = SEMDEDUP_TAU - ROUND_MARGIN
+    bi = int(pdf["bi"].iat[0])
+    bj = int(pdf["bj"].iat[0])
+    cluster = int(pdf["bucket"].iat[0])
+    diagonal = bi == bj
+    if diagonal:
+        left = right = pdf
+    else:
+        left = pdf[pdf["block"] == bi]
+        right = pdf[pdf["block"] == bj]
+        if left.empty or right.empty:
+            return _EMPTY_SEM_PAIRS
+    ids_l = left["vec_id"].to_numpy()
+    ids_r = right["vec_id"].to_numpy()
+    ml = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+    ml = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+    if diagonal:
+        mr = ml
+    else:
+        mr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        mr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for s in range(0, len(ml), LSH_SCORE_CHUNK):
+        sim = ml[s : s + LSH_SCORE_CHUNK] @ mr.T
+        il, ir = np.where(sim >= cut)
+        gl = il + s
+        if diagonal:
+            keep = gl < ir
+            ir, gl = ir[keep], gl[keep]
+        outs_a.append(ids_l[gl])
+        outs_b.append(ids_r[ir])
+    a_ids = np.concatenate(outs_a)
+    b_ids = np.concatenate(outs_b)
+    swap = a_ids > b_ids
+    a_ids, b_ids = np.where(swap, b_ids, a_ids), np.where(swap, a_ids, b_ids)
+    return pd.DataFrame(
+        {
+            "cluster_id": np.full(a_ids.size, cluster, dtype=np.int64),
+            "vec_a": a_ids.astype(np.int64),
+            "vec_b": b_ids.astype(np.int64),
+        }
+    )
+
+
+@query(
+    "semantic_dedup_clusters",
+    category="L2,L3,E224",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEMDEDUP_K}
+), sims AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, 1 + len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS sim_r
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim_r DESC, centroid_id) AS rn
+    FROM sims) WHERE rn = 1
+), pairs AS (
+  SELECT aa.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign bb ON aa.cluster_id = bb.cluster_id AND aa.vec_id < bb.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+  WHERE round(list_sum(list_transform(range(1, 1 + len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= {SEMDEDUP_TAU}
+)
+SELECT m.cluster_id,
+       CAST(count(DISTINCT m.vec_id) AS BIGINT) AS n_members,
+       CAST(coalesce(any_value(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(any_value(p.n_removed), 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(any_value(p.removed_id_sum), 0) AS BIGINT) AS removed_id_sum
+FROM assign m LEFT JOIN (
+  SELECT cluster_id, count(*) AS n_dup_pairs,
+         count(DISTINCT vec_b) AS n_removed,
+         sum(DISTINCT vec_b) AS removed_id_sum
+  FROM pairs GROUP BY cluster_id) p USING (cluster_id)
+GROUP BY m.cluster_id ORDER BY m.cluster_id
+""",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    then call same-cluster pairs above a cosine threshold semantic
+    duplicates and keep the lowest id of each pair — pair scoring never
+    leaves a cluster, so the quadratic pair space shrinks from |corpus|²
+    to Σ|cluster|².
+
+    Spark plan, stage by stage (the 100 TB shape):
+      1. Deterministic "codebook": the SEMDEDUP_K vectors with smallest
+         md5(vec_id) — ORDER BY hash LIMIT k plans as
+         TakeOrderedAndProject (per-task local top-k, k-row driver merge;
+         the bounded-collect idiom shared with IVF training). A real
+         deployment would drop in kmeans_lloyd centroids; a hash-selected
+         codebook keeps the clustering oracle-recomputable while
+         exercising the identical assignment/pair machinery.
+      2. Assignment, two-phase: an Arrow mapInPandas pass matmuls each
+         batch against the task-broadcast (k×64) centroid matrix and
+         emits every centroid within ROUND_MARGIN of the row max
+         (usually exactly one); a broadcast join to the k-row centroid
+         table recomputes those few sims with the bit-exact HOF fold and
+         row_number picks argmax on (round(sim,6) DESC, centroid_id) —
+         so the chosen cluster hashes identically to DuckDB's
+         all-centroids scan (margin argument: any centroid whose ROUNDED
+         sim ties the max has raw sim within 1e-6+ulp ≪ ROUND_MARGIN of
+         it, hence is a candidate).
+      3. Pair scoring per cluster through the SAME occupancy-bounded
+         block-pair machinery as ann_lsh_bucketed (_lsh_blocked with
+         bucket = cluster id): no task ever holds more than ~2·B rows
+         even if one semantic cluster swallows the corpus. Groups emit
+         candidate id pairs at τ − margin (numpy, chunked).
+      4. Exact confirm + accounting: candidates join back to their
+         vectors, the HOF fold applies the true rounded τ, and one
+         per-cluster aggregate emits members / dup pairs / removed
+         (distinct larger ids) / removed-id checksum.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import ROUND_MARGIN
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEMDEDUP_K)
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cent_ids, cmat))
+    cent_df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cent_rows],
+        "centroid_id long, cvec array<double>",
+    )
+
+    def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, cm = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cm.T
+            mx = sims.max(axis=1, keepdims=True)
+            ri, ci = np.nonzero(sims >= mx - ROUND_MARGIN)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy()[ri],
+                    "centroid_id": ids_c[ci],
+                    "embedding": b["embedding"].to_numpy()[ri],
+                }
+            )
+
+    cands = emb.select("vec_id", "embedding").mapInPandas(
+        cand, "vec_id long, centroid_id long, embedding array<float>"
+    )
+
+    ev = _vec_double("embedding")
+    cv = F.col("cvec")
+    sim_r = F.round(_dot(ev, cv) / (_l2(ev) * _l2(cv)), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_r"), "centroid_id")
+    assign = (
+        cands.join(F.broadcast(cent_df), "centroid_id")
+        .select("vec_id", "centroid_id", "embedding", sim_r.alias("sim_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id", F.col("centroid_id").alias("cluster_id"), "embedding"
+        )
+    )
+
+    buckets = assign.select(
+        F.lit(0).cast("int").alias("band"),
+        F.col("cluster_id").alias("bucket"),
+        "vec_id",
+        "embedding",
+    )
+    cand_pairs = (
+        _lsh_blocked(buckets)
+        .groupBy("band", "bucket", "bi", "bj")
+        .applyInPandas(
+            _semdedup_block_pairs, "cluster_id long, vec_a long, vec_b long"
+        )
+    )
+
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), _vec_double("embedding").alias("va")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), _vec_double("embedding").alias("vb")
+    )
+    pair_sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_l2(F.col("va")) * _l2(F.col("vb"))),
+        6,
+    )
+    confirmed = (
+        cand_pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(pair_sim >= F.lit(SEMDEDUP_TAU))
+        .select("cluster_id", "vec_a", "vec_b")
+    )
+
+    members = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    pstats = confirmed.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("vec_b").alias("removed"),
+        F.sum_distinct(F.col("vec_b")).alias("rid_sum"),
+    )
+    return (
+        members.join(pstats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("rid_sum", F.lit(0))
+            .cast("long")
+            .alias("removed_id_sum"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -190,3 +190,35 @@ def test_lsh_bucket_groups_are_bounded(spark, sf_dir):
                 a, b = (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
                 want.add((a, b, round(float(mu[x] @ mu[y]), 6)))
     assert pairs == want
+
+
+def test_semdedup_assignment_is_total_and_codebook_bounded(spark, sf_dir):
+    """E224 invariants: (a) the codebook selection plans as
+    TakeOrderedAndProject (k-row driver merge, no full-table collect),
+    (b) the two-phase margin assignment assigns EVERY vector exactly once
+    (the margin argument — no vector lost to candidate pruning, no vector
+    double-assigned after the exact-argmax row_number)."""
+    from pyspark.sql import functions as F
+
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.queries.llm_similarity import (
+        SEMDEDUP_K,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sel = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEMDEDUP_K)
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    out = get_specs()["semantic_dedup_clusters"].fn(spark, str(sf_dir)).toPandas()
+    assert len(out) == SEMDEDUP_K
+    assert out["n_members"].sum() == emb.count()
+    # removed ⊆ members, pairs ≥ removed (each removed id has ≥1 pair)
+    assert (out["n_removed"] <= out["n_members"]).all()
+    assert (out["n_dup_pairs"] >= out["n_removed"]).all()
