@@ -906,3 +906,222 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# E225: DSIR — hashed-n-gram importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: DSIR feature-space size: word bigrams hashed into this many buckets.
+#: Small enough that BOTH n-gram models are one broadcastable table.
+DSIR_BUCKETS = 512
+#: The "target distribution" stand-in: docs from this source play the role
+#: of the high-quality corpus (Wikipedia/books in the paper).
+DSIR_TARGET_SRC = "src0"
+
+
+@query(
+    "dsir_importance_topdocs",
+    category="L8,E225",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+  FROM toks
+), feat AS (
+  SELECT doc_id, (source = '{DSIR_TARGET_SRC}') AS is_target,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM big
+), cnt AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS d
+  FROM feat GROUP BY b
+), tot AS (
+  SELECT sum(c) AS ct, sum(d) AS dt FROM cnt
+), lam AS (
+  SELECT b, ln(c + 1.0) - ln(ct + {DSIR_BUCKETS}.0)
+            - ln(d + 1.0) + ln(dt + {DSIR_BUCKETS}.0) AS lam
+  FROM cnt CROSS JOIN tot
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(l.lam), 4) AS dsir_logweight
+FROM feat f JOIN lam l USING (b)
+WHERE NOT f.is_target
+GROUP BY f.doc_id
+ORDER BY dsir_logweight DESC, f.doc_id
+LIMIT 50
+""",
+)
+def dsir_importance_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by its estimated
+    log importance weight log p_target/q_raw under two hashed-bigram
+    unigram models, and admit the top-scoring docs — the selection step
+    that tilts a web-scale crawl toward a small high-quality target
+    corpus without training a classifier.
+
+    Model: word bigrams hashed (md5 prefix, the cross-engine idiom) into
+    DSIR_BUCKETS buckets; p and q are Laplace-smoothed bucket frequencies
+    over the target (source = src0) and raw (everything else) corpora;
+    a doc's weight is the sum of per-occurrence log-ratios.
+
+    Scale shape (the point at 100 TB): BOTH n-gram models together are a
+    single 512-row table — one conditional groupBy over the exploded
+    feature stream builds target and raw counts in the same pass
+    (map-side partial agg collapses each task to ≤512 rows before the
+    one tiny shuffle), the λ table broadcasts back, and scoring is a
+    map-side hash join + one doc-keyed aggregation. Two scans, one
+    512-key shuffle, one doc-keyed shuffle — no pair joins, nothing
+    driver-side but the two scalar totals.
+
+    Determinism: ln's inputs are integer-valued doubles identical on both
+    engines (counts + smoothing), Math.log/libm agree to ≤1 ulp, and the
+    4-dp round's guard band dwarfs the worst-case accumulated ulp noise —
+    the unigram_logprob_score contract (ranking ties broken by doc_id
+    before the LIMIT on both sides).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # Spark sequence(1, 0) is DESCENDING [1, 0], not empty — guard short
+    # docs before building the bigram index sequence (doc_fingerprint).
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+        ),
+    )
+    feat = d.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SRC).alias("is_target"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.encode("g", "UTF-8")), 1, 8), 16, 10)
+            .cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    cnt = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("d"),
+    )
+    tot = cnt.agg(F.sum("c"), F.sum("d")).collect()[0]
+    ct, dt = float(tot[0]), float(tot[1])
+    lam = cnt.select(
+        "b",
+        (
+            F.log(F.col("c") + 1.0)
+            - F.log(F.lit(ct + float(DSIR_BUCKETS)))
+            - F.log(F.col("d") + 1.0)
+            + F.log(F.lit(dt + float(DSIR_BUCKETS)))
+        ).alias("lam"),
+    )
+    return (
+        feat.where(~F.col("is_target"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lam"), 4).alias("dsir_logweight"),
+        )
+        .orderBy(F.desc("dsir_logweight"), "doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E227: perplexity-band pruning (drop BOTH quality-score tails per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_band_prune",
+    category="L8,E227",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(n) AS total FROM freq
+), scored AS (
+  SELECT t.doc_id, any_value(t.source) AS source,
+         round(-avg(ln(f.n / (SELECT total FROM tot))), 4) AS nlp
+  FROM toks t JOIN freq f ON t.term = f.term
+  GROUP BY t.doc_id
+), tiled AS (
+  SELECT source, nlp,
+         ntile(10) OVER (PARTITION BY source ORDER BY nlp, doc_id) AS dec
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE dec BETWEEN 2 AND 9) AS BIGINT) AS n_kept,
+       min(CASE WHEN dec BETWEEN 2 AND 9 THEN nlp END) AS kept_min_nlp,
+       max(CASE WHEN dec BETWEEN 2 AND 9 THEN nlp END) AS kept_max_nlp
+FROM tiled
+GROUP BY source
+ORDER BY source
+""",
+)
+def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band pruning: score each doc with the corpus-unigram
+    perplexity proxy (E73's model), then within EVERY source drop both
+    deciles — the bottom (too-predictable boilerplate) AND the top
+    (too-surprising noise/gibberish) — keeping the middle band. Curation
+    pipelines prune both tails because each tail fails differently; doing
+    it per source keeps one crawl's scale from setting another's cutoffs.
+
+    Plan: the two unigram_logprob_score passes (vocab groupBy →
+    broadcast join → doc groupBy), then ONE window per source for the
+    decile label and a per-source aggregate — the window's partition key
+    is the source, so the 100 TB sort is many independent per-source
+    sorts, not a global one. ntile over the total order (nlp, doc_id) is
+    engine-deterministic (the ntile_spend_quartiles contract); the band
+    is a label-range filter, no second scoring pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n")).collect()[0][0]
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.round(
+                -F.avg(F.log(F.col("n") / F.lit(float(total)))), 4
+            ).alias("nlp"),
+        )
+    )
+    dec = F.ntile(10).over(
+        Window.partitionBy("source").orderBy("nlp", "doc_id")
+    )
+    kept = F.col("dec").between(2, 9)
+    return (
+        scored.withColumn("dec", dec)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min(F.when(kept, F.col("nlp"))).alias("kept_min_nlp"),
+            F.max(F.when(kept, F.col("nlp"))).alias("kept_max_nlp"),
+        )
+        .orderBy("source")
+    )

@@ -317,3 +317,87 @@ def source_epoch_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- E226: temperature-scaled mixture allocation ------------------------------
+
+#: Token budget one "epoch" of the mixture draws (the unit the allocation
+#: divides); arbitrary but shared verbatim by query and oracle.
+MIXTURE_TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "temperature_mixture_allocation",
+    category="L8,E226",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+           AS w_milli
+  FROM toks
+), alloc AS (
+  SELECT source, n_docs, n_tokens, w_milli,
+         CAST(({MIXTURE_TOKEN_BUDGET} * w_milli)
+              // sum(w_milli) OVER () AS BIGINT) AS alloc_tokens
+  FROM w
+)
+SELECT source, n_docs, n_tokens, w_milli, alloc_tokens,
+       CAST((alloc_tokens * 1000) // n_tokens AS BIGINT) AS epochs_x1000
+FROM alloc ORDER BY source
+""",
+)
+def temperature_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the GPT-3 / PaLM / mT5
+    p_i ∝ n_i^α schedule at α = 0.5): upweight small sources relative to
+    proportional sampling so the mixture isn't swamped by the largest
+    crawl, then turn the weights into an integer token allocation of a
+    fixed budget and the implied per-source repetition factor (epochs —
+    the >1000 values are the small sources that get repeated, the
+    quantity epoch-aware curation watches).
+
+    Determinism (the retrieval-module contract — NO transcendentals):
+    α = 1/2 makes the power an IEEE sqrt, which is CORRECTLY ROUNDED by
+    spec on every engine — the one non-rational power with that
+    guarantee; fixed-point milli-weights (floor(·*1000 + .5)) are then
+    exact BIGINTs, and the allocation is integer arithmetic end to end
+    (// on both sides — Spark's `div`; CAST would round in DuckDB and
+    truncate in Spark). No cross-engine float sum ever happens: the only
+    sum crossing rows (Σ w_milli) is over integers.
+
+    Scale: one groupBy over the corpus (map-side partial agg → ~#sources
+    rows), a #sources-row window for the weight total, all-integer math
+    after the scan. The 100 TB cost is the single token-count scan.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    w = agg.withColumn(
+        "w_milli",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000 + 0.5).cast(
+            "long"
+        ),
+    ).withColumn(
+        "total_w", F.sum("w_milli").over(Window.partitionBy())
+    )
+    return (
+        w.withColumn(
+            "alloc_tokens",
+            F.expr(f"({MIXTURE_TOKEN_BUDGET} * w_milli) div total_w"),
+        )
+        .withColumn("epochs_x1000", F.expr("(alloc_tokens * 1000) div n_tokens"))
+        .select(
+            "source", "n_docs", "n_tokens", "w_milli", "alloc_tokens",
+            "epochs_x1000",
+        )
+        .orderBy("source")
+    )

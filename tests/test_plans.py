@@ -455,3 +455,47 @@ def test_kmeans_assign_is_arrow_map_not_hof_join(spark, sf_dir):
     release()
     assert "MapInPandas" in plan, plan[:600]
     assert "Join" not in plan, plan[:600]
+
+
+def test_dsir_broadcasts_model_and_takeordered_topk(spark, sf_dir):
+    """E225: the 512-row λ model must broadcast (scoring is a map-side
+    join over the 100 TB side) and the top-50 must plan as
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "dsir_importance_topdocs")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixture_is_integer_exact(spark, sf_dir):
+    """E226 invariants: allocations are nonnegative integers, never exceed
+    the budget in total, and small sources get >= the proportional share
+    (alpha=0.5 flattens toward uniform — the whole point of temperature
+    sampling)."""
+    from big_data__instagram_analysis_spark.queries.retrieval import (
+        MIXTURE_TOKEN_BUDGET,
+    )
+
+    out = (
+        get_specs()["temperature_mixture_allocation"].fn(spark, sf_dir).toPandas()
+    )
+    assert (out["alloc_tokens"] >= 0).all()
+    assert out["alloc_tokens"].sum() <= MIXTURE_TOKEN_BUDGET
+    tok_total = out["n_tokens"].sum()
+    smallest = out.loc[out["n_tokens"].idxmin()]
+    prop_share = MIXTURE_TOKEN_BUDGET * smallest["n_tokens"] / tok_total
+    assert smallest["alloc_tokens"] >= prop_share
+
+
+def test_perplexity_band_keeps_inner_deciles(spark, sf_dir):
+    """E227: per source, kept = docs in deciles 2..9; with n docs ntile
+    puts ceil/floor(n/10)-sized tiles, so kept is n - tile1 - tile10
+    exactly — recompute from n_docs and compare."""
+    out = get_specs()["perplexity_band_prune"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        n = int(r["n_docs"])
+        big = n % 10  # first (n mod 10) tiles get one extra row
+        t1 = n // 10 + (1 if big >= 1 else 0)
+        t10 = n // 10 + (1 if big >= 10 else 0)
+        assert int(r["n_kept"]) == n - t1 - t10, r
+        assert r["kept_min_nlp"] <= r["kept_max_nlp"]
