@@ -634,3 +634,295 @@ def repeated_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E228: tokenizer-vocabulary OOV rate per source
+# ---------------------------------------------------------------------------
+
+#: Vocabulary size for the OOV audit — small enough to exercise the
+#: out-of-vocabulary path on the fixture's 31-term corpus at every SF.
+OOV_VOCAB_SIZE = 20
+
+
+@query(
+    "oov_rate_by_source",
+    category="L8,E228",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS term
+  FROM documents
+), v AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT {OOV_VOCAB_SIZE}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE term NOT IN (SELECT term FROM v))
+            AS BIGINT) AS n_oov,
+       CAST((count(*) FILTER (WHERE term NOT IN (SELECT term FROM v)))
+            * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM tok GROUP BY source ORDER BY source
+""",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the vocabulary to the
+    corpus's OOV_VOCAB_SIZE most frequent terms (count-desc, term-asc —
+    a total order, so the vocab is deterministic) and report each
+    source's out-of-vocabulary token rate — the signal that decides
+    whether a tokenizer trained on one mixture fits a new source before
+    any model sees it (high OOV = fertility blow-up downstream).
+
+    Plan: one term-keyed groupBy for frequencies, top-V via
+    TakeOrderedAndProject (V-row driver merge), the V-row vocab
+    broadcasts into a map-side left join over the token stream, and one
+    source-keyed aggregate — at 100 TB the token stream is scanned once
+    and nothing but ~V rows and #sources rows ever crosses the network.
+    oov_ppm is integer `div` fixed point on both engines (no float).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(OOV_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_v").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("(n_oov * 1000000) div n_tokens"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E229: length-distribution drift — exact two-sample KS per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "length_drift_ks",
+    category="L8,E229",
+    oracle="""
+WITH cnt AS (
+  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY source, n_chars
+), totx AS (
+  SELECT n_chars, sum(c) AS ct FROM cnt GROUP BY n_chars
+), cumx AS (
+  SELECT n_chars, sum(ct) OVER (ORDER BY n_chars) AS cum_all,
+         sum(ct) OVER () AS n_total
+  FROM totx
+), grid AS (
+  SELECT s.source, x.n_chars, x.cum_all, x.n_total
+  FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN cumx x
+), g AS (
+  SELECT grid.source, grid.n_chars, grid.cum_all, grid.n_total,
+         coalesce(cnt.c, 0) AS c
+  FROM grid LEFT JOIN cnt USING (source, n_chars)
+), cum AS (
+  SELECT source, n_chars, cum_all, n_total,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+         sum(c) OVER (PARTITION BY source) AS n_s
+  FROM g
+), dd AS (
+  SELECT source, n_chars, n_s, n_total - n_s AS n_r,
+         abs(cum_s * (n_total - n_s) - (cum_all - cum_s) * n_s) AS d_raw
+  FROM cum
+), rk AS (
+  SELECT source, n_chars, n_s, n_r, d_raw,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY d_raw DESC, n_chars) AS rn
+  FROM dd
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+       CAST((d_raw * 1000000) // (n_s * n_r) AS BIGINT) AS ks_ppm,
+       CAST(n_chars AS BIGINT) AS ks_at_nchars
+FROM rk WHERE rn = 1 ORDER BY source
+""",
+)
+def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: the exact two-sample Kolmogorov-
+    Smirnov statistic of each source's doc-length distribution against
+    the REST of the corpus — the per-source alarm that a crawl snapshot
+    changed shape (truncation bug, boilerplate injection) before it
+    poisons a training mixture.
+
+    All-integer KS: with integer counts, sup_x |ECDF_s − ECDF_rest|
+    maximizes |cum_s·N_r − cum_rest·N_s| (common denominator N_s·N_r),
+    so the statistic is exact BIGINT arithmetic end to end — ppm fixed
+    point by integer `div`, argmax location tie-broken to the smallest
+    length; no float ever crosses engines. (int64 bounds the corpus at
+    ~3e6 docs per side for the ppm product; beyond that the same plan
+    runs in decimal(38,0)/HUGEINT.)
+
+    Plan: one (source, n_chars) groupBy collapses the corpus to the
+    support grid (≤ #sources × #distinct-lengths rows — lengths are
+    domain-bounded, so the grid is tiny however big the corpus); the
+    ECDFs are per-source window prefix sums over that grid; the global
+    CDF is computed ONCE on the #lengths-row table and cross-joined. The
+    100 TB cost is the single counting scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    totx = cnt.groupBy("n_chars").agg(F.sum("c").alias("ct"))
+    cumx = totx.select(
+        "n_chars",
+        F.sum("ct").over(Window.orderBy("n_chars")).alias("cum_all"),
+        F.sum("ct").over(Window.partitionBy()).alias("n_total"),
+    )
+    grid = (
+        cnt.select("source").distinct().crossJoin(F.broadcast(cumx))
+    )
+    g = grid.join(cnt, ["source", "n_chars"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    wcum = Window.partitionBy("source").orderBy("n_chars")
+    cum = g.select(
+        "source",
+        "n_chars",
+        "cum_all",
+        "n_total",
+        F.sum("c").over(wcum).alias("cum_s"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    dd = cum.select(
+        "source",
+        "n_chars",
+        "n_s",
+        (F.col("n_total") - F.col("n_s")).alias("n_r"),
+        F.abs(
+            F.col("cum_s") * (F.col("n_total") - F.col("n_s"))
+            - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+        ).alias("d_raw"),
+    )
+    rk = dd.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("d_raw"), "n_chars")
+        ),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            F.expr("(d_raw * 1000000) div (n_s * n_r)").alias("ks_ppm"),
+            F.col("n_chars").cast("long").alias("ks_at_nchars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E230: curation funnel — cumulative filter attrition accounting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_funnel",
+    category="L8,E230",
+    oracle="""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), f AS (
+  SELECT len(t) AS n, len(list_distinct(t)) AS nd,
+         list_max(list_transform(list_distinct(t),
+                  u -> len(list_filter(t, x -> x = u)))) AS modal
+  FROM t
+), flags AS (
+  SELECT n,
+         (n >= 20) AS s1,
+         (n >= 20 AND n <= 80) AS s2,
+         (n >= 20 AND n <= 80 AND nd * 20 >= n * 9) AS s3,
+         (n >= 20 AND n <= 80 AND nd * 20 >= n * 9 AND modal * 8 <= n) AS s4
+  FROM f
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0, CAST(sum(n) AS BIGINT) AS t0,
+         CAST(count(*) FILTER (WHERE s1) AS BIGINT) AS c1,
+         CAST(coalesce(sum(n) FILTER (WHERE s1), 0) AS BIGINT) AS t1,
+         CAST(count(*) FILTER (WHERE s2) AS BIGINT) AS c2,
+         CAST(coalesce(sum(n) FILTER (WHERE s2), 0) AS BIGINT) AS t2,
+         CAST(count(*) FILTER (WHERE s3) AS BIGINT) AS c3,
+         CAST(coalesce(sum(n) FILTER (WHERE s3), 0) AS BIGINT) AS t3,
+         CAST(count(*) FILTER (WHERE s4) AS BIGINT) AS c4,
+         CAST(coalesce(sum(n) FILTER (WHERE s4), 0) AS BIGINT) AS t4
+  FROM flags
+)
+SELECT 0 AS stage, 'raw' AS filter_name, c0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT 1, 'min_len_20', c1, t1 FROM agg
+UNION ALL SELECT 2, 'max_len_80', c2, t2 FROM agg
+UNION ALL SELECT 3, 'distinct_ratio_045', c3, t3 FROM agg
+UNION ALL SELECT 4, 'modal_share_0125', c4, t4 FROM agg
+ORDER BY stage
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-attrition funnel: the survivor count and surviving token
+    mass after each stage of a cumulative quality-filter chain (min
+    length → max length → lexical-diversity floor → modal-token-share
+    cap) — the table every curation report leads with, because a stage
+    that silently eats 40% of a source is a pipeline bug, not a quality
+    win (the Gopher/C4 papers publish exactly this accounting).
+
+    Every per-doc feature is ONE row-local higher-order expression (the
+    modal count is an O(n·distinct) fold over the token array — bounded
+    by doc length, no explode); ratio thresholds are integer
+    cross-multiplications (nd/n ≥ 0.45 ⇔ 20·nd ≥ 9·n), so no float
+    exists anywhere. The whole funnel is a single scan + one global
+    aggregate emitting one row, unpivoted to the 5-stage table with
+    stack() — at 100 TB it costs exactly one pass over the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    f = d.select(
+        F.size(t).alias("n"),
+        F.size(F.array_distinct(t)).alias("nd"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda u: F.size(F.filter(t, lambda x: x == u)),
+            )
+        ).alias("modal"),
+    )
+    s1 = F.col("n") >= 20
+    s2 = s1 & (F.col("n") <= 80)
+    s3 = s2 & (F.col("nd") * 20 >= F.col("n") * 9)
+    s4 = s3 & (F.col("modal") * 8 <= F.col("n"))
+    agg = f.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum("n").alias("t0"),
+        *[
+            x
+            for i, s in enumerate([s1, s2, s3, s4], start=1)
+            for x in (
+                F.sum(s.cast("long")).alias(f"c{i}"),
+                F.coalesce(
+                    F.sum(F.when(s, F.col("n"))), F.lit(0)
+                ).alias(f"t{i}"),
+            )
+        ],
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'raw', c0, t0, "
+        "1, 'min_len_20', c1, t1, "
+        "2, 'max_len_80', c2, t2, "
+        "3, 'distinct_ratio_045', c3, t3, "
+        "4, 'modal_share_0125', c4, t4) "
+        "AS (stage, filter_name, n_docs, n_tokens)"
+    ).orderBy("stage")

@@ -499,3 +499,42 @@ def test_perplexity_band_keeps_inner_deciles(spark, sf_dir):
         t10 = n // 10 + (1 if big >= 10 else 0)
         assert int(r["n_kept"]) == n - t1 - t10, r
         assert r["kept_min_nlp"] <= r["kept_max_nlp"]
+
+
+def test_oov_vocab_broadcasts_and_topv_is_takeordered(spark, sf_dir):
+    """E228: vocab = TakeOrderedAndProject (V-row merge), scoring joins
+    it broadcast — the token stream never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "oov_rate_by_source")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_funnel_is_single_pass(spark, sf_dir):
+    """E230: the funnel is one scan + one global aggregate — the only
+    exchanges are the 1-row partial-agg merge and the 5-row final sort;
+    no join, no window, nothing data-sized shuffles."""
+    plan = _plan(spark, sf_dir, "curation_funnel")
+    assert plan.count("Exchange") <= 2, plan[:1200]
+    assert "Join" not in plan
+    # Two-phase agg: partials collapse each task to one row pre-shuffle.
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_length_drift_ks_matches_scipy_shape(spark, sf_dir):
+    """E229 cross-check: ks_ppm equals the classical two-sample KS
+    statistic computed brute-force in python for one source."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    out = get_specs()["length_drift_ks"].fn(spark, sf_dir).toPandas()
+    src = out["source"].iloc[0]
+    a = np.sort(d.loc[d["source"] == src, "n_chars"].to_numpy())
+    b = np.sort(d.loc[d["source"] != src, "n_chars"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, grid, side="right")
+    cb = np.searchsorted(b, grid, side="right")
+    d_raw = np.abs(ca * len(b) - cb * len(a)).max()
+    want = (int(d_raw) * 1_000_000) // (len(a) * len(b))
+    got = int(out.loc[out["source"] == src, "ks_ppm"].iloc[0])
+    assert got == want
