@@ -404,3 +404,109 @@ def video_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vid.mapInPandas(
         motion, "vec_id long, frame int, motion_energy long"
     ).orderBy("vec_id", "frame")
+
+
+# --- E231: nearest-neighbor image resize over raw bytes ----------------------
+
+_RESIZE_FACTOR = 4
+_OUT_SIDE = _IMG_SIDE // _RESIZE_FACTOR
+
+
+@query(
+    "image_resize_nearest",
+    category="L7,E231",
+    oracle=f"""
+SELECT vec_id,
+       CAST({_OUT_SIDE} AS BIGINT) AS out_side,
+       CAST((vec_id * 31 + 0 * 7) % 256 AS BIGINT) AS px00,
+       CAST((vec_id * 31
+             + (({_OUT_SIDE} - 1) * {_RESIZE_FACTOR} * {_IMG_SIDE}
+                + ({_OUT_SIDE} - 1) * {_RESIZE_FACTOR}) * 7) % 256
+            AS BIGINT) AS px_last,
+       CAST(list_sum(list_transform(range(0, {_OUT_SIDE * _OUT_SIDE}), k ->
+         (vec_id * 31 + ((k // {_OUT_SIDE}) * {_RESIZE_FACTOR} * {_IMG_SIDE}
+                         + (k % {_OUT_SIDE}) * {_RESIZE_FACTOR}) * 7) % 256))
+            AS BIGINT) AS byte_sum,
+       CAST(list_sum(list_transform(range(0, {_OUT_SIDE * _OUT_SIDE}), k ->
+         (k + 1) * ((vec_id * 31
+                     + ((k // {_OUT_SIDE}) * {_RESIZE_FACTOR} * {_IMG_SIDE}
+                        + (k % {_OUT_SIDE}) * {_RESIZE_FACTOR}) * 7) % 256)))
+            AS BIGINT) AS poly_checksum
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+)
+def image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over RAW BYTES, byte-exact: the E196
+    synthetic 32×32 grayscale image is materialized as a binary column in
+    one Arrow stage and downsampled 4× (strided numpy view — output pixel
+    (r,c) = input (4r,4c), the nearest-neighbor kernel every thumbnail /
+    vision-preprocessing pipeline starts from) in a second; the resized
+    8×8 payload is summarized as corner pixels, byte sum, and a
+    position-weighted polynomial checksum so the hash pins every output
+    byte AND its position.
+
+    The oracle recomputes all four summaries from the closed-form pixel
+    formula without ever building an image — a match proves the binary
+    survived both Arrow crossings and the strided indexing is right.
+    Scale: two mapInPandas stages, zero shuffle; per-row emit is 5 ints,
+    so neither the full-res nor the resized payload ever shuffles. A real
+    deployment swaps the generator for a parquet binary column and the
+    summary projection for a binary write of `small`.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
+        "vec_id"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_PIX, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            imgs = [
+                ((int(v) * 31 + idx * 7) % 256).astype(np.uint8).tobytes()
+                for v in pdf.vec_id
+            ]
+            yield pd.DataFrame({"vec_id": pdf.vec_id, "img": imgs})
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = np.arange(1, _OUT_SIDE * _OUT_SIDE + 1, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v, b in zip(pdf.vec_id, pdf.img):
+                m = np.frombuffer(b, dtype=np.uint8).reshape(
+                    _IMG_SIDE, _IMG_SIDE
+                )
+                small = m[::_RESIZE_FACTOR, ::_RESIZE_FACTOR].astype(np.int64)
+                flat = small.ravel()
+                rows.append(
+                    (
+                        int(v),
+                        _OUT_SIDE,
+                        int(small[0, 0]),
+                        int(small[-1, -1]),
+                        int(flat.sum()),
+                        int((flat * w).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "out_side", "px00", "px_last", "byte_sum",
+                    "poly_checksum",
+                ],
+            )
+
+    with_img = emb.mapInPandas(gen, "vec_id long, img binary")
+    return with_img.mapInPandas(
+        resize,
+        "vec_id long, out_side long, px00 long, px_last long, "
+        "byte_sum long, poly_checksum long",
+    ).orderBy("vec_id")

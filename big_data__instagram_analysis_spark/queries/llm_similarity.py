@@ -872,3 +872,146 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E232: Matryoshka truncation audit — prefix-dim ANN fidelity
+# ---------------------------------------------------------------------------
+
+#: Prefix dimensions audited against the full vector (the MRL ladder).
+MRL_DIMS = (16, 32, 64)
+
+
+@query(
+    "matryoshka_truncation_audit",
+    category="L3,E232",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), p AS (
+  SELECT query_id, neighbor_id, qe, ce
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), s AS (
+  SELECT query_id, neighbor_id, d.dim AS dim,
+         round(list_sum(list_transform(range(1, 1 + d.dim),
+                 i -> qe[i] * ce[i]))
+           / (sqrt(list_sum(list_transform(list_slice(qe, 1, d.dim),
+                 x -> x * x)))
+            * sqrt(list_sum(list_transform(list_slice(ce, 1, d.dim),
+                 x -> x * x)))), 6) AS sim
+  FROM p CROSS JOIN (SELECT unnest([16, 32, 64]) AS dim) d
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                               ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+), full1 AS (
+  SELECT query_id, neighbor_id AS full_top1 FROM r WHERE dim = 64 AND rk = 1
+), full5 AS (
+  SELECT query_id, neighbor_id AS n5 FROM r WHERE dim = 64 AND rk <= 5
+), trunc AS (
+  SELECT dim, query_id, neighbor_id FROM r WHERE dim <> 64 AND rk = 1
+)
+SELECT CAST(t.dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN t.neighbor_id = f.full_top1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top1_agree,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM full5 x
+                                  WHERE x.query_id = t.query_id
+                                    AND x.n5 = t.neighbor_id)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_in_full_top5
+FROM trunc t JOIN full1 f USING (query_id)
+GROUP BY t.dim ORDER BY t.dim
+""",
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation fidelity: retrieval pipelines serve
+    PREFIX-truncated embeddings (16 of 64 dims = 4× memory/bandwidth) and
+    need to know what that costs BEFORE flipping the switch — for each
+    truncated dim, how often the truncated top-1 neighbor equals the
+    full-dim top-1, and how often it at least stays in the full top-5
+    (the rerank-recoverable case).
+
+    Exact brute force at every dim — all three sims come out of ONE pair
+    scan (three prefix dots per pair, row-local HOFs), unpivoted by
+    stack() and ranked by one (dim, query) window; agreement is two tiny
+    id-equality joins. At 100 TB the pair scan is the same
+    broadcast-queries-over-corpus sweep as ann_topk_queries (queries
+    side broadcasts, corpus streams — no pair materialization), and the
+    per-dim audit output is 2 rows. Determinism: the ann contract —
+    round(·,6) sims, (sim DESC, neighbor_id) total order.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), _vec_double("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _vec_double("embedding").alias("ce"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def simd(d: int) -> F.Column:
+        qs, cs = F.slice("qe", 1, d), F.slice("ce", 1, d)
+        return F.round(_dot(qs, cs) / (_l2(qs) * _l2(cs)), 6)
+
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[simd(d).alias(f"s{d}") for d in MRL_DIMS],
+    )
+    long = sims.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "stack(3, 16, s16, 32, s32, 64, s64) AS (dim, sim)",
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    ranked = long.withColumn("rk", F.row_number().over(w))
+    full1 = (
+        ranked.where((F.col("dim") == 64) & (F.col("rk") == 1))
+        .select("query_id", F.col("neighbor_id").alias("full_top1"))
+    )
+    full5 = (
+        ranked.where((F.col("dim") == 64) & (F.col("rk") <= 5))
+        .select("query_id", F.col("neighbor_id").alias("n5"))
+    )
+    trunc = ranked.where((F.col("dim") != 64) & (F.col("rk") == 1)).select(
+        "dim", "query_id", "neighbor_id"
+    )
+    in5 = (
+        trunc.join(full5, "query_id")
+        .where(F.col("neighbor_id") == F.col("n5"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_in5"))
+    )
+    return (
+        trunc.join(full1, "query_id")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("neighbor_id") == F.col("full_top1")).cast("long")
+            ).alias("n_top1_agree"),
+        )
+        .join(in5, "dim", "left")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_queries",
+            "n_top1_agree",
+            F.coalesce("n_in5", F.lit(0))
+            .cast("long")
+            .alias("n_top1_in_full_top5"),
+        )
+        .orderBy("dim")
+    )

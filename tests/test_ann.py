@@ -222,3 +222,21 @@ def test_semdedup_assignment_is_total_and_codebook_bounded(spark, sf_dir):
     # removed ⊆ members, pairs ≥ removed (each removed id has ≥1 pair)
     assert (out["n_removed"] <= out["n_members"]).all()
     assert (out["n_dup_pairs"] >= out["n_removed"]).all()
+
+
+def test_matryoshka_audit_invariants(spark, sf_dir):
+    """E232: agreement is monotone in rank (top1-agree ⊆ in-top5) and in
+    dimension (more prefix dims can only track the full ranking better
+    on the fixture), and counts are bounded by the query count."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    out = (
+        get_specs()["matryoshka_truncation_audit"]
+        .fn(spark, str(sf_dir))
+        .toPandas()
+        .set_index("dim")
+    )
+    for d in (16, 32):
+        r = out.loc[d]
+        assert 0 <= r["n_top1_agree"] <= r["n_top1_in_full_top5"] <= r["n_queries"]
+    assert out.loc[32, "n_top1_agree"] >= out.loc[16, "n_top1_agree"]
