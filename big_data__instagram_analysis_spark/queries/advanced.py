@@ -2097,3 +2097,126 @@ def pandas_api_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E233: Poisson-bootstrap confidence interval (deterministic, hash-seeded)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicate count; CI ranks below assume this value.
+BOOT_REPS = 200
+#: Hash modulus (prime) and Poisson(1) CDF thresholds scaled by it:
+#: P(X<=k) for k=0..5 ≈ .36788 .73576 .91970 .98101 .99634 .99941.
+BOOT_MOD = 9973
+_BOOT_CUTS = (3669, 7338, 9172, 9784, 9937, 9967)
+
+_BOOT_W_SQL = (
+    f"CASE WHEN h < {_BOOT_CUTS[0]} THEN 0 WHEN h < {_BOOT_CUTS[1]} THEN 1 "
+    f"WHEN h < {_BOOT_CUTS[2]} THEN 2 WHEN h < {_BOOT_CUTS[3]} THEN 3 "
+    f"WHEN h < {_BOOT_CUTS[4]} THEN 4 WHEN h < {_BOOT_CUTS[5]} THEN 5 "
+    f"ELSE 6 END"
+)
+
+
+@query(
+    "poisson_bootstrap_ci",
+    category="A4,E233",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT b.o_orderkey, b.cents, r.r,
+         ((b.o_orderkey % 1000003) * 211 + r.r) * 2654435761 % {BOOT_MOD} AS h
+  FROM base b CROSS JOIN (SELECT unnest(range({BOOT_REPS})) AS r) r
+), wtd AS (
+  SELECT r, cents, {_BOOT_W_SQL} AS w FROM rep
+), means AS (
+  SELECT r, CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+  FROM wtd GROUP BY r
+), ranked AS (
+  SELECT mean_cents,
+         row_number() OVER (ORDER BY mean_cents, r) AS rk
+  FROM means
+), point AS (
+  SELECT CAST(sum(cents) // count(*) AS BIGINT) AS point_mean_cents
+  FROM base
+)
+SELECT CAST({BOOT_REPS} AS BIGINT) AS n_reps,
+       p.point_mean_cents,
+       lo.mean_cents AS ci_lo_cents,
+       hi.mean_cents AS ci_hi_cents
+FROM point p
+CROSS JOIN (SELECT mean_cents FROM ranked WHERE rk = 5) lo
+CROSS JOIN (SELECT mean_cents FROM ranked WHERE rk = 196) hi
+""",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap CI for mean(o_totalprice), the Poisson way:
+    instead of resampling n-of-n (which needs coordinated randomness no
+    engine can shard), each row independently enters replicate r with
+    multiplicity ~ Poisson(1) — the classic scale-out bootstrap — and the
+    multiplicity is DERIVED, not drawn: a Knuth multiplicative hash of
+    (orderkey, r) thresholded through the scaled Poisson(1) CDF. Any
+    engine, any partitioning, any rerun resamples identically, which is
+    what makes a resampling method hash-checkable at all.
+
+    The 95% CI is the pair of exact order statistics (5th, 196th of 200
+    sorted replicate means — ties broken by replicate id); everything is
+    integer cents end to end (means by `div`), so no float crosses
+    engines anywhere.
+
+    Scale shape: explode(sequence(0,199)) fans each row out at the
+    executor; the per-replicate partial aggregate collapses every task
+    to ≤200 rows BEFORE the shuffle, so the network carries 200·tasks
+    tiny rows however big the fact table is, and the order-statistics
+    sort runs on 200 rows. (The hash pre-mods the key at 1e6 so the
+    64-bit product never overflows at any SF.)
+    """
+    from ..numeric import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("cents")
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+    ).withColumn(
+        "h",
+        ((F.col("o_orderkey") % 1000003) * 211 + F.col("r"))
+        * 2654435761
+        % BOOT_MOD,
+    )
+    wtd = rep.withColumn("w", F.expr(_BOOT_W_SQL))
+    means = (
+        wtd.groupBy("r")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("sumc"),
+             F.sum("w").alias("nw"))
+        .select("r", F.expr("CAST(sumc div nw AS BIGINT)").alias("mean_cents"))
+    )
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_cents", "r"))
+    )
+    point = o.agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "point_mean_cents"
+        )
+    )
+    lo = ranked.where(F.col("rk") == 5).select(
+        F.col("mean_cents").alias("ci_lo_cents")
+    )
+    hi = ranked.where(F.col("rk") == 196).select(
+        F.col("mean_cents").alias("ci_hi_cents")
+    )
+    return (
+        point.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            F.lit(BOOT_REPS).cast("long").alias("n_reps"),
+            "point_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

@@ -378,3 +378,20 @@ def test_prefix_sum_binning_law_fuzz(spark, sizes, target):
         assert b == cum // target, (fi, b, cum, target)
         cum += n
         prev_bin = b
+
+
+def test_poisson_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """E233: the 95% bootstrap CI must bracket the full-sample mean and be
+    non-degenerate (lo < hi), and replicate means must concentrate near
+    the point estimate (width well under 50% of the mean at any SF)."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    r = (
+        get_specs()["poisson_bootstrap_ci"]
+        .fn(spark, str(sf_dir))
+        .toPandas()
+        .iloc[0]
+    )
+    assert r.ci_lo_cents < r.ci_hi_cents
+    assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents
+    assert (r.ci_hi_cents - r.ci_lo_cents) < 0.5 * r.point_mean_cents
