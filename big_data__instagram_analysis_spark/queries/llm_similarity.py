@@ -1015,3 +1015,221 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- E236: hard-negative mining for contrastive/embedding training ------------
+
+
+@query(
+    "hard_negative_mining",
+    category="L3,E236",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+), c AS (
+  SELECT vec_id AS cand_id, label AS clabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT query_id, qlabel, cand_id,
+         CASE WHEN clabel = qlabel THEN 'pos' ELSE 'neg' END AS cls,
+         round(list_sum(list_transform(range(1, 1 + len(qe)), i -> qe[i] * ce[i]))
+               / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS sim
+  FROM q, c WHERE query_id != cand_id
+), r AS (
+  SELECT query_id, qlabel, cls, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id, cls
+                            ORDER BY sim DESC, cand_id) AS rn
+  FROM s
+)
+SELECT query_id, CAST(qlabel AS INTEGER) AS label,
+       max(CASE WHEN cls = 'pos' THEN cand_id END) AS pos_id,
+       max(CASE WHEN cls = 'pos' THEN sim END) AS pos_sim,
+       max(CASE WHEN cls = 'neg' THEN cand_id END) AS neg_id,
+       max(CASE WHEN cls = 'neg' THEN sim END) AS neg_sim,
+       max(CASE WHEN cls = 'pos' THEN sim END)
+         - max(CASE WHEN cls = 'neg' THEN sim END) AS margin
+FROM r WHERE rn = 1
+GROUP BY query_id, qlabel
+ORDER BY query_id
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per anchor
+    (the deterministic query subset), the nearest SAME-label neighbor (the
+    hardest positive) and the nearest DIFFERENT-label neighbor (the hard
+    negative), plus the training margin pos_sim - neg_sim. This is the
+    batch-mining pass a contrastive fine-tune (SimCSE/SBERT-style) runs
+    over its corpus each epoch.
+
+    Scale shape: identical to ann_topk_queries — the ANCHOR matrix (the
+    bounded query batch) broadcasts with its labels; the corpus streams
+    through Arrow-batched mapInPandas doing one numpy matmul per chunk and
+    keeping, per (anchor, class), only candidates within ROUND_MARGIN of
+    the chunk max — shuffle volume is O(|anchors|) rows per task no matter
+    the corpus size. Global argmax + the deterministic (round(sim,6) DESC,
+    cand_id) tiebreak happen in Spark expressions so rounding semantics
+    match the oracle exactly; the oracle recomputes through a full lateral
+    pair scan.
+    """
+    from ..operators.similarity import ROUND_MARGIN, _to_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    apdf = anchors.select("vec_id", "label", "embedding").toPandas()
+    a_ids = apdf["vec_id"].to_numpy().astype(np.int64)
+    a_labels = apdf["label"].to_numpy().astype(np.int64)
+    a_mat = _to_matrix(apdf, "embedding")
+    a_norm = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((a_ids, a_labels, a_norm))
+
+    out_schema = "query_id long, cls string, cand_id long, sim double"
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_a, labels_a, na = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_labels = pdf["label"].to_numpy().astype(np.int64)
+            c_mat = _to_matrix(pdf, "embedding")
+            nc = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = na @ nc.T  # (|anchors|, chunk)
+            not_self = ids_a[:, None] != c_ids[None, :]
+            same = (labels_a[:, None] == c_labels[None, :]) & not_self
+            out = {"query_id": [], "cls": [], "cand_id": [], "sim": []}
+            for qi in range(len(ids_a)):
+                for cls, mask_row in (("pos", same[qi]), ("neg", ~same[qi] & not_self[qi])):
+                    valid = np.nonzero(mask_row)[0]
+                    if valid.size == 0:
+                        continue
+                    vals = sims[qi][valid]
+                    take = valid[vals >= vals.max() - ROUND_MARGIN]
+                    out["query_id"].extend([ids_a[qi]] * take.size)
+                    out["cls"].extend([cls] * take.size)
+                    out["cand_id"].extend(c_ids[take])
+                    out["sim"].extend(sims[qi][take])
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    from pyspark.sql.window import Window
+
+    cand = emb.select("vec_id", "label", "embedding").mapInPandas(chunk, out_schema)
+    w = Window.partitionBy("query_id", "cls").orderBy(F.desc("sim_r"), F.asc("cand_id"))
+    best = (
+        cand.select("query_id", "cls", "cand_id", F.round("sim", 6).alias("sim_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    labels = anchors.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("int").alias("label")
+    )
+    pos = F.when(F.col("cls") == "pos", F.col("cand_id"))
+    possim = F.when(F.col("cls") == "pos", F.col("sim_r"))
+    neg = F.when(F.col("cls") == "neg", F.col("cand_id"))
+    negsim = F.when(F.col("cls") == "neg", F.col("sim_r"))
+    return (
+        best.groupBy("query_id")
+        .agg(
+            F.max(pos).alias("pos_id"),
+            F.max(possim).alias("pos_sim"),
+            F.max(neg).alias("neg_id"),
+            F.max(negsim).alias("neg_sim"),
+        )
+        .join(F.broadcast(labels), "query_id")
+        .select(
+            "query_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim",
+            (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- E237: int8 scalar-quantization audit --------------------------------------
+
+
+@query(
+    "sq8_quantization_audit",
+    category="L3,E237",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, e, list_min(e) AS mn, list_max(e) AS mx FROM e
+), q AS (
+  SELECT vec_id, label, e, mn, mx,
+         list_transform(e, x -> CASE WHEN mx = mn THEN 0
+             ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) END) AS q
+  FROM s
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label,
+       CAST(list_sum(list_transform(range(1, 1 + len(q)), i -> q[i] * i)) AS BIGINT) AS q_checksum,
+       CAST(len(list_filter(q, x -> x = 0 OR x = 255)) AS BIGINT) AS n_sat,
+       CAST(list_sum(list_transform(range(1, 1 + len(e)), i ->
+            CAST(floor((e[i] - (mn + q[i] * (mx - mn) / 255.0))
+                       * (e[i] - (mn + q[i] * (mx - mn) / 255.0))
+                       * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_q12,
+       mn, mx
+FROM q
+ORDER BY vec_id
+""",
+)
+def sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (FAISS SQ8-style) with an EXACT per-vector
+    reconstruction-error audit: per vector, min-max affine quantization to
+    0..255 codes, then the squared reconstruction error of every element in
+    q12 fixed point (floor(err·1e12 + 0.5) per ELEMENT, integer-summed — so
+    the emit is order-proof and hash-portable, unlike a float sum whose
+    accumulation order varies with partial-agg merge order). n_sat counts
+    saturated codes (0/255); q_checksum position-weights the codes so the
+    hash pins every code byte and its position.
+
+    Scale shape: pure per-row HOF arithmetic — zero shuffles, zero UDFs,
+    scan-shaped at any corpus size; the only exchange is the final ORDER BY.
+    Element-wise IEEE double arithmetic with an identical expression tree on
+    both engines is bit-deterministic (the flaky class is order-dependent
+    SUMS and libm transcendentals, both avoided: squaring is a multiply,
+    never pow()). The audit answers the real serving question — how much
+    recall budget does 4x compression cost — and feeds the same fixed-point
+    comparison pattern as E232's Matryoshka audit.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    s = e.select(
+        "vec_id", "label", "e",
+        F.array_min("e").alias("mn"), F.array_max("e").alias("mx"),
+    )
+    q = s.withColumn(
+        "q",
+        F.expr(
+            """transform(e, x -> CASE WHEN mx = mn THEN 0L
+                 ELSE CAST(floor((x - mn) * 255.0D / (mx - mn) + 0.5D) AS BIGINT) END)"""
+        ),
+    )
+    return (
+        q.select(
+            "vec_id", "label",
+            F.expr(
+                "aggregate(transform(q, (x, i) -> x * (i + 1)), 0L, (a, b) -> a + b)"
+            ).alias("q_checksum"),
+            F.expr("size(filter(q, x -> x = 0 OR x = 255))")
+            .cast("long")
+            .alias("n_sat"),
+            F.expr(
+                """aggregate(zip_with(e, q, (x, qi) ->
+                     CAST(floor((x - (mn + qi * (mx - mn) / 255.0D))
+                                * (x - (mn + qi * (mx - mn) / 255.0D))
+                                * 1000000000000.0D + 0.5D) AS BIGINT)),
+                   0L, (a, b) -> a + b)"""
+            ).alias("err_q12"),
+            "mn", "mx",
+        )
+        .orderBy("vec_id")
+    )

@@ -1125,3 +1125,299 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _winnow_horner_sql(k: int, b: int, m: int) -> str:
+    """Unrolled Horner rolling-hash expression for the DuckDB oracle (kept
+    deliberately different in form from the Spark HOF fold so the two
+    engines verify the same spec through independent computations)."""
+    e = "CAST(ascii(substring(text, p, 1)) AS BIGINT)"
+    for j in range(1, k):
+        e = f"(({e}) * {b} + ascii(substring(text, p + {j}, 1))) % {m}"
+    return e
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared winnowing core: per document, the array of selected fingerprint
+    hashes (`fph`, one entry per selected (hash, position) pair). Entirely
+    in-row HOFs, so the frame is scan-shaped: zero shuffles, zero explodes.
+
+    Performance shape (interpreted-HOF arithmetic, so pass count matters —
+    the naive per-position Horner fold was O(n·k) lambda steps on top of
+    O(p)-seek substring() calls, ~30 s for the sf0.1 corpus; this form
+    measured ~1 s):
+
+      1. split the text into chars ONCE (kills the quadratic substring
+         seeks), one `transform` to ascii codes;
+      2. gram hashes by PAIRWISE DOUBLING — zip_with of shifted slices
+         combining 1-char → 2-char → 4-char → 8-char Horner values,
+         log2(k)=3 linear passes. ascii() yields full codepoints (up to
+         0x10FFFF for non-ASCII text, same as the oracle's ascii), so the
+         exact 4-char value maxes at ~1.9e13 (fits), and the 8-char
+         combine reduces mod m first: ((t2a % m)·(257^4 % m) + t2b) % m
+         ≤ (m−1)·67503107 + 1.9e13 < 2^63. Modular congruence makes this
+         identical to the spec's per-step-mod Horner — no oracle change;
+      3. packed (hash, inverted-pos) keys so least() is the
+         rightmost-tiebroken argmin, then the w=4 window minimum by the
+         same doubling (two zip_with passes of running pairwise least).
+    """
+    k, w, b, m = _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M
+    assert k == 8 and w == 4, "doubling ladder below is laid out for k=8, w=4"
+    b2, b4modm = b * b, (b ** 4) % m
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= k)
+    coded = d.select(
+        "doc_id",
+        (F.length("text") - (k - 1)).alias("n_grams"),
+        F.expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))").alias("cs"),
+    )
+    # 1→2→4→8-char Horner values via shifted-slice zip_with (doubling).
+    hashed = (
+        coded.withColumn(
+            "t1",
+            F.expr(
+                f"""zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
+                             (x, y) -> x * {b} + y)"""
+            ),
+        )
+        .withColumn(
+            "t2",
+            F.expr(
+                f"""zip_with(slice(t1, 1, size(t1) - 2), slice(t1, 3, size(t1) - 2),
+                             (x, y) -> x * {b2} + y)"""
+            ),
+        )
+        .withColumn(
+            "keys",
+            F.expr(
+                f"""transform(
+                      zip_with(slice(t2, 1, size(t2) - 4), slice(t2, 5, size(t2) - 4),
+                               (x, y) -> ((x % {m}) * {b4modm} + y) % {m}),
+                      (v, i) -> shiftleft(v, 31) + ({m} - (i + 1)))"""
+            ),
+        )
+    )
+    # Window minima over w=4 consecutive keys, again by doubling: pairwise
+    # least (m1, safe at any length), then least of m1 pairs two apart —
+    # the latter stays inside the lazy CASE branch because its slice length
+    # goes negative for docs with fewer than w grams, which instead fall
+    # back to one whole-doc window (the standard winnowing short-document
+    # contract; never hit on this corpus, whose min doc length is 48 chars).
+    return hashed.withColumn(
+        "m1",
+        F.expr(
+            """zip_with(slice(keys, 1, size(keys) - 1), slice(keys, 2, size(keys) - 1),
+                        (x, y) -> least(x, y))"""
+        ),
+    ).select(
+        "doc_id", "n_grams",
+        F.expr(
+            f"""transform(
+                  CASE WHEN n_grams < {w}
+                       THEN array(array_min(keys))
+                       ELSE array_distinct(
+                              zip_with(slice(m1, 1, size(keys) - 3),
+                                       slice(m1, 3, size(keys) - 3),
+                                       (x, y) -> least(x, y)))
+                  END,
+                  sk -> shiftright(sk, 31))"""
+        ).alias("fph"),
+    )
+
+
+#: Winnowing parameters: k-gram length, window size, polynomial base, and a
+#: Mersenne-prime modulus that keeps every Horner step inside 2^63
+#: (h < 2^31, so h*257 + codepoint < 2^40) and every packed (hash, pos)
+#: selection key inside 2^62 (hash << 31 | inverted position).
+_WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M = 8, 4, 257, 2147483647
+
+
+#: Shared oracle CTE chain ending in `sel(doc_id, n_grams, wmin)` — the
+#: DISTINCT selected packed keys per document, recomputed through a plan
+#: genuinely different from the Spark HOF form (lateral unnest + windowed
+#: min) so the two engines verify the winnowing spec independently.
+_WINNOW_SEL_CTE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) - {_WINNOW_K - 1} AS n_grams
+  FROM documents WHERE length(text) >= {_WINNOW_K}
+), g AS (
+  SELECT doc_id, n_grams, p, ({_winnow_horner_sql(_WINNOW_K, _WINNOW_B, _WINNOW_M)}) AS h
+  FROM d, unnest(generate_series(1, n_grams)) AS t(p)
+), k AS (
+  SELECT doc_id, n_grams, p, (h << 31) + ({_WINNOW_M} - p) AS key
+  FROM g
+), w AS (
+  SELECT doc_id, n_grams, p,
+         min(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wcnt
+  FROM k
+), sel AS (
+  SELECT DISTINCT doc_id, n_grams, wmin
+  FROM w WHERE wcnt = {_WINNOW_W} OR (p = 1 AND n_grams < {_WINNOW_W})
+)"""
+
+
+@query(
+    "winnow_fingerprints",
+    category="L4,E234",
+    oracle=f"""{_WINNOW_SEL_CTE}
+SELECT doc_id, n_grams,
+       count(*) AS n_fps,
+       CAST(sum(wmin >> 31) AS BIGINT) AS fp_checksum,
+       min(wmin >> 31) AS fp_min,
+       max(wmin >> 31) AS fp_max,
+       CAST(count(*) * 1000000 // n_grams AS BIGINT) AS density_ppm
+FROM sel
+GROUP BY doc_id, n_grams
+ORDER BY doc_id
+""",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): Karp-Rabin rolling hash over every k=8 character gram,
+    then each w=4 window of consecutive gram hashes selects its minimum with
+    the RIGHTMOST-position tiebreak, guaranteeing any shared substring of
+    length >= k + w - 1 = 11 chars yields a shared fingerprint. Complements
+    `doc_fingerprint` (single global-min digest): this is the position-aware
+    multi-fingerprint form real plagiarism/near-dup index builds use.
+
+    Spark plan: the ENTIRE selection runs in-row through nested higher-order
+    functions — one `transform` folds the Horner hash per position (the
+    rolling-hash recurrence as an `aggregate` lambda), a second packs
+    (hash, inverted-pos) into one BIGINT key so a plain `array_min` per
+    window IS the tie-broken argmin, and `array_distinct` dedups windows
+    agreeing on their choice. No explode, no shuffle: per-doc fingerprint
+    stats come straight off the scan projection, so at 100 TB this is an
+    embarrassingly parallel map over documents — the only exchange in the
+    plan is the final tiny per-doc ORDER BY. O(n·w) work per doc with w=4
+    beats any explode + doc-partitioned window sort (which would shuffle
+    every gram row once and still serialize each doc into one task). The
+    oracle recomputes the same spec through a genuinely different plan
+    (lateral unnest + windowed min over the packed key) for independent
+    verification; a python brute force pins both in tests/test_winnow.py.
+    """
+    selected = _winnow_selected(spark, sf_dir)
+    return (
+        selected.select(
+            "doc_id", "n_grams",
+            F.size("fph").cast("long").alias("n_fps"),
+            F.expr("aggregate(fph, 0L, (a, x) -> a + x)").alias("fp_checksum"),
+            F.array_min("fph").alias("fp_min"),
+            F.array_max("fph").alias("fp_max"),
+            F.expr("CAST(size(fph) * 1000000 DIV n_grams AS BIGINT)").alias("density_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "winnow_match_pairs",
+    category="L2,E235",
+    oracle=f"""{_WINNOW_SEL_CTE}, fps AS (
+  SELECT DISTINCT doc_id, wmin >> 31 AS fp FROM sel
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM fps
+), dfreq AS (
+  SELECT fp, count(*) AS df FROM fps GROUP BY fp
+), rare AS (
+  SELECT f.doc_id, f.fp
+  FROM fps f JOIN dfreq USING (fp) CROSS JOIN nd
+  WHERE df BETWEEN 2 AND greatest(2, n_docs // 50)
+), nr AS (
+  SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps, ca.nr AS rare_a, cb.nr AS rare_b,
+       CAST(shared_fps * 1000000 // least(ca.nr, cb.nr) AS BIGINT) AS overlap_ppm
+FROM pr JOIN nr ca ON ca.doc_id = pr.doc_a JOIN nr cb ON cb.doc_id = pr.doc_b
+ORDER BY shared_fps DESC, doc_a, doc_b
+LIMIT 50
+""",
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style cross-document match candidates over winnowing
+    fingerprints (the deterministic-guarantee complement to MinHash/LSH:
+    a shared fingerprint PROVES a shared >= k-char substring, and any
+    shared run >= k + w - 1 chars is guaranteed to surface). Per document
+    the DISTINCT fingerprint set feeds a document-frequency filter that
+    drops both singletons (df = 1 cannot pair) and stopword grams
+    (df > max(2, n_docs/50) — the standard MOSS "too common to be
+    interesting" cull, expressed scale-relatively so the cutoff survives
+    corpus growth); survivors equi-join on fingerprint, and pairs rank by
+    shared count with an overlap coefficient (shared / min set size) in
+    integer ppm.
+
+    Scale shape: the winnowing itself is the scan-shaped zero-shuffle HOF
+    core (`_winnow_selected`); the df filter bounds every fingerprint's
+    pair fan-out to df_cap^2 BEFORE the self-join, which is what keeps the
+    candidate generation sub-quadratic at 100 TB (identical reasoning to
+    the banded MinHash join); the final top-50 is TakeOrderedAndProject.
+    The 1-row corpus-count frame cross-joins in (broadcast of one row),
+    never a per-doc table. Oracle re-derives everything through the
+    lateral-unnest winnowing plan plus plain SQL joins.
+    """
+    sel = _winnow_selected(spark, sf_dir)
+    docfp = sel.select(
+        "doc_id", F.explode(F.array_distinct("fph")).alias("fp")
+    )
+    # Every doc with >= k chars emits >= 1 fingerprint, so the corpus count
+    # comes straight off the (cheap) documents scan instead of a second
+    # winnow-core lineage; document frequency is a window count over fp so
+    # docfp itself is referenced once. The culled frame is then
+    # localCheckpoint()ed (lazy): nr and both self-join sides reuse ONE
+    # materialization of the winnow core instead of recomputing the HOF
+    # pipeline per lineage branch — the same lineage-truncation idiom as
+    # the CC rounds (operators/graph.py), and `rare` is the df-culled
+    # fingerprint list (<= df_cap rows per fp), far smaller than the corpus.
+    ndocs = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _WINNOW_K)
+        .select(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rare = (
+        docfp.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .crossJoin(ndocs)
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.expr("greatest(2, n_docs DIV 50)"))
+        )
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
+    )
+    nr = rare.groupBy("doc_id").agg(F.count("*").alias("nr"))
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    return (
+        pairs.join(
+            nr.select(F.col("doc_id").alias("doc_a"), F.col("nr").alias("rare_a")),
+            "doc_a",
+        )
+        .join(
+            nr.select(F.col("doc_id").alias("doc_b"), F.col("nr").alias("rare_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "shared_fps", "rare_a", "rare_b",
+            F.expr(
+                "CAST(shared_fps * 1000000 DIV least(rare_a, rare_b) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(50)
+    )
