@@ -937,58 +937,45 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-dim top-1, and how often it at least stays in the full top-5
     (the rerank-recoverable case).
 
-    Exact brute force at every dim — all three sims come out of ONE pair
-    scan (three prefix dots per pair, row-local HOFs), unpivoted by
-    stack() and ranked by one (dim, query) window; agreement is two tiny
-    id-equality joins. At 100 TB the pair scan is the same
-    broadcast-queries-over-corpus sweep as ann_topk_queries (queries
-    side broadcasts, corpus streams — no pair materialization), and the
-    per-dim audit output is 2 rows. Determinism: the ann contract —
-    round(·,6) sims, (sim DESC, neighbor_id) total order.
+    Exact brute force at every dim via the same Arrow matmul sweep as
+    ann_topk_queries: per prefix dim, truncate the vectors (THEN
+    prefix-normalize — exactly what an MRL serving stack does), broadcast
+    the query matrix and stream the corpus through mapInPandas keeping
+    within-ROUND_MARGIN-of-chunk-top-k candidates, so per-dim shuffle
+    volume is O(k·|queries|) rows whatever the corpus size; the three
+    sweeps' winners meet in two tiny id-equality joins and the audit
+    output is 2 rows. (An earlier form computed all three sims as
+    row-local HOF folds over a broadcast crossJoin — semantically the
+    same sweep, but interpreted HOF arithmetic made it ~10 s at sf0.1
+    where the vectorized sweeps are ~1 s.) Determinism: the ann
+    contract — round(·,6) sims, (sim DESC, neighbor_id) total order.
     """
-    from pyspark.sql.window import Window
-
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), _vec_double("embedding").alias("qe")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _vec_double("embedding").alias("ce"),
-    )
-    pairs = F.broadcast(q).crossJoin(c).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
 
-    def simd(d: int) -> F.Column:
-        qs, cs = F.slice("qe", 1, d), F.slice("ce", 1, d)
-        return F.round(_dot(qs, cs) / (_l2(qs) * _l2(cs)), 6)
+    def at_dim(d: int):
+        cols = [
+            F.col("vec_id"),
+            F.expr(f"slice(embedding, 1, {d})").alias("embedding"),
+        ]
+        corpus = emb.select(*cols)
+        queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(*cols)
+        return corpus, queries
 
-    sims = pairs.select(
-        "query_id",
-        "neighbor_id",
-        *[simd(d).alias(f"s{d}") for d in MRL_DIMS],
+    def top_at(d: int, k: int) -> DataFrame:
+        corpus, queries = at_dim(d)
+        return cosine_topk_queries(corpus, queries, spark, k=k)
+
+    full_ranked = top_at(64, 5)
+    full1 = full_ranked.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("full_top1")
     )
-    long = sims.selectExpr(
-        "query_id",
-        "neighbor_id",
-        "stack(3, 16, s16, 32, s32, 64, s64) AS (dim, sim)",
-    )
-    w = Window.partitionBy("dim", "query_id").orderBy(
-        F.desc("sim"), "neighbor_id"
-    )
-    ranked = long.withColumn("rk", F.row_number().over(w))
-    full1 = (
-        ranked.where((F.col("dim") == 64) & (F.col("rk") == 1))
-        .select("query_id", F.col("neighbor_id").alias("full_top1"))
-    )
-    full5 = (
-        ranked.where((F.col("dim") == 64) & (F.col("rk") <= 5))
-        .select("query_id", F.col("neighbor_id").alias("n5"))
-    )
-    trunc = ranked.where((F.col("dim") != 64) & (F.col("rk") == 1)).select(
-        "dim", "query_id", "neighbor_id"
-    )
+    full5 = full_ranked.select("query_id", F.col("neighbor_id").alias("n5"))
+    trunc = None
+    for d in MRL_DIMS[:-1]:
+        t = top_at(d, 1).select(
+            F.lit(d).alias("dim"), "query_id", "neighbor_id"
+        )
+        trunc = t if trunc is None else trunc.unionByName(t)
     in5 = (
         trunc.join(full5, "query_id")
         .where(F.col("neighbor_id") == F.col("n5"))
