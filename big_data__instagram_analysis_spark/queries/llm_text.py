@@ -1442,3 +1442,187 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@query(
+    "source_quality_percentile_cut",
+    category="L8,W1,E238",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) * 1000000
+              // len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS div_ppm
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+), r AS (
+  SELECT source, div_ppm,
+         row_number() OVER (PARTITION BY source ORDER BY div_ppm, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM m
+), p AS (
+  SELECT source, div_ppm, n,
+         CASE WHEN n = 1 THEN 1000000
+              ELSE (rn - 1) * 1000000 // (n - 1) END AS pr_ppm
+  FROM r
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pr_ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(min(CASE WHEN pr_ppm >= 500000 THEN div_ppm END) AS BIGINT) AS cut_div_ppm,
+       CAST(max(div_ppm) AS BIGINT) AS max_div_ppm
+FROM p
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile quality normalization — the CCNet/Gopher move
+    of cutting each DOMAIN at its own quantile instead of one global
+    threshold (a global cut empties low-resource sources and keeps every
+    doc of verbose ones; a per-source P50 keeps the best half of EVERY
+    source). Metric: lexical diversity in integer ppm (distinct/total
+    tokens); percentile: exact (rank-1)/(n-1) in integer ppm with a
+    (metric, doc_id) total order, so the cut is engine-portable — no
+    float percent_rank, no approx quantiles.
+
+    Scale shape: one scan, one window shuffle keyed by source (the same
+    partitioning the per-source sink needs anyway), per-source summary
+    emit. Skew-safe: the rank window is per source, and sources at 100 TB
+    are further salt-split by the partitioned-sink layout upstream. Rank
+    selection rather than an absolute threshold is the verify-skill rule:
+    absolute cutoffs degenerate across scale tiers; P50 is meaningful at
+    any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    ).where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "source",
+        F.expr("n_unique * 1000000 DIV n_tokens").alias("div_ppm"),
+    )
+    ws = Window.partitionBy("source")
+    r = m.select(
+        "source",
+        "div_ppm",
+        F.row_number().over(ws.orderBy("div_ppm", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    p = r.select(
+        "source",
+        "div_ppm",
+        "n",
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .otherwise(F.expr("(rn - 1) * 1000000 DIV (n - 1)"))
+        .alias("pr_ppm"),
+    )
+    kept = F.col("pr_ppm") >= 500000
+    return (
+        p.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min(F.when(kept, F.col("div_ppm"))).cast("long").alias("cut_div_ppm"),
+            F.max("div_ppm").cast("long").alias("max_div_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Shards per epoch for the reshuffle-independence audit: 16 x 16 cells.
+EPOCH_SHARDS = 16
+
+
+@query(
+    "epoch_shuffle_independence",
+    category="P6,E239",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8)) AS BIGINT)
+           % {EPOCH_SHARDS} AS s1,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 8)) AS BIGINT)
+           % {EPOCH_SHARDS} AS s2
+  FROM documents
+), c AS (
+  SELECT s1, s2, count(*) AS cnt FROM s GROUP BY s1, s2
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+SELECT t.n AS n_docs,
+       CAST({EPOCH_SHARDS * EPOCH_SHARDS} AS BIGINT) AS n_cells,
+       CAST(count(*) AS BIGINT) AS occupied_cells,
+       CAST(min(cnt) AS BIGINT) AS min_occupied_cell,
+       CAST(max(cnt) AS BIGINT) AS max_cell,
+       CAST(sum(({EPOCH_SHARDS * EPOCH_SHARDS} * cnt - t.n)
+                * ({EPOCH_SHARDS * EPOCH_SHARDS} * cnt - t.n)) AS BIGINT)
+         + ({EPOCH_SHARDS * EPOCH_SHARDS} - CAST(count(*) AS BIGINT)) * t.n * t.n
+         AS chi2_num
+FROM c CROSS JOIN t
+GROUP BY t.n
+""",
+)
+def epoch_shuffle_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-reshuffle independence audit: a training pipeline reshuffles
+    the corpus every epoch by re-keying a deterministic hash with the epoch
+    number; if the two epochs' shard assignments are NOT independent (a
+    weak hash reusing structure across seeds), the loader re-feeds the
+    same co-resident batches and effective shuffle quality collapses.
+    The audit crosses epoch-1 and epoch-2 shard ids (16x16 cells) and
+    emits the exact chi-square NUMERATOR in integer arithmetic:
+    sum over all 256 cells of (256*cnt - n)^2, empty cells contributing
+    n^2 — χ² = that / (256·n), but the division stays with the reader so
+    the emit is hash-portable. Independence ⇒ χ² ≈ 255.
+
+    Scale shape: one scan, one 256-key groupBy (map-side partials collapse
+    every task to ≤256 rows before the only shuffle), one-row emit; the
+    md5-prefix hash is the house cross-engine idiom (DSIR, doc_fingerprint)
+    and epoch re-keying is just a different suffix — assignments stay
+    stable under corpus growth exactly like dataset_split_assign.
+    """
+    d = load(spark, sf_dir, "documents")
+
+    def shard(e: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(f":{e}")), "UTF-8")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % EPOCH_SHARDS
+        )
+
+    cells = (
+        d.select(shard(1).alias("s1"), shard(2).alias("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ncells = EPOCH_SHARDS * EPOCH_SHARDS
+    tot = d.select(F.count(F.lit(1)).alias("n"))
+    return (
+        cells.crossJoin(tot)
+        .groupBy("n")
+        .agg(
+            F.lit(ncells).cast("long").alias("n_cells"),
+            F.count(F.lit(1)).cast("long").alias("occupied_cells"),
+            F.min("cnt").cast("long").alias("min_occupied_cell"),
+            F.max("cnt").cast("long").alias("max_cell"),
+            (
+                F.sum(
+                    (F.lit(ncells) * F.col("cnt") - F.col("n"))
+                    * (F.lit(ncells) * F.col("cnt") - F.col("n"))
+                )
+                + (F.lit(ncells) - F.count(F.lit(1))) * F.col("n") * F.col("n")
+            ).cast("long").alias("chi2_num"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            "n_cells", "occupied_cells", "min_occupied_cell", "max_cell", "chi2_num",
+        )
+    )
