@@ -1158,10 +1158,14 @@ def _winnow_horner_sql(k: int, b: int, m: int) -> str:
     return e
 
 
-def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_selected(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
+) -> DataFrame:
     """Shared winnowing core: per document, the array of selected fingerprint
-    hashes (`fph`, one entry per selected (hash, position) pair). Entirely
-    in-row HOFs, so the frame is scan-shaped: zero shuffles, zero explodes.
+    hashes (`fph`, one entry per selected (hash, position) pair), plus any
+    `extra_cols` carried through from the documents scan (cheaper than a
+    doc-keyed join to fetch them back later). Entirely in-row HOFs, so the
+    frame is scan-shaped: zero shuffles, zero explodes.
 
     Performance shape (interpreted-HOF arithmetic, so pass count matters —
     the naive per-position Horner fold was O(n·k) lambda steps on top of
@@ -1188,6 +1192,7 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.length("text") >= k)
     coded = d.select(
         "doc_id",
+        *extra_cols,
         (F.length("text") - (k - 1)).alias("n_grams"),
         F.expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))").alias("cs"),
     )
@@ -1230,7 +1235,7 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (x, y) -> least(x, y))"""
         ),
     ).select(
-        "doc_id", "n_grams",
+        "doc_id", *extra_cols, "n_grams",
         F.expr(
             f"""transform(
                   CASE WHEN n_grams < {w}
@@ -1625,4 +1630,126 @@ def epoch_shuffle_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_docs"),
             "n_cells", "occupied_cells", "min_occupied_cell", "max_cell", "chi2_num",
         )
+    )
+
+
+#: Shared rare fingerprints a new document must have with SOME reference
+#: document before the ingest gate flags it (a 3-fingerprint match means
+#: three independent rare >= k-char shared substrings — strong evidence).
+INGEST_GATE_SHARED = 3
+
+
+@query(
+    "ingest_neardup_gate",
+    category="L2,E240",
+    oracle=f"""{_WINNOW_SEL_CTE}, fps AS (
+  SELECT DISTINCT doc_id, wmin >> 31 AS fp FROM sel
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM fps
+), dfreq AS (
+  SELECT fp, count(*) AS df FROM fps GROUP BY fp
+), rare AS (
+  SELECT f.doc_id, src.source, f.fp
+  FROM fps f
+  JOIN dfreq USING (fp)
+  JOIN documents src USING (doc_id)
+  CROSS JOIN nd
+  WHERE df BETWEEN 2 AND greatest(2, n_docs // 50)
+), hits AS (
+  SELECT n.doc_id, n.source, r.doc_id AS ref_doc, count(*) AS shared
+  FROM rare n JOIN rare r ON n.fp = r.fp
+  WHERE r.source = '{DSIR_TARGET_SRC}' AND n.source <> '{DSIR_TARGET_SRC}'
+  GROUP BY n.doc_id, n.source, r.doc_id
+), best AS (
+  SELECT doc_id, source, max(shared) AS max_shared
+  FROM hits GROUP BY doc_id, source
+), batch AS (
+  SELECT doc_id, source FROM documents
+  WHERE source <> '{DSIR_TARGET_SRC}' AND length(text) >= {_WINNOW_K}
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN coalesce(max_shared, 0) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_linked,
+       CAST(sum(CASE WHEN coalesce(max_shared, 0) >= {INGEST_GATE_SHARED} THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       CAST(max(coalesce(max_shared, 0)) AS BIGINT) AS max_shared,
+       CAST(sum(coalesce(max_shared, 0)) AS BIGINT) AS sum_shared
+FROM batch b LEFT JOIN best USING (doc_id, source)
+GROUP BY b.source
+ORDER BY b.source
+""",
+)
+def ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-duplicate gate — the DAILY-BATCH shape every
+    production corpus runs: new documents (every source but the reference)
+    are checked against the EXISTING corpus (source = src0, the same
+    reference DSIR treats as the target distribution) before admission,
+    instead of re-deduplicating the whole corpus per ingest. Evidence is
+    shared RARE winnowing fingerprints (the E235 machinery: each shared
+    fingerprint PROVES a shared >= k-char substring; the df cull drops
+    corpus-stopword grams), a new doc's score is its best single reference
+    match, and the emit is per-source admission accounting: linked (>= 1
+    shared), gated (>= INGEST_GATE_SHARED independent shared substrings),
+    max/sum of best-match scores.
+
+    Scale shape: the winnow core is the scan-shaped zero-shuffle HOF
+    pipeline; the df cull bounds per-fingerprint fan-out BEFORE the
+    batch x reference join, and the join's reference side is only the
+    reference corpus's culled fingerprints (at 100 TB the ingest batch
+    streams against a reference fingerprint index that this query's rare
+    frame IS — materialize it once per day, not per batch). The culled
+    frame is localCheckpoint()ed so batch and reference sides reuse one
+    materialization (the E235 idiom).
+    """
+    sel = _winnow_selected(spark, sf_dir, extra_cols=("source",))
+    docfp = sel.select(
+        "doc_id", "source", F.explode(F.array_distinct("fph")).alias("fp")
+    )
+    ndocs = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _WINNOW_K)
+        .select(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rare = (
+        docfp.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .crossJoin(ndocs)
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.expr("greatest(2, n_docs DIV 50)"))
+        )
+        .select("doc_id", "source", "fp")
+        .localCheckpoint(eager=False)
+    )
+    ref = rare.where(F.col("source") == DSIR_TARGET_SRC).select(
+        F.col("doc_id").alias("ref_doc"), "fp"
+    )
+    new = rare.where(F.col("source") != DSIR_TARGET_SRC)
+    best = (
+        new.join(ref, "fp")
+        .groupBy("doc_id", "source", "ref_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .groupBy("doc_id", "source")
+        .agg(F.max("shared").alias("max_shared"))
+    )
+    batch = (
+        load(spark, sf_dir, "documents")
+        .where(
+            (F.col("source") != DSIR_TARGET_SRC)
+            & (F.length("text") >= _WINNOW_K)
+        )
+        .select("doc_id", "source")
+    )
+    ms = F.coalesce("max_shared", F.lit(0))
+    return (
+        batch.join(best, ["doc_id", "source"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum((ms >= 1).cast("long")).alias("n_ref_linked"),
+            F.sum((ms >= INGEST_GATE_SHARED).cast("long")).alias("n_gated"),
+            F.max(ms).cast("long").alias("max_shared"),
+            F.sum(ms).cast("long").alias("sum_shared"),
+        )
+        .orderBy("source")
     )

@@ -190,3 +190,65 @@ def test_winnow_match_pairs_matches_python_brute_force(spark, sf_dir):
     ]
     assert len(got) == len(expected) > 0
     assert got == expected
+
+
+def test_ingest_gate_matches_python_brute_force(spark, sf_dir):
+    """E240 full-pipeline differential: python recomputes rare fingerprint
+    sets, best-reference-match scores and the per-source admission
+    accounting, then compares every row."""
+    from big_data__instagram_analysis_spark.queries.llm_text import (
+        DSIR_TARGET_SRC,
+        INGEST_GATE_SHARED,
+        ingest_neardup_gate,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    fps = {
+        r["doc_id"]: (
+            r["source"],
+            set(_brute_winnow(r["text"], _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M)),
+        )
+        for r in rows
+        if len(r["text"]) >= _WINNOW_K
+    }
+    dfc: dict[int, int] = {}
+    for _, s in fps.values():
+        for f in s:
+            dfc[f] = dfc.get(f, 0) + 1
+    cap = max(2, len(fps) // 50)
+    rare = {d: {f for f in s if 2 <= dfc[f] <= cap} for d, (_, s) in fps.items()}
+    ref_by_fp: dict[int, list[int]] = {}
+    for d, (src, _) in fps.items():
+        if src == DSIR_TARGET_SRC:
+            for f in rare[d]:
+                ref_by_fp.setdefault(f, []).append(d)
+    expected: dict[str, list[int]] = {}
+    for d, (src, _) in fps.items():
+        if src == DSIR_TARGET_SRC:
+            continue
+        cnt: dict[int, int] = {}
+        for f in rare[d]:
+            for rd in ref_by_fp.get(f, ()):
+                cnt[rd] = cnt.get(rd, 0) + 1
+        expected.setdefault(src, []).append(max(cnt.values()) if cnt else 0)
+    want = {
+        src: (
+            len(v),
+            sum(1 for x in v if x >= 1),
+            sum(1 for x in v if x >= INGEST_GATE_SHARED),
+            max(v),
+            sum(v),
+        )
+        for src, v in expected.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_new"], r["n_ref_linked"], r["n_gated"], r["max_shared"], r["sum_shared"]
+        )
+        for r in ingest_neardup_gate(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 1
