@@ -510,3 +510,136 @@ def image_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, out_side long, px00 long, px_last long, "
         "byte_sum long, poly_checksum long",
     ).orderBy("vec_id")
+
+
+# --- E241 (extension): perceptual average-hash image near-dup ----------------
+
+#: aHash geometry: 8x8 blocks of 4x4 pixels over the 32x32 synthetic image,
+#: packed as four 16-bit bands (b0..b3) so banding is pigeonhole-complete:
+#: hamming <= HAMMING_T over 4 bands forces at least one band EQUAL.
+_AHASH_BLOCKS = 8
+_AHASH_BANDS = 4
+HAMMING_T = 3
+
+
+def _ahash_band_sql(j: int) -> str:
+    """Closed-form SQL for band j (bits 16j..16j+15) of the aHash: block b's
+    bit is 1 iff 64*blocksum > total (strict, integer — the mean compare
+    without division), blocksum from the synthetic pixel formula."""
+    return f"""CAST(list_sum(list_transform(range(0, 16), t ->
+      CASE WHEN 64 * bs[{16 * j} + t + 1] > total THEN 1 << t ELSE 0 END))
+    AS BIGINT)"""
+
+
+@query(
+    "image_ahash_neardup",
+    category="L7,L2,E241",
+    oracle=f"""
+WITH px AS (
+  SELECT vec_id,
+         list_transform(range(0, 64), b -> list_sum(list_transform(range(0, 16), k ->
+           (vec_id * 31 + (((b // 8) * 4 + k // 4) * 32 + (b % 8) * 4 + k % 4) * 7) % 256
+         ))) AS bs
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, bs, list_sum(bs) AS total FROM px
+), bands AS (
+  SELECT vec_id,
+         {_ahash_band_sql(0)} AS b0, {_ahash_band_sql(1)} AS b1,
+         {_ahash_band_sql(2)} AS b2, {_ahash_band_sql(3)} AS b3
+  FROM sig
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, hamming
+FROM pairs WHERE hamming <= {HAMMING_T}
+ORDER BY hamming, vec_a, vec_b
+LIMIT 100
+""",
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) image near-duplicate detection — the
+    multimodal leg of the dedup pillar: per image, downsample to 8x8 block
+    means, threshold each block against the global mean (64*blocksum >
+    total, pure integers — no division, no float), pack the 64 bits as
+    FOUR 16-bit bands, and find pairs at hamming distance <= 3. The 4-band
+    split makes candidate generation pigeonhole-COMPLETE for that radius
+    (<= 3 flipped bits across 4 bands leaves at least one band identical),
+    so the band equi-join is exact candidate generation, not approximate
+    LSH — the same guarantee structure as the winnowing gate.
+
+    Spark plan: the image materializes and hashes inside ONE Arrow
+    mapInPandas stage (numpy block-sum reshape, 12 ints out per row — the
+    1 KiB payload never shuffles); candidates come from a 4-way band
+    explode + equi-join (per-band buckets are phase collisions of the
+    synthetic generator, bounded), exact hamming verify via bit_count(xor)
+    in codegen expressions, top-100 via TakeOrderedAndProject. The oracle
+    recomputes every hash bit from the closed-form pixel formula and runs
+    a full pair scan — a hash match proves the bytes, the numpy blocking,
+    the banding completeness and the bit packing all at once.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    side = _AHASH_BLOCKS * 4
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(side * side, dtype=np.int64)
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v in pdf.vec_id:
+                a = ((int(v) * 31 + idx * 7) % 256).astype(np.uint8)
+                m = a.astype(np.int64).reshape(side, side)
+                bs = m.reshape(_AHASH_BLOCKS, 4, _AHASH_BLOCKS, 4).sum(axis=(1, 3))
+                total = int(m.sum())
+                bits = (64 * bs.reshape(-1) > total).astype(np.int64)
+                bands = [
+                    int((bits[16 * j : 16 * j + 16] << shifts).sum())
+                    for j in range(_AHASH_BANDS)
+                ]
+                rows.append((int(v), *bands))
+            yield pd.DataFrame(rows, columns=["vec_id", "b0", "b1", "b2", "b3"])
+
+    sig = emb.mapInPandas(ahash, "vec_id long, b0 long, b1 long, b2 long, b3 long")
+    long = sig.select(
+        "vec_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("bi"), F.col(f"b{j}").alias("bv"))
+                for j in range(_AHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "b0", "b1", "b2", "b3", "band.bi", "band.bv")
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(_AHASH_BANDS)],
+            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(_AHASH_BANDS)],
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(_AHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.select("vec_a", "vec_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_T)
+        .orderBy("hamming", "vec_a", "vec_b")
+        .limit(100)
+    )
