@@ -252,3 +252,45 @@ def test_ingest_gate_matches_python_brute_force(spark, sf_dir):
         for r in ingest_neardup_gate(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_winnow_unicode_fuzz_single_batch(spark, tmp_path):
+    """Randomized congruence/overflow fuzz for the doubling ladder: 48
+    seeded random strings mixing ASCII, Latin-1, Cyrillic, CJK and astral
+    codepoints (ascii() yields codepoints up to 0x10FFFF — the overflow
+    band the mod-staging exists for), plus repeated-tile strings that
+    maximize hash ties. One DataFrame, one comparison against the python
+    per-step-mod reference."""
+    import random
+
+    rng = random.Random(20260815)
+    pools = [
+        "abcdefgh ijklmnop",
+        "äöüßéèêñçøå",
+        "абвгдежзик",
+        "数据处理引擎测试",
+        "".join(chr(c) for c in (0x1F600, 0x1F680, 0x10400, 0x2F800)),
+    ]
+    texts = []
+    for i in range(40):
+        pool = pools[i % len(pools)] + pools[(i * 7) % len(pools)]
+        texts.append("".join(rng.choice(pool) for _ in range(rng.randint(8, 120))))
+    for tile in ("ab", "абв", "数", "x"):
+        texts.append(tile * 30)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "fuzz")
+    df.write.parquet(f"{path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_fps"], r["fp_checksum"], r["fp_min"], r["fp_max"])
+        for r in winnow_fingerprints(spark, path).collect()
+    }
+    checked = 0
+    for i, t in enumerate(texts):
+        if len(t) < _WINNOW_K:
+            assert i not in got
+            continue
+        fps = _brute_winnow(t, _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M)
+        assert got[i] == (len(fps), sum(fps), min(fps), max(fps)), repr(t[:40])
+        checked += 1
+    assert checked >= 40
