@@ -643,3 +643,126 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_a", "vec_b")
         .limit(100)
     )
+
+
+# --- E242 (extension): audio fingerprint near-dup (energy-delta signs) -------
+
+#: Fingerprint geometry: 32 energy frames of 8 samples → 31 delta-sign bits
+#: packed as four bands (8+8+8+7 bits); hamming <= AUDIO_HAMMING_T over 4
+#: bands is pigeonhole-complete exactly as in image_ahash_neardup.
+_AFP_FRAMES = 32
+_AFP_FLEN = _N_SAMP // _AFP_FRAMES
+AUDIO_HAMMING_T = 3
+
+
+def _afp_energy_sql(f: str) -> str:
+    return f"""list_sum(list_transform(range(0, {_AFP_FLEN}), j ->
+      abs((vec_id * 7 + (({f}) * {_AFP_FLEN} + j) * 13) % 61 - 30)))"""
+
+
+def _afp_band_sql(j: int) -> str:
+    nbits = 7 if j == 3 else 8
+    return f"""CAST(list_sum(list_transform(range(0, {nbits}), t ->
+      CASE WHEN es[{8 * j} + t + 2] > es[{8 * j} + t + 1] THEN 1 << t ELSE 0 END))
+    AS BIGINT)"""
+
+
+@query(
+    "audio_fingerprint_neardup",
+    category="L7,L2,E242",
+    oracle=f"""
+WITH es AS (
+  SELECT vec_id,
+         list_transform(range(0, {_AFP_FRAMES}), f -> {_afp_energy_sql("f")}) AS es
+  FROM embeddings
+), bands AS (
+  SELECT vec_id,
+         {_afp_band_sql(0)} AS b0, {_afp_band_sql(1)} AS b1,
+         {_afp_band_sql(2)} AS b2, {_afp_band_sql(3)} AS b3
+  FROM es
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, hamming
+FROM pairs WHERE hamming <= {AUDIO_HAMMING_T}
+ORDER BY hamming, vec_a, vec_b
+LIMIT 100
+""",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection via a Haitsma-Kalker-style
+    fingerprint: frame the PCM into 32 energy windows, take the SIGN of
+    each consecutive energy delta (E[t+1] > E[t], strict, pure integers —
+    the temporal-structure bits robust to gain changes, where E241's aHash
+    thresholds spatial means), pack the 31 bits as four bands (8+8+8+7)
+    and join pairs at hamming <= 3 — pigeonhole-complete candidate
+    generation, same guarantee structure as the image gate.
+
+    Spark plan: the int16 PCM materializes AND fingerprints inside one
+    Arrow mapInPandas stage (numpy frame-reshape |s| sums; the 512-byte
+    payload never shuffles — 5 ints out per row); band explode +
+    equi-join, bit_count(xor) exact verify in codegen, top-100 via
+    TakeOrderedAndProject. The oracle recomputes every energy and bit
+    from the closed-form sample formula over a full pair scan, proving
+    the PCM bytes, the framing, the delta-sign logic and the packing in
+    one hash.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+
+    def afp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_SAMP, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for v in pdf.vec_id:
+                s = ((int(v) * 7 + idx * 13) % 61 - 30).astype("<i2")
+                e = np.abs(s.astype(np.int64)).reshape(_AFP_FRAMES, _AFP_FLEN).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                bands = []
+                for j in range(4):
+                    seg = bits[8 * j : 8 * j + (7 if j == 3 else 8)]
+                    bands.append(int((seg << np.arange(seg.size, dtype=np.int64)).sum()))
+                rows.append((int(v), *bands))
+            yield pd.DataFrame(rows, columns=["vec_id", "b0", "b1", "b2", "b3"])
+
+    sig = emb.mapInPandas(afp, "vec_id long, b0 long, b1 long, b2 long, b3 long")
+    long = sig.select(
+        "vec_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("bi"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "b0", "b1", "b2", "b3", "band.bi", "band.bv")
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(4)],
+            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(4)],
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    hamming = sum(F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(4)).cast("long")
+    return (
+        cand.select("vec_a", "vec_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= AUDIO_HAMMING_T)
+        .orderBy("hamming", "vec_a", "vec_b")
+        .limit(100)
+    )

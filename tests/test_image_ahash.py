@@ -50,3 +50,50 @@ def test_ahash_neardup_matches_full_pair_scan(spark, sf_dir):
     # so at least one hamming-0 pair must exist whenever ids span a phase
     if len(ids) > 256:
         assert expected[0][2] == 0
+
+
+def _brute_audio_bands(vec_id: int) -> list[int]:
+    idx = np.arange(256, dtype=np.int64)
+    s = (vec_id * 7 + idx * 13) % 61 - 30
+    e = np.abs(s).reshape(32, 8).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    out = []
+    for j in range(4):
+        seg = bits[8 * j : 8 * j + (7 if j == 3 else 8)]
+        out.append(int(sum(int(v) << t for t, v in enumerate(seg))))
+    return out
+
+
+def test_audio_fingerprint_matches_full_pair_scan(spark, sf_dir):
+    """E242 differential: python recomputes the energy-delta fingerprint
+    and the full pair scan — proving the 4-band candidate generation is
+    complete at radius AUDIO_HAMMING_T."""
+    from big_data__instagram_analysis_spark.queries.llm_multimodal import (
+        AUDIO_HAMMING_T,
+        audio_fingerprint_neardup,
+    )
+
+    ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    )
+    bands = {v: _brute_audio_bands(v) for v in ids}
+    pairs = []
+    for i, va in enumerate(ids):
+        ba = bands[va]
+        for vb in ids[i + 1 :]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(ba, bands[vb]))
+            if h <= AUDIO_HAMMING_T:
+                pairs.append((h, va, vb))
+    pairs.sort()
+    expected = [(a, b, h) for h, a, b in pairs[:100]]
+    got = [
+        (r["vec_a"], r["vec_b"], r["hamming"])
+        for r in audio_fingerprint_neardup(spark, sf_dir).collect()
+    ]
+    assert len(expected) > 0, "fixture must contain near-dup waveforms"
+    assert got == expected
+    # phase structure: ids 61 apart render identical PCM → hamming-0 pairs
+    assert expected[0][2] == 0
