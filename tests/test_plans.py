@@ -538,3 +538,37 @@ def test_length_drift_ks_matches_scipy_shape(spark, sf_dir):
     want = (int(d_raw) * 1_000_000) // (len(a) * len(b))
     got = int(out.loc[out["source"] == src, "ks_ppm"].iloc[0])
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "winnow_match_pairs",
+        "ingest_neardup_gate",
+        "image_ahash_neardup",
+        "audio_fingerprint_neardup",
+        "hard_negative_mining",
+    ],
+)
+def test_pair_operators_never_plan_nested_loops(spark, sf_dir, name):
+    """The round-6 pair operators all generate candidates through an
+    equi-join (fingerprint / band / class key) with the a<b ordering as a
+    residual condition — Catalyst must plan a hash or sort-merge join. A
+    refactor that loses the equi key degrades to BroadcastNestedLoopJoin /
+    CartesianProduct: quadratic pair materialization that still passes
+    parity at sf0.01 but is the canonical 100 TB scale-killer."""
+    plan = _plan(spark, sf_dir, name).lower()
+    assert "cartesianproduct" not in plan, name
+    assert "broadcastnestedloop" not in plan, name
+
+
+def test_winnow_match_pairs_checkpoints_the_culled_frame(spark, sf_dir):
+    """The df-culled fingerprint frame must be a truncated lineage (one
+    materialization of the winnow core reused by nr and both self-join
+    sides) — if the localCheckpoint disappears, the interpreted HOF core
+    recomputes per branch (~4x wall, PERF §43)."""
+    df = get_specs()["winnow_match_pairs"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ).lower()
+    assert "scan existingrdd" in plan or "logicalrdd" in plan, plan[:500]
