@@ -459,3 +459,85 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(d, n=3, threshold=0.8).orderBy(
         "doc_small", "doc_big"
     )
+
+
+@query(
+    "neardup_threshold_sweep",
+    category="L2,E243",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pm AS (
+  SELECT shared * 1000 // (x.n_sh + y.n_sh - shared) AS jac_pm
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+)
+SELECT CAST(least(9, jac_pm // 100) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(jac_pm) AS BIGINT) AS min_jac_pm,
+       CAST(max(jac_pm) AS BIGINT) AS max_jac_pm
+FROM pm
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning sweep: the similarity HISTOGRAM over every
+    shared-shingle candidate pair, in exact integer permille buckets — the
+    diagnostic you run BEFORE picking the near-dup cutoff (is there a
+    bimodal gap between boilerplate-level and duplicate-level similarity?
+    how many pairs does each candidate threshold admit?). Every fixed-cut
+    operator in this module (jaccard >= 0.5, containment >= 0.8) is
+    downstream of exactly this curve.
+
+    Scale shape: identical candidate generation to ngram_jaccard_neardup
+    (shared-shingle equi-join — only docs sharing a shingle ever meet, AQE
+    splits hot-shingle skew), but the emit collapses to <= 10 decile rows
+    through a map-side-combined aggregate, so the sweep costs the same one
+    pair-shuffle the thresholded query already pays — no extra scan, no
+    pair materialization past the partial agg. Pure integer arithmetic end
+    to end (shared*1000 DIV union): no float bucket-boundary flakiness by
+    construction.
+    """
+    from ..operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=3).select(F.col("doc_id").alias("doc"), "s")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pm = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            F.expr("shared * 1000 DIV (sa.n_sh + sb.n_sh - shared)").alias("jac_pm")
+        )
+    )
+    return (
+        pm.groupBy(F.expr("least(9, jac_pm DIV 100)").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jac_pm").cast("long").alias("min_jac_pm"),
+            F.max("jac_pm").cast("long").alias("max_jac_pm"),
+        )
+        .orderBy("decile")
+    )

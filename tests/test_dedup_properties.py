@@ -165,3 +165,46 @@ def test_shingle_rows_equals_token_shingles(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+def test_threshold_sweep_matches_python_brute_force(spark, sf_dir):
+    """E243 differential: python recomputes distinct token-trigram sets,
+    every shared-shingle pair's integer-permille Jaccard, and the decile
+    histogram."""
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        neardup_threshold_sweep,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    shingles = {}
+    for r in rows:
+        t = [x for x in r["text"].split(" ") if x != ""]
+        shingles[r["doc_id"]] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    by_sh = {}
+    for d, s in shingles.items():
+        for sh in s:
+            by_sh.setdefault(sh, []).append(d)
+    shared = {}
+    for docs in by_sh.values():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                k = (docs[i], docs[j])
+                shared[k] = shared.get(k, 0) + 1
+    hist = {}
+    for (a, b), n in shared.items():
+        pm = n * 1000 // (len(shingles[a]) + len(shingles[b]) - n)
+        dec = min(9, pm // 100)
+        lo, hi, cnt = hist.get(dec, (10**9, -1, 0))
+        hist[dec] = (min(lo, pm), max(hi, pm), cnt + 1)
+    got = {
+        r["decile"]: (r["min_jac_pm"], r["max_jac_pm"], r["n_pairs"])
+        for r in neardup_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert got == hist and len(got) > 0
