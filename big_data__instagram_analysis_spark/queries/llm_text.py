@@ -1753,3 +1753,137 @@ def ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: BPE trainer rounds. The oracle unrolls the same number of CTE rounds.
+BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: weighted adjacent-pair
+    counts over the current vocab, deterministic argmax (count DESC, pair
+    ASC), merge via left-to-right non-overlapping replace() on the
+    double-separator symbol string, and post-merge vocab stats."""
+    return f""", p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS c
+  FROM (SELECT cnt, list_filter(string_split(s, '~~'), x -> x <> '') AS syms FROM v{r - 1}),
+       unnest(range(1, greatest(len(syms) - 1, 0) + 1)) AS t(i)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT a, b, CAST(c AS BIGINT) AS c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+), v{r} AS (
+  SELECT w, cnt, replace(s, '~' || m{r}.a || '~~' || m{r}.b || '~',
+                            '~' || m{r}.a || m{r}.b || '~') AS s
+  FROM v{r - 1} CROSS JOIN m{r}
+), s{r} AS (
+  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n_symbols,
+         CAST(sum(cnt) AS BIGINT) AS total_symbols
+  FROM (SELECT cnt, unnest(list_filter(string_split(s, '~~'), x -> x <> '')) AS sym
+        FROM v{r})
+)"""
+
+
+@query(
+    "bpe_learn_merges",
+    category="L5,E244",
+    oracle=f"""
+WITH words AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), v0 AS (
+  SELECT w, cnt,
+         '~~' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '~~') || '~~' AS s
+  FROM words
+){"".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, m{r}.a AS pair_a, m{r}.b AS pair_b, m{r}.c AS pair_count, s{r}.n_symbols, s{r}.total_symbols FROM m{r} CROSS JOIN s{r}"
+    for r in range(1, BPE_ROUNDS + 1)
+)}
+ORDER BY round
+""",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), the real iterative
+    merge loop — not just one round of pair counts (bpe_pair_counts): per
+    round, weighted adjacent-symbol pair counts over the DISTINCT-WORD
+    vocabulary, deterministic argmax (count DESC, pair lexicographic ASC),
+    then the merge applied to every word LEFT-TO-RIGHT NON-OVERLAPPING.
+    Emits per round: the learned merge, its count at selection time, and
+    the post-merge vocab stats (distinct symbols, corpus-weighted total
+    symbol count — the quantity whose decrease IS the compression gain).
+
+    Scale shape — exactly how production trainers distribute: the corpus
+    is scanned ONCE to build the (word, count) vocabulary (map-side
+    combined groupBy); all BPE rounds then iterate over the vocab table,
+    which is orders of magnitude smaller than the corpus (31 words here;
+    ~10^7 at web scale — still one executor's worth). Each round is one
+    small shuffle (pair agg) + a 1-row argmax collect (the k-row
+    scalar-merge idiom, same as kmeans centroids), with the vocab
+    localCheckpoint()ed per round so lineage stays O(1) deep.
+
+    Merge determinism: symbols live in a '~~'-joined string and the merge
+    is replace(s, '~a~~b~', '~ab~') — left-to-right non-overlapping scan
+    of the SOURCE string, which both engines implement identically and
+    which equals the classic BPE skip-scan on chains ('aaaa' -> aa,aa;
+    'aaa' -> aa,a; verified cross-engine and against the python brute
+    force in tests/test_bpe.py).
+    """
+    from functools import reduce
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w", "cnt",
+            F.concat(
+                F.lit("~~"), F.array_join(F.split("w", ""), "~~"), F.lit("~~")
+            ).alias("s"),
+        )
+    )
+    vocab = words.localCheckpoint(eager=False)
+    syms = "filter(split(s, '~~'), x -> x != '')"
+    stats = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"""zip_with(slice({syms}, 1, size({syms}) - 1),
+                                 slice({syms}, 2, size({syms}) - 1),
+                                 (x, y) -> struct(x AS a, y AS b))"""
+                )
+            ).alias("p"),
+        ).select("cnt", "p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, c = best["a"], best["b"], int(best["c"])
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~")
+            ),
+        ).localCheckpoint(eager=False)
+        ex = vocab.select("cnt", F.explode(F.expr(syms)).alias("sym"))
+        stats.append(
+            ex.agg(
+                F.countDistinct("sym").alias("n_symbols"),
+                F.sum("cnt").cast("long").alias("total_symbols"),
+            ).select(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(a).alias("pair_a"),
+                F.lit(b).alias("pair_b"),
+                F.lit(c).alias("pair_count"),
+                F.col("n_symbols").cast("long"),
+                "total_symbols",
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), stats).orderBy("round")

@@ -1,0 +1,91 @@
+"""bpe_learn_merges (E244) differential: a straight-line python BPE
+trainer (dict vocab, per-word skip-scan merges — the classic algorithm)
+must agree with the distributed string-replace formulation on the real
+corpus AND on adversarial repeated-character words where left-to-right
+non-overlap semantics actually bite ('aaaa' -> aa,aa; 'aaa' -> aa,a)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from big_data__instagram_analysis_spark.queries.llm_text import (
+    BPE_ROUNDS,
+    bpe_learn_merges,
+)
+
+
+def _brute_bpe(words: Counter, rounds: int) -> list[tuple]:
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    out = []
+    for r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for entry in vocab.values():
+            syms = entry[0]
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            entry[0] = ns
+        distinct = set()
+        total = 0
+        for syms, c in vocab.values():
+            distinct.update(syms)
+            total += len(syms) * c
+        out.append((r, a, b, cnt, len(distinct), total))
+    return out
+
+
+def _collect(df) -> list[tuple]:
+    return [
+        (r["round"], r["pair_a"], r["pair_b"], r["pair_count"],
+         r["n_symbols"], r["total_symbols"])
+        for r in df.collect()
+    ]
+
+
+def test_bpe_matches_python_brute_force_on_corpus(spark, sf_dir):
+    words: Counter = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    ):
+        for w in r["text"].split(" "):
+            if w:
+                words[w] += 1
+    expected = _brute_bpe(words, BPE_ROUNDS)
+    got = _collect(bpe_learn_merges(spark, sf_dir))
+    assert got == expected and len(got) == BPE_ROUNDS
+
+
+def test_bpe_chain_merge_semantics(spark, tmp_path):
+    """Repeated-char words force the non-overlap scan: with (a,a) winning
+    round 1, 'aaaa' must become aa,aa and 'aaa' must become aa,a — the
+    case where a naive replace on single separators diverges from BPE."""
+    docs = [
+        (0, "aaaa aaaa aaaa aaa aaa baab"),
+        (1, "aaaa aaa baab baab cc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "bpe")
+    df.write.parquet(f"{path}/documents.parquet")
+    words: Counter = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    expected = _brute_bpe(words, BPE_ROUNDS)
+    got = _collect(bpe_learn_merges(spark, path))
+    assert got == expected
+    # round 1 must be the (a, a) merge, counted with overlaps at selection
+    # time (aaaa contributes 3, aaa contributes 2, baab contributes 1)
+    assert (got[0][1], got[0][2]) == ("a", "a")
+    assert got[0][3] == 3 * words["aaaa"] + 2 * words["aaa"] + 1 * words["baab"]
