@@ -1783,10 +1783,9 @@ def _bpe_round_sql(r: int) -> str:
 )"""
 
 
-@query(
-    "bpe_learn_merges",
-    category="L5,E244",
-    oracle=f"""
+#: Shared oracle CTE chain: word vocab, char-split v0, then BPE_ROUNDS
+#: unrolled merge rounds ending in v{BPE_ROUNDS} (m{r}/s{r} per round).
+_BPE_VOCAB_CTE = f"""
 WITH words AS (
   SELECT w, count(*) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1795,7 +1794,63 @@ WITH words AS (
   SELECT w, cnt,
          '~~' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '~~') || '~~' AS s
   FROM words
-){"".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))}
+){"".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))}"""
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the BPE merge loop; return (per-round vocab frames, merges).
+
+    One corpus scan builds the (word, count) vocab; each round is a small
+    pair-agg shuffle plus a 1-row argmax collect; every vocab generation is
+    localCheckpoint()ed so lineage stays O(1) deep (kmeans/CC idiom)."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w", "cnt",
+            F.concat(
+                F.lit("~~"), F.array_join(F.split("w", ""), "~~"), F.lit("~~")
+            ).alias("s"),
+        )
+    )
+    vocab = words.localCheckpoint(eager=False)
+    syms = "filter(split(s, '~~'), x -> x != '')"
+    vocabs, merges = [], []
+    for _ in range(BPE_ROUNDS):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"""zip_with(slice({syms}, 1, size({syms}) - 1),
+                                 slice({syms}, 2, size({syms}) - 1),
+                                 (x, y) -> struct(x AS a, y AS b))"""
+                )
+            ).alias("p"),
+        ).select("cnt", "p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, c = best["a"], best["b"], int(best["c"])
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(F.col("s"), F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~")),
+        ).localCheckpoint(eager=False)
+        vocabs.append(vocab)
+        merges.append((a, b, c))
+    return vocabs, merges
+
+
+@query(
+    "bpe_learn_merges",
+    category="L5,E244",
+    oracle=f"""{_BPE_VOCAB_CTE}
 {" UNION ALL ".join(
     f"SELECT CAST({r} AS BIGINT) AS round, m{r}.a AS pair_a, m{r}.b AS pair_b, m{r}.c AS pair_count, s{r}.n_symbols, s{r}.total_symbols FROM m{r} CROSS JOIN s{r}"
     for r in range(1, BPE_ROUNDS + 1)
@@ -1831,47 +1886,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce
 
-    d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "w", "cnt",
-            F.concat(
-                F.lit("~~"), F.array_join(F.split("w", ""), "~~"), F.lit("~~")
-            ).alias("s"),
-        )
-    )
-    vocab = words.localCheckpoint(eager=False)
+    vocabs, merges = _bpe_learn(spark, sf_dir)
     syms = "filter(split(s, '~~'), x -> x != '')"
     stats = []
-    for r in range(1, BPE_ROUNDS + 1):
-        pairs = vocab.select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    f"""zip_with(slice({syms}, 1, size({syms}) - 1),
-                                 slice({syms}, 2, size({syms}) - 1),
-                                 (x, y) -> struct(x AS a, y AS b))"""
-                )
-            ).alias("p"),
-        ).select("cnt", "p.a", "p.b")
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
-            .collect()[0]
-        )
-        a, b, c = best["a"], best["b"], int(best["c"])
-        vocab = vocab.withColumn(
-            "s",
-            F.replace(
-                F.col("s"), F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~")
-            ),
-        ).localCheckpoint(eager=False)
+    for r, (vocab, (a, b, c)) in enumerate(zip(vocabs, merges), start=1):
         ex = vocab.select("cnt", F.explode(F.expr(syms)).alias("sym"))
         stats.append(
             ex.agg(
@@ -1887,3 +1905,69 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionByName(y), stats).orderBy("round")
+
+
+@query(
+    "bpe_encode_corpus",
+    category="L5,E245",
+    oracle=f"""{_BPE_VOCAB_CTE}, wsyms AS (
+  SELECT w, CAST(len(list_filter(string_split(s, '~~'), x -> x <> '')) AS BIGINT) AS n_sym,
+         CAST(length(w) AS BIGINT) AS n_ch
+  FROM v{BPE_ROUNDS}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_ch) AS BIGINT) AS n_chars,
+       CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym) * 1000000 // sum(n_ch) AS BIGINT) AS tokens_per_char_ppm
+FROM tok JOIN wsyms USING (w)
+WHERE w <> ''
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the E244-learned BPE merges as a TOKENIZER — the train→encode
+    loop closed: every document's words look up their post-merge symbol
+    counts in the learned vocab, giving exact per-doc token counts and the
+    tokens-per-character compression in integer ppm (the fertility number
+    that decides context-window budgeting; compare token_count_bpe_ish's
+    regex approximation).
+
+    Scale shape: training cost is E244's (vocab-table rounds); encoding is
+    ONE corpus scan — explode words, equi-join the (word → symbol count)
+    table (vocab-sized; AQE broadcasts it when it fits, shuffles
+    otherwise — no forced hint on a table that grows with the corpus), one
+    doc-keyed aggregation. This word-level lookup IS how fast tokenizers
+    encode (word cache in front of the merge machine); unseen-word
+    fallback isn't exercised because the encode corpus equals the training
+    corpus here, as the inner join makes explicit.
+    """
+    vocabs, _ = _bpe_learn(spark, sf_dir)
+    syms = "filter(split(s, '~~'), x -> x != '')"
+    wsyms = vocabs[-1].select(
+        "w",
+        F.expr(f"size({syms})").cast("long").alias("n_sym"),
+        F.length("w").cast("long").alias("n_ch"),
+    )
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return (
+        tok.join(wsyms, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "n_chars", "n_tokens",
+            F.expr("n_tokens * 1000000 DIV n_chars").alias("tokens_per_char_ppm"),
+        )
+        .orderBy("doc_id")
+    )

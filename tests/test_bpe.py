@@ -89,3 +89,55 @@ def test_bpe_chain_merge_semantics(spark, tmp_path):
     # time (aaaa contributes 3, aaa contributes 2, baab contributes 1)
     assert (got[0][1], got[0][2]) == ("a", "a")
     assert got[0][3] == 3 * words["aaaa"] + 2 * words["aaa"] + 1 * words["baab"]
+
+
+def test_bpe_encode_matches_python(spark, sf_dir):
+    """E245 differential: python learns the merges (the already-pinned
+    brute trainer), tokenizes every document word by word, and compares
+    every per-doc row."""
+    from big_data__instagram_analysis_spark.queries.llm_text import (
+        bpe_encode_corpus,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    words: Counter = Counter()
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = ns
+    expected = {}
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        if not ws:
+            continue
+        n_ch = sum(len(w) for w in ws)
+        n_tok = sum(len(vocab[w]) for w in ws)
+        expected[r["doc_id"]] = (
+            len(ws), n_ch, n_tok, n_tok * 1_000_000 // n_ch
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["tokens_per_char_ppm"])
+        for r in bpe_encode_corpus(spark, sf_dir).collect()
+    }
+    assert got == expected and len(got) > 0
