@@ -1220,3 +1220,116 @@ def sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- E246: k-center greedy coreset (farthest-point traversal) ------------------
+
+#: Coreset size: the deterministic seed (min vec_id) + 7 greedy picks.
+KCENTER_K = 8
+
+_KC_DIST = (
+    "list_sum(list_transform(range(1, 1 + len({a})), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled greedy farthest-point traversal: c0 = min vec_id; round r
+    picks argmax of the running min-distance (round(·,6) DESC, vec_id ASC —
+    the ann determinism contract) and folds its distance into the running
+    min for the next round."""
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 1
+), d1 AS (
+  SELECT e.vec_id, e.e,
+         {_KC_DIST.format(a="e.e", b="c0.e")} AS md
+  FROM e CROSS JOIN c0
+)"""]
+    for r in range(1, k):
+        prior = " UNION ALL ".join(
+            [f"SELECT vec_id FROM c0"] + [f"SELECT vec_id FROM c{j}" for j in range(1, r)]
+        )
+        parts.append(f""", c{r} AS (
+  SELECT vec_id, e, md FROM d{r}
+  WHERE vec_id NOT IN ({prior})
+  ORDER BY round(md, 6) DESC, vec_id LIMIT 1
+)""")
+        if r < k - 1:
+            parts.append(f""", d{r + 1} AS (
+  SELECT d.vec_id, d.e,
+         least(d.md, {_KC_DIST.format(a="d.e", b="c.e")}) AS md
+  FROM d{r} d CROSS JOIN c{r} c
+)""")
+    emits = ["SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(0.0 AS DOUBLE) AS dist_q6 FROM c0"]
+    for r in range(1, k):
+        emits.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, round(md, 6) AS dist_q6 FROM c{r}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(emits) + "\nORDER BY rank"
+
+
+@query(
+    "kcenter_coreset_select",
+    category="L3,E246",
+    oracle=_kcenter_oracle_sql(KCENTER_K),
+)
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal — the
+    2-approximation of Gonzalez 1985, the standard diversity-maximizing
+    data-selection pass for active learning / subset distillation): seed
+    with the min vec_id, then k-1 times pick the point FARTHEST from the
+    selected set and fold its distances into every point's running
+    min-distance. Emits the selection order with each pick's covering
+    radius (its min squared distance at pick time, 6dp) — the radius
+    sequence is the coreset's quality certificate (max over the corpus of
+    d(x, coreset) is at most the last radius).
+
+    Scale shape: the running min-distance column makes each round ONE scan
+    of the embeddings (zip_with squared-distance against the single
+    broadcast-literal center + least()), never a distance matrix; the
+    argmax is a TakeOrderedAndProject and the frame is
+    localCheckpoint()ed per round (kmeans idiom, O(1) lineage). Total work
+    O(k·n·dims) — the textbook bound. Determinism: both engines fold the
+    squared diffs left-to-right over identical doubles; ordering uses the
+    ann contract (round(·,6) DESC, vec_id tiebreak).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, int(seed["vec_id"]), 0.0)]
+
+    def dist_to(vec) -> F.Column:
+        center = F.array(*[F.lit(float(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with("e", center, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    md = emb.select("vec_id", "e", dist_to(seed["e"]).alias("md")).localCheckpoint(
+        eager=False
+    )
+    chosen = {picks[0][1]}
+    for r in range(1, KCENTER_K):
+        row = (
+            md.where(~F.col("vec_id").isin(*chosen))
+            .orderBy(F.desc(F.round("md", 6)), "vec_id")
+            .limit(1)
+            .select("vec_id", "e", F.round("md", 6).alias("dq"))
+            .collect()[0]
+        )
+        picks.append((r, int(row["vec_id"]), float(row["dq"])))
+        chosen.add(int(row["vec_id"]))
+        if r < KCENTER_K - 1:
+            md = md.select(
+                "vec_id", "e",
+                F.least("md", dist_to(row["e"])).alias("md"),
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        picks, "rank long, vec_id long, dist_q6 double"
+    ).orderBy("rank")

@@ -97,3 +97,41 @@ def test_sq8_plan_is_scan_shaped(spark, sf_dir):
     assert "generate" not in plan, "quantization must not explode elements"
     assert "hashpartitioning" not in plan, "no shuffle besides the final sort"
     assert "batchevalpython" not in plan and "arroweval" not in plan, "no UDFs"
+
+
+def test_kcenter_coreset_matches_python_greedy(spark, sf_dir):
+    """E246 differential: python runs the exact greedy farthest-point
+    traversal (rounded-distance ordering, vec_id tiebreak — the operator's
+    determinism contract) and compares the full selection sequence, then
+    checks the covering-radius certificate (non-increasing radii; every
+    corpus point within the last pick's radius of the coreset)."""
+    from big_data__instagram_analysis_spark.queries.llm_similarity import (
+        KCENTER_K,
+        kcenter_coreset_select,
+    )
+
+    ids, _labels, mat = _load_np(spark, sf_dir)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    seed = 0  # min vec_id after sort
+    md = ((mat - mat[seed]) ** 2).sum(axis=1)
+    picks = [(0, int(ids[seed]), 0.0)]
+    chosen = {seed}
+    for r in range(1, KCENTER_K):
+        best = min(
+            (i for i in range(len(ids)) if i not in chosen),
+            key=lambda i: (-round(md[i], 6), ids[i]),
+        )
+        picks.append((r, int(ids[best]), float(round(md[best], 6))))
+        chosen.add(best)
+        md = np.minimum(md, ((mat - mat[best]) ** 2).sum(axis=1))
+    got = [
+        (r["rank"], r["vec_id"], r["dist_q6"])
+        for r in kcenter_coreset_select(spark, sf_dir).collect()
+    ]
+    assert got == picks
+    # quality certificate: radii non-increasing, and the final running
+    # min-distance (over ALL points) is bounded by the last pick's radius
+    radii = [d for _, _, d in picks[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+    assert md.max() <= radii[-1] + 1e-6
