@@ -141,3 +141,66 @@ def test_bpe_encode_matches_python(spark, sf_dir):
         for r in bpe_encode_corpus(spark, sf_dir).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_bpe_seeded_fuzz_corpus(spark, tmp_path):
+    """Seeded random corpus stressing the replace()-merge equivalence:
+    words drawn from a tiny alphabet (maximizing repeated-char chains and
+    merge collisions) plus unicode words (codepoint indexing parity).
+    Both the per-round merge table and the final encoding must match the
+    python trainer exactly."""
+    import random
+
+    from big_data__instagram_analysis_spark.queries.llm_text import (
+        bpe_encode_corpus,
+    )
+
+    rng = random.Random(62346)
+    alphabet = ["a", "b", "ж", "数"]
+    vocab_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(25)
+    ] + ["aaaa", "aaab", "baaa", "жжжж"]
+    docs = []
+    for i in range(30):
+        docs.append(
+            (i, " ".join(rng.choice(vocab_words) for _ in range(rng.randint(3, 20))))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "bpefuzz")
+    df.write.parquet(f"{path}/documents.parquet")
+
+    words: Counter = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    expected = _brute_bpe(words, BPE_ROUNDS)
+    got = _collect(bpe_learn_merges(spark, path))
+    assert got == expected
+
+    # encode parity on the same corpus
+    vocab = {w: list(w) for w in words}
+    for r in range(BPE_ROUNDS):
+        a, b = expected[r][1], expected[r][2]
+        for w, syms in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = ns
+    want = {}
+    for i, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        n_ch = sum(len(w) for w in ws)
+        n_tok = sum(len(vocab[w]) for w in ws)
+        want[i] = (len(ws), n_ch, n_tok, n_tok * 1_000_000 // n_ch)
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["tokens_per_char_ppm"])
+        for r in bpe_encode_corpus(spark, path).collect()
+    }
+    assert enc == want
