@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
+from ..operators.windows import two_sided_value_band
 from ..registry import query
 
 
@@ -313,83 +314,26 @@ def value_band_prefix_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def band_prefix_totals(orders: DataFrame) -> DataFrame:
     """Prefix-sum two-sided value band over (o_orderkey, o_orderpriority,
-    o_totalprice) — the decomposition value_band_prefix_totals documents;
-    split out so tests can drive it with hand-built boundary fixtures."""
-    o = orders.select(
+    o_totalprice) — the fixture instantiation of the reusable
+    operators/windows.py::two_sided_value_band decomposition; split out so
+    tests can drive it with hand-built boundary fixtures."""
+    banded = two_sided_value_band(
+        orders,
+        id_col="o_orderkey",
+        partition_by=["o_orderpriority"],
+        value_col="o_totalprice",
+        radius=10000.0,
+        contribs={
+            "cents": F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        },
+    )
+    return banded.select(
         "o_orderkey",
         "o_orderpriority",
-        F.col("o_totalprice").alias("p"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents"),
-    )
-    nul = F.lit(None)
-    anchors = o.select(
-        "o_orderpriority",
-        F.col("p").alias("key"),
-        F.lit(1).alias("tag"),
-        nul.cast("bigint").alias("okey"),
-        nul.cast("double").alias("p_out"),
-        F.col("cents").alias("c_contrib"),
-        F.lit(1).cast("bigint").alias("n_contrib"),
-    )
-
-    def probe(tag: int, offset: float) -> DataFrame:
-        return o.select(
-            "o_orderpriority",
-            (F.col("p") + F.lit(offset)).alias("key"),
-            F.lit(tag).alias("tag"),
-            F.col("o_orderkey").alias("okey"),
-            F.col("p").alias("p_out"),
-            F.lit(0).cast("bigint").alias("c_contrib"),
-            F.lit(0).cast("bigint").alias("n_contrib"),
-        )
-
-    stream = anchors.unionByName(probe(0, -10000.0)).unionByName(
-        probe(2, 10000.0)
-    )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("key", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = stream.select(
-        "o_orderpriority",
-        "tag",
-        "okey",
-        "p_out",
-        F.sum("c_contrib").over(w).alias("cum_c"),
-        F.sum("n_contrib").over(w).alias("cum_n"),
-    ).where(F.col("tag") != 1)
-    hi, lo = F.col("tag") == 2, F.col("tag") == 0
-    return (
-        cums.groupBy("okey")
-        .agg(
-            F.max("o_orderpriority").alias("o_orderpriority"),
-            F.round(F.max("p_out"), 2).alias("price"),
-            (
-                F.max(F.when(hi, F.col("cum_n")))
-                - F.max(F.when(lo, F.col("cum_n")))
-            )
-            .cast("bigint")
-            .alias("n_peers"),
-            (
-                (
-                    F.max(F.when(hi, F.col("cum_c")))
-                    - F.max(F.when(lo, F.col("cum_c")))
-                )
-                / 100.0
-            ).alias("band_total"),
-        )
-        .select(
-            F.col("okey").alias("o_orderkey"),
-            "o_orderpriority",
-            "price",
-            "n_peers",
-            "band_total",
-        )
-        .orderBy("o_orderpriority", "price", "o_orderkey")
-    )
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("band_n").alias("n_peers"),
+        (F.col("cents") / 100.0).alias("band_total"),
+    ).orderBy("o_orderpriority", "price", "o_orderkey")
 
 
 # --- E201: nth_value accessor -------------------------------------------------

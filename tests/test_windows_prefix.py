@@ -97,3 +97,97 @@ def test_prefix_band_equals_bruteforce(spark, rows):
         n = len(peers)
         total = sum(int(q * 100 + 0.5) for _, q in peers) / 100.0
         assert got[okey] == (n, total), (okey, p, prio, got[okey], (n, total))
+
+
+# --- the reusable operator form (operators/windows.py) ------------------------
+
+from pyspark.sql import functions as F
+
+from big_data__instagram_analysis_spark.operators.windows import (
+    two_sided_value_band,
+)
+
+
+def test_operator_generic_schema_two_contribs(spark):
+    """two_sided_value_band on a non-orders schema, two contribution
+    columns, multi-column partitioning — the reusability the E220 query
+    alone can't demonstrate. Brute-forced in python."""
+    data = [
+        (i, src, grp, float(v), w)
+        for i, (src, grp, v, w) in enumerate(
+            [
+                ("web", "x", 10, 1),
+                ("web", "x", 15, 2),
+                ("web", "x", 20, 4),
+                ("web", "x", 31, 8),
+                ("web", "y", 12, 16),
+                ("app", "x", 10, 32),
+                ("app", "x", 10, 64),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(
+        data, "rid long, src string, grp string, score double, wt long"
+    )
+    out = two_sided_value_band(
+        df,
+        id_col="rid",
+        partition_by=["src", "grp"],
+        value_col="score",
+        radius=5.0,
+        contribs={
+            "wt_sum": F.col("wt"),
+            "score_cents": F.floor(F.col("score") * 100 + F.lit(0.5)),
+        },
+    )
+    assert out.columns == [
+        "rid", "src", "grp", "score", "band_n", "wt_sum", "score_cents",
+    ]
+    got = {r["rid"]: r.asDict() for r in out.collect()}
+    assert set(got) == {i for i, *_ in data}
+    for rid, src, grp, v, _ in data:
+        band = [
+            (q, w2)
+            for _, s2, g2, q, w2 in data
+            if (s2, g2) == (src, grp) and v - 5.0 <= q <= v + 5.0
+        ]
+        r = got[rid]
+        assert (r["src"], r["grp"], r["score"]) == (src, grp, v)
+        assert r["band_n"] == len(band), rid
+        assert r["wt_sum"] == sum(w2 for _, w2 in band), rid
+        assert r["score_cents"] == sum(int(q * 100 + 0.5) for q, _ in band), rid
+
+
+def test_operator_plan_has_no_sliding_frame(spark):
+    """The operator's whole point: its plan must contain no sliding
+    (RANGE or bounded-ROWS two-sided) window frame, only incremental
+    UNBOUNDED-PRECEDING running frames."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1)], "rid long, g string, v double, w long"
+    )
+    out = two_sided_value_band(
+        df,
+        id_col="rid",
+        partition_by=["g"],
+        value_col="v",
+        radius=2.0,
+        contribs={"w_sum": F.col("w")},
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ).lower().replace(" ", "")
+    assert "rangeframe" not in plan
+    assert "unboundedpreceding" in plan
+
+
+def test_operator_rejects_reserved_names(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "rid long, g string, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        two_sided_value_band(
+            df,
+            id_col="rid",
+            partition_by=["g"],
+            value_col="v",
+            radius=1.0,
+            contribs={"_band_key": F.lit(1)},
+        )
