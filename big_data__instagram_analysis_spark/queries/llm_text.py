@@ -448,8 +448,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dataset_split_assign",
     category="P6,E47",
     oracle="""
-SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+SELECT CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+            WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars
@@ -468,10 +468,14 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     means adding documents never moves an existing one across splits — the
     property that keeps eval sets uncontaminated across corpus versions.
     Pure integer arithmetic (Knuth's 2654435761), identical in any engine,
-    no shuffle beyond the final count.
+    no shuffle beyond the final count. The id is mod-reduced by the prime
+    1,000,003 BEFORE the multiply so the product stays under 2^63 for any
+    bigint doc_id — unreduced, ids past ~3.47e9 overflow int64, where
+    Spark wraps silently while DuckDB raises (the silent-divergence hazard
+    ADVICE r6 flagged; poisson_bootstrap_ci set the pattern).
     """
     d = load(spark, sf_dir, "documents")
-    b = (F.col("doc_id") * 2654435761) % 100
+    b = ((F.col("doc_id") % 1000003) * 2654435761) % 100
     split = (
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
     )
@@ -842,11 +846,11 @@ WITH toks AS (
   WHERE shared * 1.0 / (x.n_sh + y.n_sh - shared) >= 0.5
 ), lab AS (
   SELECT jaccard,
-         CASE WHEN (doc_a * 2654435761) % 100 < 80 THEN 'train'
-              WHEN (doc_a * 2654435761) % 100 < 90 THEN 'val'
+         CASE WHEN ((doc_a % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+              WHEN ((doc_a % 1000003) * 2654435761) % 100 < 90 THEN 'val'
               ELSE 'test' END AS sa,
-         CASE WHEN (doc_b * 2654435761) % 100 < 80 THEN 'train'
-              WHEN (doc_b * 2654435761) % 100 < 90 THEN 'val'
+         CASE WHEN ((doc_b % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+              WHEN ((doc_b % 1000003) * 2654435761) % 100 < 90 THEN 'val'
               ELSE 'test' END AS sb
   FROM pairs
 )
@@ -875,7 +879,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split on each side, filtered to split-crossing pairs, aggregated per
     (split, split) class. At 100 TB the only added cost over the pair scan
     is a constant-width projection: split labels are arithmetic on ids
-    already present in the pair rows. Zero leaking pairs is the passing
+    already present in the pair rows (mod-reduced before the Knuth
+    multiply, same overflow-safe form as E47 — the two MUST stay one
+    function or the audit labels a different split than E47 assigns). Zero leaking pairs is the passing
     state of a well-built corpus; the fixtures' planted near-dups land in
     different splits often enough to make the audit's positive path
     hash-checkable.
@@ -886,7 +892,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
     def split_of(col: str):
-        b = (F.col(col) * 2654435761) % 100
+        b = ((F.col(col) % 1000003) * 2654435761) % 100
         return (
             F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
         )
@@ -1580,6 +1586,15 @@ def epoch_shuffle_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over all 256 cells of (256*cnt - n)^2, empty cells contributing
     n^2 — χ² = that / (256·n), but the division stays with the reader so
     the emit is hash-portable. Independence ⇒ χ² ≈ 255.
+
+    int64 bound (same caveat length_drift_ks documents for its ppm
+    product): the worst-case term is (255·n)² ≈ 6.5e4·n², so chi2_num
+    fits int64 only up to n ≈ 1e7 docs — beyond that Spark WRAPS silently
+    while DuckDB raises, a silent-divergence hazard. Past that corpus
+    size, run the identical plan with the sum cast to decimal(38,0)
+    (DuckDB HUGEINT) instead of long; kept long here because the fixture
+    tiers sit orders of magnitude under the bound and bigint hashing is
+    the cross-engine house idiom.
 
     Scale shape: one scan, one 256-key groupBy (map-side partials collapse
     every task to ≤256 rows before the only shuffle), one-row emit; the
