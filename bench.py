@@ -48,14 +48,28 @@ and writes the complete decomposition (per-query mean/stdev, concurrent
 runs, llm_set per-query, the full floor object) to BENCH_DETAIL.json
 beside this script.
 
-`value` and `queries` keep their r1-r3 meaning (comparable across rounds),
-reporting the min over reps — the standard systems-bench convention for
-isolating the code's cost from scheduler jitter.
+`value` and `queries` report the min over reps — the standard systems-bench
+convention for isolating the code's cost from scheduler jitter.
+
+PROTOCOL BREAK (round 6): sequential reps switched from interleaved
+(q1..q10, repeat) to per-query back-to-back, matching the DuckDB
+baseline's cold-then-warm protocol (BASELINE.md §4). Per-query `queries`
+mins from r6 onward carry warmer cache/JIT state than r1-r5 and are NOT
+comparable to earlier rounds' per-query numbers (the interleaved protocol
+read 25-40% higher — PERF.md §40). The headline concurrent whole-set
+`value` is unaffected; cross-round per-query comparisons are valid within
+r1-r5 and within r6+, not across the break.
+
+Round 7 adds (VERDICT r6 next-round #1/#4): the llm_set runs ≥3 reps with
+mean/stdev fields (so ±15% swings are classifiable against a noise band),
+plus an llm floor decomposition and `llm_datapath_vs_duckdb` against the
+measured DuckDB baseline in LLM_BASELINE.json (tools/llm_baseline.py —
+the registered oracle SQL texts timed warm at sf0.1, BASELINE.md §2b).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_REPS (default 5), SPARK_GRAFT_BENCH_CONC_REPS (3),
-     SPARK_GRAFT_BENCH_LLM_REPS (default 2, 0 disables the llm_set pass).
+     SPARK_GRAFT_BENCH_LLM_REPS (default 3, 0 disables the llm_set pass).
 """
 
 from __future__ import annotations
@@ -127,7 +141,7 @@ def main() -> None:
 
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
-    n_llm = int(os.environ.get("SPARK_GRAFT_BENCH_LLM_REPS", "2"))
+    n_llm = int(os.environ.get("SPARK_GRAFT_BENCH_LLM_REPS", "3"))
 
     # Sequential reps run PER-QUERY BACK-TO-BACK (round 6), matching the
     # DuckDB baseline's protocol — BASELINE.md §4 times each query's warm
@@ -262,9 +276,11 @@ def main() -> None:
         conc_runs.append(round(time.perf_counter() - t0, 4))
     concurrent = min(conc_runs)
 
-    # LLM heavy tail (tag llm_bench): sequential, low rep count — these are
-    # the multi-second queries; the point is trendline visibility, not
-    # microbenchmark precision.
+    # LLM heavy tail (tag llm_bench): sequential, ≥3 reps with mean/stdev
+    # (VERDICT r6 "What's wrong #2": at reps=2 a ±15% swing like minhash
+    # r5→r6 was unclassifiable as noise vs regression). Same floor
+    # decomposition as the headline set, and the same datapath-vs-DuckDB
+    # ratio — against the measured oracle-SQL baseline in LLM_BASELINE.json.
     llm_out = {}
     if n_llm > 0 and llm_names:
         for name in llm_names:  # one untimed warm pass
@@ -277,11 +293,46 @@ def main() -> None:
                 dfs_llm[name].toPandas()
                 llm_samples[name].append(time.perf_counter() - t0)
         llm_q = {n: round(min(s), 4) for n, s in llm_samples.items()}
+        llm_floor: dict[str, float] = {}
+        for name in llm_names:
+            specs[name].fn(spark, floor_dir).toPandas()  # warm the 1-row plans
+            walls = []
+            for _ in range(3):
+                df = specs[name].fn(spark, floor_dir)
+                t0 = time.perf_counter()
+                df.toPandas()
+                walls.append(time.perf_counter() - t0)
+            llm_floor[name] = round(min(walls), 4)
+        llm_wall = round(sum(llm_q.values()), 4)
+        llm_floor_sec = round(sum(llm_floor.values()), 4)
         llm_out = {
-            "wall_sec": round(sum(llm_q.values()), 4),
+            "wall_sec": llm_wall,
             "queries": llm_q,
+            "queries_mean": {
+                n: round(statistics.fmean(s), 4) for n, s in llm_samples.items()
+            },
+            "queries_stdev": {
+                n: round(statistics.stdev(s), 4) if len(s) > 1 else 0.0
+                for n, s in llm_samples.items()
+            },
             "reps": n_llm,
+            "floor_sec": llm_floor_sec,
+            "per_query_floor": llm_floor,
+            "datapath_sec": round(llm_wall - llm_floor_sec, 4),
         }
+        llm_baseline_path = os.path.join(REPO_ROOT, "LLM_BASELINE.json")
+        if os.path.exists(llm_baseline_path):
+            with open(llm_baseline_path) as f:
+                lb = json.load(f)
+            # Ratio is valid only if the baseline covers the same query set
+            # at the same scale factor.
+            if set(lb.get("queries", {})) == set(llm_names) and lb.get(
+                "sf_dir"
+            ) == sf_dir:
+                llm_out["duckdb_baseline_sec"] = lb["value"]
+                llm_out["datapath_vs_duckdb"] = round(
+                    llm_out["datapath_sec"] / lb["value"], 3
+                )
 
     # Round 6: the driver records only the LAST 2000 chars of stdout and
     # json-parses the final line; the full payload (~3.5 KB) has exceeded
@@ -315,6 +366,9 @@ def main() -> None:
         "sequential_wall_sec": sequential,
         "concurrent_wall_sec": concurrent,
         "llm_wall_sec": llm_out.get("wall_sec"),
+        "llm_datapath_sec": llm_out.get("datapath_sec"),
+        "llm_duckdb_baseline_sec": llm_out.get("duckdb_baseline_sec"),
+        "llm_datapath_vs_duckdb": llm_out.get("datapath_vs_duckdb"),
         "floor_sec": floor["floor_sec"],
         "datapath_sec": floor["datapath_sec"],
         "datapath_vs_duckdb": floor["datapath_vs_duckdb"],
@@ -323,7 +377,14 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact)
-    assert len(line) < 1900, f"bench stdout line too long ({len(line)}) for driver tail"
+    if len(line) >= 1900:
+        # Never abort after the reps have run (ADVICE r6): the per-query map
+        # is the growable part and already lives in BENCH_DETAIL.json — drop
+        # it from stdout rather than lose the whole run to the driver's
+        # 2000-char tail.
+        compact.pop("queries", None)
+        compact["queries_note"] = "dropped from stdout (line>1900ch); see detail"
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 
