@@ -204,3 +204,74 @@ def test_bpe_seeded_fuzz_corpus(spark, tmp_path):
         for r in bpe_encode_corpus(spark, path).collect()
     }
     assert enc == want
+
+
+def test_bpe_seeded_fuzz_multibyte_scripts(spark, tmp_path):
+    """Adversarial unicode fuzz (VERDICT r6 #7): the double-separator
+    replace() merge and all codepoint arithmetic exercised on CJK,
+    combining marks (U+0301/U+0308 as standalone codepoints a merge can
+    join to their base letter), Hangul, Arabic (RTL), and an astral-plane
+    emoji (surrogate-pair parity between JVM strings and python str).
+    Same exactness contract as the ASCII-leaning fuzz: per-round merge
+    table AND final encoding must equal the python brute-force trainer."""
+    import random
+
+    from big_data__instagram_analysis_spark.queries.llm_text import (
+        bpe_encode_corpus,
+    )
+
+    rng = random.Random(991237)
+    alphabet = [
+        "中", "文", "数",            # CJK ideographs
+        "e", "́", "̈",     # base + combining acute / diaeresis
+        "한", "글",                   # Hangul syllables
+        "م", "ر",                    # Arabic (RTL)
+        "😀",                         # astral plane (surrogate pair in UTF-16)
+        "ß",                          # casing edge-case letter
+    ]
+    vocab_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(20)
+    ] + ["中中中中", "éé", "😀😀😀", "한글한글"]
+    docs = []
+    for i in range(25):
+        docs.append(
+            (i, " ".join(rng.choice(vocab_words) for _ in range(rng.randint(3, 15))))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "bpemb")
+    df.write.parquet(f"{path}/documents.parquet")
+
+    words: Counter = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    expected = _brute_bpe(words, BPE_ROUNDS)
+    got = _collect(bpe_learn_merges(spark, path))
+    assert got == expected
+
+    vocab = {w: list(w) for w in words}
+    for r in range(BPE_ROUNDS):
+        a, b = expected[r][1], expected[r][2]
+        for w, syms in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = ns
+    want = {}
+    for i, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        n_ch = sum(len(w) for w in ws)
+        n_tok = sum(len(vocab[w]) for w in ws)
+        want[i] = (len(ws), n_ch, n_tok, n_tok * 1_000_000 // n_ch)
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["tokens_per_char_ppm"])
+        for r in bpe_encode_corpus(spark, path).collect()
+    }
+    assert enc == want
