@@ -33,6 +33,53 @@ from ..io import load, scratch_dir
 
 _sink_counter = itertools.count()
 
+#: Progress log: every run_available_now appends one record per executed
+#: StreamingQuery — {"sink", "batches", "state_operators": [the final
+#: progress's stateOperators entries], "max_state_rows", "max_state_bytes",
+#: "rows_dropped_by_watermark"}. Costs one recentProgress read per query;
+#: consumed by tools/stream_state_metrics.py to prove state boundedness
+#: quantitatively (VERDICT r6 #6). Reset with reset_progress_log().
+PROGRESS_LOG: list[dict] = []
+
+
+def reset_progress_log() -> None:
+    PROGRESS_LOG.clear()
+
+
+def _record_progress(sink_name: str, q) -> None:
+    try:
+        progresses = q.recentProgress or []
+    except Exception:  # progress is diagnostics — never fail the query on it
+        return
+    state_rows = state_bytes = dropped = 0
+    final_ops: list[dict] = []
+    for p in progresses:
+        for op in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
+            state_bytes = max(state_bytes, int(op.get("memoryUsedBytes") or 0))
+            dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+    if progresses:
+        final_ops = [
+            {
+                "operatorName": op.get("operatorName"),
+                "numRowsTotal": op.get("numRowsTotal"),
+                "memoryUsedBytes": op.get("memoryUsedBytes"),
+                "numRowsDroppedByWatermark": op.get("numRowsDroppedByWatermark"),
+                "numRowsRemoved": op.get("numRowsRemoved"),
+            }
+            for op in progresses[-1].get("stateOperators") or []
+        ]
+    PROGRESS_LOG.append(
+        {
+            "sink": sink_name,
+            "batches": len(progresses),
+            "max_state_rows": state_rows,
+            "max_state_bytes": state_bytes,
+            "rows_dropped_by_watermark": dropped,
+            "state_operators_final": final_ops,
+        }
+    )
+
 
 def events_stream(
     spark: SparkSession,
@@ -79,5 +126,6 @@ def run_available_now(
     try:
         q.awaitTermination(timeout_s)
     finally:
+        _record_progress(name, q)
         q.stop()
     return sdf.sparkSession.table(name)
