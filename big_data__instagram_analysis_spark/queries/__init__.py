@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     curation,
     dataframe_ops,
     joins,
+    llm_audit,
     llm_dedup,
     llm_multimodal,
     llm_similarity,

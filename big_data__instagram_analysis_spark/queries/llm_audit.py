@@ -1,0 +1,271 @@
+"""Corpus-forensics audits (round 7): the measurement queries a training-data
+team runs ON the pipeline's own outputs — packing efficiency, duplicate
+cluster-size distribution, cross-source syndication, and character-class
+census. All four are counting scans + narrow integer aggregations (no pair
+joins, no UDFs), so they cost one or two small shuffles at any corpus size;
+every emitted measure is exact integer (counts / ppm via integer division)
+for cross-engine hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+#: whitespace tokens (house idiom, matches curation.py / llm_text.py)
+_TOKENS = "filter(split(text, ' '), t -> t <> '')"
+#: normalized text (house exact-dedup normalization, curation.py oracle)
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: packing budget — must match sequence_packing (curation.py E19)
+PACK_BUDGET = 512
+
+
+@query(
+    "packing_efficiency_audit",
+    category="W5,E19",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), batches AS (
+  SELECT lang, (cum - n_tokens) // {PACK_BUDGET} AS batch_id,
+         sum(n_tokens) AS tok
+  FROM c GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest({PACK_BUDGET} - tok, 0)) AS BIGINT) AS underfill_tokens,
+       CAST(sum(CASE WHEN tok > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_batches,
+       CAST(sum(least(tok, {PACK_BUDGET})) * 1000000
+            // ({PACK_BUDGET} * count(*)) AS BIGINT) AS fill_ppm
+FROM batches
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over E19's greedy batch assignment: per
+    language shard, how full the ≤512-token training batches actually are —
+    underfilled tokens (padding waste), batches the boundary-crossing doc
+    overflows, and the capped fill ratio in ppm. The metric a pipeline
+    watches to decide whether to re-sort by length before packing.
+
+    Same per-shard prefix-sum as sequence_packing (one sort-shuffle per
+    lang partition), then two narrow integer groupBys — batch count per
+    shard ≈ corpus_tokens/512, so the audit aggregation input is ~0.2% of
+    the token-count rows. All emits are exact integers; fill_ppm uses
+    integer division on both engines (Spark `div`, DuckDB `//`).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batches = (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .select("lang", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("batch_id"), "n_tokens")
+        .groupBy("lang", "batch_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+    )
+    return (
+        batches.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.lit(PACK_BUDGET) - F.col("tok"), F.lit(0)))
+            .cast("bigint")
+            .alias("underfill_tokens"),
+            F.sum((F.col("tok") > PACK_BUDGET).cast("long"))
+            .cast("bigint")
+            .alias("overflow_batches"),
+            F.expr(
+                f"CAST(sum(least(tok, {PACK_BUDGET})) * 1000000"
+                f" div ({PACK_BUDGET} * count(*)) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    category="P5,E243",
+    oracle=f"""
+WITH keys AS (
+  SELECT 'exact' AS key_kind, sha256({_NORM_SQL}) AS k FROM documents
+  UNION ALL
+  SELECT 'prefix40', sha256(substr({_NORM_SQL}, 1, 40)) FROM documents
+), clusters AS (
+  SELECT key_kind, k, count(*) AS sz FROM keys GROUP BY 1, 2
+)
+SELECT key_kind, CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM clusters
+GROUP BY key_kind, sz
+ORDER BY key_kind, cluster_size
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the first corpus-forensics
+    plot after any dedup run: how many clusters of size 1, 2, 3 … exist,
+    under (a) the exact normalized-text key and (b) a 40-char normalized
+    prefix (catches shared boilerplate openings exact hashing misses).
+
+    Two keyed counting aggregations per key kind: hash-key groupBy (group
+    size = true dup multiplicity), then a ≤max_cluster_size-row histogram
+    groupBy — the second input is one row per CLUSTER, so the heavy
+    shuffle is the same single sha2-key exchange exact_dedup_docs pays.
+    Keys are sha2'd so the exchange carries 32-byte keys, not documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.expr(_NORM)
+    keys = d.select(
+        F.lit("exact").alias("key_kind"), F.sha2(norm, 256).alias("k")
+    ).unionByName(
+        d.select(
+            F.lit("prefix40").alias("key_kind"),
+            F.sha2(F.substring(norm, 1, 40), 256).alias("k"),
+        )
+    )
+    clusters = keys.groupBy("key_kind", "k").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        clusters.groupBy("key_kind", "sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "key_kind",
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("key_kind", "cluster_size")
+    )
+
+
+@query(
+    "source_syndication_audit",
+    category="L1,E185",
+    oracle=f"""
+WITH h AS (
+  SELECT sha256({_NORM_SQL}) AS k, source FROM documents
+), per_text AS (
+  SELECT k, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+  FROM h GROUP BY k
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_texts,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM per_text
+GROUP BY n_sources
+ORDER BY n_sources
+""",
+)
+def source_syndication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication: how many normalized texts appear in 1, 2,
+    … distinct sources. Rows with n_sources ≥ 2 are syndicated/mirrored
+    content — the duplication a per-source dedup cannot see and the reason
+    production dedup keys on content, never (source, content).
+
+    One sha2-key shuffle (count-distinct over source rides the same
+    exchange), then a ≤n_sources-row histogram: identical scale shape to
+    exact dedup. Emitting the full histogram (including n_sources = 1)
+    keeps the audit non-vacuous at small fixtures while the ≥2 tail is
+    the finding.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_text = (
+        d.select(F.sha2(F.expr(_NORM), 256).alias("k"), "source")
+        .groupBy("k")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        per_text.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_texts"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("n_sources").cast("bigint").alias("n_sources"), "n_texts", "n_docs")
+        .orderBy("n_sources")
+    )
+
+
+@query(
+    "charclass_census_by_source",
+    category="L6,E228",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upp,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           AS punct
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       CAST(sum(dig) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
+       CAST(sum(upp) * 1000000 // sum(n) AS BIGINT) AS upper_ppm,
+       CAST(sum(punct) * 1000000 // sum(n) AS BIGINT) AS punct_ppm
+FROM m
+GROUP BY source
+ORDER BY source
+""",
+)
+def charclass_census_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per source: digit / uppercase / punctuation
+    densities in ppm — the cheap fasttext-free quality signals (tables and
+    code dumps are digit/punct-heavy, shouting spam is uppercase-heavy)
+    that feed per-source curation decisions upstream of any model scorer.
+
+    Class counts via length(text) − length(regexp_replace(class, '')) —
+    whole-stage-codegen JVM regex, no UDF; one narrow groupBy on source.
+    Densities divide SUMS (corpus-level ppm, exact integer division on
+    both engines), not per-doc averages, so the emit is hash-stable.
+    """
+    d = load(spark, sf_dir, "documents")
+
+    def cnt(pat: str) -> F.Column:
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    m = d.select(
+        "source",
+        F.length("text").alias("n"),
+        cnt("[0-9]").alias("dig"),
+        cnt("[A-Z]").alias("upp"),
+        cnt("[^a-zA-Z0-9 ]").alias("punct"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_chars"),
+            F.expr("CAST(sum(dig) * 1000000 div sum(n) AS BIGINT)").alias("digit_ppm"),
+            F.expr("CAST(sum(upp) * 1000000 div sum(n) AS BIGINT)").alias("upper_ppm"),
+            F.expr("CAST(sum(punct) * 1000000 div sum(n) AS BIGINT)").alias(
+                "punct_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -4,6 +4,8 @@
 #   2. driver-sim at sf0.01 (the driver's own check, full registry)
 #   3. driver-sim at sf0.1 with time budgets -> PARITY_SF01_r{N}.txt
 #   4. COVERAGE.md currency check
+#   5. state-store boundedness metrics for the heavy streaming queries
+#      -> STREAM_STATE.json (VERDICT r6 #6: attached to the sweep artifacts)
 # Usage: tools/round_closeout.sh <round-number>
 set -e
 cd "$(dirname "$0")/.."
@@ -15,4 +17,5 @@ python tools/drive_driver.py --sf /root/testdata/sf0.1 \
   || { tail -5 "PARITY_SF01_r${R}.txt"; exit 1; }
 tail -3 "PARITY_SF01_r${R}.txt"
 python tools/coverage_report.py --check
+python tools/stream_state_metrics.py --sf /root/testdata/sf0.1 2>/dev/null | tail -6
 echo "CLOSEOUT r${R}: all gates green"
