@@ -1,0 +1,130 @@
+"""Python brute-force differentials for the corpus-forensics audits
+(queries/llm_audit.py) — independent of both engines' SQL, recomputed
+from the parquet with plain python."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from big_data__instagram_analysis_spark.registry import get_specs
+
+PACK_BUDGET = 512
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    return t.to_pylist()
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def test_packing_efficiency_matches_bruteforce(spark, sf_dir):
+    docs = sorted(_docs(sf_dir), key=lambda d: d["doc_id"])
+    batches: dict[tuple, int] = Counter()
+    cum: dict[str, int] = Counter()
+    for d in docs:
+        toks = len([t for t in d["text"].split(" ") if t])
+        start = cum[d["lang"]]
+        batches[(d["lang"], start // PACK_BUDGET)] += toks
+        cum[d["lang"]] += toks
+    want = {}
+    for lang in sorted({d["lang"] for d in docs}):
+        sizes = [v for (lg, _), v in batches.items() if lg == lang]
+        want[lang] = (
+            len(sizes),
+            sum(sizes),
+            sum(max(PACK_BUDGET - s, 0) for s in sizes),
+            sum(1 for s in sizes if s > PACK_BUDGET),
+            sum(min(s, PACK_BUDGET) for s in sizes) * 1_000_000
+            // (PACK_BUDGET * len(sizes)),
+        )
+    got = {
+        r["lang"]: (
+            r["n_batches"],
+            r["total_tokens"],
+            r["underfill_tokens"],
+            r["overflow_batches"],
+            r["fill_ppm"],
+        )
+        for r in get_specs()["packing_efficiency_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dup_cluster_histogram_matches_bruteforce(spark, sf_dir):
+    docs = _docs(sf_dir)
+    want = Counter()
+    for kind, key in (
+        ("exact", lambda d: _norm(d["text"])),
+        ("prefix40", lambda d: _norm(d["text"])[:40]),
+    ):
+        sizes = Counter(key(d) for d in docs)
+        for sz, n in Counter(sizes.values()).items():
+            want[(kind, sz)] = n
+    got = {
+        (r["key_kind"], r["cluster_size"]): r["n_clusters"]
+        for r in get_specs()["dup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(want) and len(got) > 0
+    # row-conservation invariant: every doc is in exactly one cluster per kind
+    rows = get_specs()["dup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    for kind in ("exact", "prefix40"):
+        assert sum(r["n_docs"] for r in rows if r["key_kind"] == kind) == len(docs)
+
+
+def test_syndication_matches_bruteforce(spark, sf_dir):
+    docs = _docs(sf_dir)
+    per_text: dict[str, set] = {}
+    n_docs_per_text: Counter = Counter()
+    for d in docs:
+        k = _norm(d["text"])
+        per_text.setdefault(k, set()).add(d["source"])
+        n_docs_per_text[k] += 1
+    hist_texts, hist_docs = Counter(), Counter()
+    for k, srcs in per_text.items():
+        hist_texts[len(srcs)] += 1
+        hist_docs[len(srcs)] += n_docs_per_text[k]
+    got = {
+        r["n_sources"]: (r["n_texts"], r["n_docs"])
+        for r in get_specs()["source_syndication_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: (hist_texts[k], hist_docs[k]) for k in hist_texts}
+
+
+def test_charclass_census_matches_bruteforce(spark, sf_dir):
+    docs = _docs(sf_dir)
+    agg: dict[str, list[int]] = {}
+    for d in docs:
+        t = d["text"]
+        a = agg.setdefault(d["source"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += sum(c.isdigit() and c.isascii() for c in t)
+        a[3] += sum("A" <= c <= "Z" for c in t)
+        a[4] += sum(not (c.isalnum() and c.isascii()) and c != " " for c in t)
+    want = {
+        src: (
+            n,
+            ch,
+            dig * 1_000_000 // ch,
+            up * 1_000_000 // ch,
+            pu * 1_000_000 // ch,
+        )
+        for src, (n, ch, dig, up, pu) in agg.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_chars"],
+            r["digit_ppm"],
+            r["upper_ppm"],
+            r["punct_ppm"],
+        )
+        for r in get_specs()["charclass_census_by_source"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
