@@ -1355,7 +1355,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), rare AS (
   SELECT f.doc_id, f.fp
   FROM fps f JOIN dfreq USING (fp) CROSS JOIN nd
-  WHERE df BETWEEN 2 AND greatest(2, n_docs // 50)
+  WHERE df BETWEEN 2 AND least(greatest(2, n_docs // 50), 100)
 ), nr AS (
   SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id
 ), pr AS (
@@ -1377,17 +1377,26 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared run >= k + w - 1 chars is guaranteed to surface). Per document
     the DISTINCT fingerprint set feeds a document-frequency filter that
     drops both singletons (df = 1 cannot pair) and stopword grams
-    (df > max(2, n_docs/50) — the standard MOSS "too common to be
-    interesting" cull, expressed scale-relatively so the cutoff survives
-    corpus growth); survivors equi-join on fingerprint, and pairs rank by
-    shared count with an overlap coefficient (shared / min set size) in
-    integer ppm.
+    (df > min(max(2, n_docs/50), 100) — the MOSS "too common to be
+    interesting" cull: relative at small corpora, ABSOLUTE (100) once the
+    corpus outgrows it); survivors equi-join on fingerprint, and pairs
+    rank by shared count with an overlap coefficient (shared / min set
+    size) in integer ppm.
 
     Scale shape: the winnowing itself is the scan-shaped zero-shuffle HOF
     core (`_winnow_selected`); the df filter bounds every fingerprint's
     pair fan-out to df_cap^2 BEFORE the self-join, which is what keeps the
     candidate generation sub-quadratic at 100 TB (identical reasoning to
     the banded MinHash join); the final top-50 is TakeOrderedAndProject.
+    The absolute leg of the cap is load-bearing (round 7, SCALE_SLOPE /
+    PERF.md §45): with only the relative n_docs/50 cap, bucket sizes are
+    ALLOWED to grow with the corpus and measured pair fan-out (Σ df² over
+    surviving fps) scaled ×482 for a ×10 corpus — fitted exponent 1.5.
+    Capping df at 100 bounds per-fp fan-out at 10^4 pairs, total ≤
+    100·|fps| = O(corpus); a gram shared by hundreds of documents is
+    boilerplate regardless of corpus size, so the cutoff is semantic, not
+    just defensive. At the fixture tiers (n_docs ≤ 5,000) the relative
+    term binds first, so results are bit-identical to the pre-cap form.
     The 1-row corpus-count frame cross-joins in (broadcast of one row),
     never a per-doc table. Oracle re-derives everything through the
     lateral-unnest winnowing plan plus plain SQL joins.
@@ -1417,7 +1426,7 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ndocs)
         .where(
             (F.col("df") >= 2)
-            & (F.col("df") <= F.expr("greatest(2, n_docs DIV 50)"))
+            & (F.col("df") <= F.expr("least(greatest(2, n_docs DIV 50), 100)"))
         )
         .select("doc_id", "fp")
         .localCheckpoint(eager=False)
@@ -1669,7 +1678,7 @@ INGEST_GATE_SHARED = 3
   JOIN dfreq USING (fp)
   JOIN documents src USING (doc_id)
   CROSS JOIN nd
-  WHERE df BETWEEN 2 AND greatest(2, n_docs // 50)
+  WHERE df BETWEEN 2 AND least(greatest(2, n_docs // 50), 100)
 ), hits AS (
   SELECT n.doc_id, n.source, r.doc_id AS ref_doc, count(*) AS shared
   FROM rare n JOIN rare r ON n.fp = r.fp
@@ -1707,7 +1716,9 @@ def ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/sum of best-match scores.
 
     Scale shape: the winnow core is the scan-shaped zero-shuffle HOF
-    pipeline; the df cull bounds per-fingerprint fan-out BEFORE the
+    pipeline; the df cull (relative n_docs/50 AND absolute 100 — the
+    absolute leg bounds fan-out at any corpus size, see winnow_match_pairs
+    / PERF.md §45) bounds per-fingerprint fan-out BEFORE the
     batch x reference join, and the join's reference side is only the
     reference corpus's culled fingerprints (at 100 TB the ingest batch
     streams against a reference fingerprint index that this query's rare
@@ -1731,7 +1742,7 @@ def ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ndocs)
         .where(
             (F.col("df") >= 2)
-            & (F.col("df") <= F.expr("greatest(2, n_docs DIV 50)"))
+            & (F.col("df") <= F.expr("least(greatest(2, n_docs DIV 50), 100)"))
         )
         .select("doc_id", "source", "fp")
         .localCheckpoint(eager=False)
