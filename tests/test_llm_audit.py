@@ -128,3 +128,45 @@ def test_charclass_census_matches_bruteforce(spark, sf_dir):
         for r in get_specs()["charclass_census_by_source"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --- winnow df-cull: the absolute occupancy leg (PERF.md §45) -----------------
+
+
+def test_winnow_absolute_df_cap_binds_beyond_relative(spark, tmp_path):
+    """A fingerprint bucket of 102 identical docs in a 5,200-doc corpus
+    survives the RELATIVE cull (102 <= 5200/50 = 104) but must be dropped
+    by the ABSOLUTE cap (df > 100) — the round-7 fix that keeps pair
+    fan-out O(corpus) (without it, a x10 corpus measured x482 the join
+    input). A df=3 bucket must still pair."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    import random
+    import string
+
+    common = "commonblock shared boilerplate run of text"
+    rare = "rareneedle unique shared fragment here"
+    docs = [(i, common) for i in range(102)]
+    docs += [(102 + j, rare) for j in range(3)]
+    # fillers: seeded-random 24-char strings — the corpus is deterministic,
+    # and for this fixed draw no two fillers share an 8-gram (verified by
+    # the assertion below; collision odds per draw ~1e-3)
+    rng = random.Random(424243)
+    docs += [
+        (105 + i, "".join(rng.choice(string.ascii_lowercase) for _ in range(24)))
+        for i in range(5095)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "winnowcap")
+    df.coalesce(4).write.parquet(f"{path}/documents.parquet")
+
+    rows = get_specs()["winnow_match_pairs"].fn(spark, path).collect()
+    pair_docs = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    # the load-bearing property: NOTHING from the df=102 bucket pairs
+    assert not (pair_docs & set(range(102))), sorted(pair_docs)[:10]
+    # the df=3 bucket still pairs, with full overlap (random fillers can
+    # contribute stray shared_fps=1 pairs via 31-bit fp collisions)
+    strong = [r for r in rows if r["shared_fps"] >= 2]
+    assert {r["doc_a"] for r in strong} | {r["doc_b"] for r in strong} == {102, 103, 104}
+    assert len(strong) == 3
+    assert all(r["overlap_ppm"] == 1_000_000 for r in strong)
