@@ -191,3 +191,47 @@ def test_operator_rejects_reserved_names(spark):
             radius=1.0,
             contribs={"_band_key": F.lit(1)},
         )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=12).map(lambda k: k * 2.5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_operator_band_equals_bruteforce(spark, rows):
+    """Hypothesis differential for the GENERIC operator: multi-column
+    partitions, a signed contribution, radius-5 closed bands on a 2.5-step
+    value lattice (boundary collisions constantly)."""
+    data = [(i, g1, g2, v, w) for i, (g1, g2, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, g1 string, g2 string, v double, w long"
+    )
+    out = two_sided_value_band(
+        df,
+        id_col="rid",
+        partition_by=["g1", "g2"],
+        value_col="v",
+        radius=5.0,
+        contribs={"w_sum": F.col("w")},
+    )
+    got = {r["rid"]: (r["band_n"], r["w_sum"]) for r in out.collect()}
+    assert set(got) == {i for i, *_ in data}
+    for rid, g1, g2, v, _ in data:
+        band = [
+            (q, w2)
+            for _, h1, h2, q, w2 in data
+            if (h1, h2) == (g1, g2) and v - 5.0 <= q <= v + 5.0
+        ]
+        assert got[rid] == (len(band), sum(w2 for _, w2 in band)), (rid, v)
