@@ -269,3 +269,121 @@ def charclass_census_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "vocab_growth_by_source",
+    category="L6,E73",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT t) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+FROM toks
+GROUP BY source
+ORDER BY source
+""",
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary audit: tokens vs distinct types per source, with
+    the type-token ratio in ppm. Template/machine-generated sources show
+    anomalously low TTR for their volume (vocabulary saturates); scraped
+    natural text keeps growing — the single cheapest generated-content
+    tripwire before any model-based detector.
+
+    One explode + a (source, token)-keyed distinct that partial-aggregates
+    map-side before the only shuffle, then a per-source count: the same
+    two-level distinct shape as A3's count-distinct rows, linear at any
+    corpus size. All-integer emit (ppm via integer division both engines).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("t")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("t").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr("CAST(n_types * 1000000 div n_tokens AS BIGINT)").alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "length_percentiles_by_source",
+    category="A7,E229",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = greatest(1, n * 10 // 100) THEN n_chars END)
+            AS BIGINT) AS p10_chars,
+       CAST(max(CASE WHEN rn = greatest(1, n * 50 // 100) THEN n_chars END)
+            AS BIGINT) AS p50_chars,
+       CAST(max(CASE WHEN rn = greatest(1, n * 90 // 100) THEN n_chars END)
+            AS BIGINT) AS p90_chars
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles (p10/p50/p90 of n_chars) by
+    deterministic rank selection — the per-source twin of E229's
+    length-drift KS statistic, giving the drift a human-readable location
+    (WHERE the distribution sits, not just that it moved).
+
+    Engine-exact by construction: the percentile is the value at integer
+    rank floor(n·p/100) (min 1) under the total order (n_chars, doc_id) —
+    no interpolation, so no float percentile semantics to reconcile
+    between engines. One shuffle on source; within-partition sort ranks
+    independently per source at any scale (same shape as E238's
+    percentile cut).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def at(p: int) -> F.Column:
+        return (
+            F.max(
+                F.when(
+                    F.col("rn") == F.greatest(F.lit(1), F.expr(f"n * {p} div 100")),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{p}_chars")
+        )
+
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            at(10),
+            at(50),
+            at(90),
+        )
+        .orderBy("source")
+    )

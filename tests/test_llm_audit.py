@@ -170,3 +170,39 @@ def test_winnow_absolute_df_cap_binds_beyond_relative(spark, tmp_path):
     assert {r["doc_a"] for r in strong} | {r["doc_b"] for r in strong} == {102, 103, 104}
     assert len(strong) == 3
     assert all(r["overlap_ppm"] == 1_000_000 for r in strong)
+
+
+def test_vocab_growth_matches_bruteforce(spark, sf_dir):
+    docs = _docs(sf_dir)
+    agg: dict[str, tuple[int, set]] = {}
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t]
+        n, types = agg.setdefault(d["source"], [0, set()])
+        agg[d["source"]][0] += len(toks)
+        types.update(toks)
+    want = {
+        src: (n, len(ty), len(ty) * 1_000_000 // n) for src, (n, ty) in agg.items()
+    }
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["ttr_ppm"])
+        for r in get_specs()["vocab_growth_by_source"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_length_percentiles_match_bruteforce(spark, sf_dir):
+    docs = _docs(sf_dir)
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append((d["n_chars"], d["doc_id"]))
+    want = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        pick = lambda p: vals[max(1, n * p // 100) - 1][0]
+        want[src] = (n, pick(10), pick(50), pick(90))
+    got = {
+        r["source"]: (r["n_docs"], r["p10_chars"], r["p50_chars"], r["p90_chars"])
+        for r in get_specs()["length_percentiles_by_source"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
