@@ -129,8 +129,15 @@ def ngram_jaccard_pairs(
     # shingle_rows: codegen posexplode+lead shingling (equivalence
     # fuzz-pinned against token_shingles) — the HOF array form measured ~5x
     # slower at sf0.1 and this operator only needs the exploded rows.
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).select(
-        F.col(id_col).alias("doc"), "s"
+    # Three consumers (sizes + both self-join sides) share ONE lazy
+    # localCheckpoint materialization of the shingle rows instead of
+    # re-running the scan+window shingling per lineage branch (ABAB
+    # ~10% on the minhash twin at sf0.1; memory-and-disk storage, a
+    # deliberate spill-for-recompute trade on a 3x-reused frame).
+    sh = (
+        shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col(id_col).alias("doc"), "s")
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -278,8 +285,15 @@ def ngram_containment_pairs(
     (doc_small, doc_big, containment, jaccard) — containment for the
     decision, Jaccard alongside to show what it would have missed.
     """
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).select(
-        F.col(id_col).alias("doc"), "s"
+    # Three consumers (sizes + both self-join sides) share ONE lazy
+    # localCheckpoint materialization of the shingle rows instead of
+    # re-running the scan+window shingling per lineage branch (ABAB
+    # ~10% on the minhash twin at sf0.1; memory-and-disk storage, a
+    # deliberate spill-for-recompute trade on a 3x-reused frame).
+    sh = (
+        shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col(id_col).alias("doc"), "s")
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

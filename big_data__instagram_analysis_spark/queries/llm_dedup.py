@@ -523,7 +523,12 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    sh = shingle_rows(d, n=3).select(F.col("doc_id").alias("doc"), "s")
+    sh = (
+        shingle_rows(d, n=3)
+        .select(F.col("doc_id").alias("doc"), "s")
+        # 3 consumers share one materialization (see minhash note above)
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
