@@ -74,8 +74,10 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Codegen shingling (operators/dedup.shingle_rows) — the per-doc
     # distinct-gram ARRAY was consumed twice (explode + size), paying the
     # interpreted HOF chain per pass (~12 s at sf0.1); the row form feeds
-    # the DF table, the join-back, and the per-doc sizes from ONE lineage.
-    sh = shingle_rows(d, n=3)
+    # the DF table, the join-back, and the per-doc sizes from ONE lineage,
+    # lazily localCheckpoint'ed so the three consumers share one
+    # materialization (the minhash/jaccard idiom, PERF-measured ~10-30%).
+    sh = shingle_rows(d, n=3).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     freq = (
         sh.groupBy("s")
