@@ -132,24 +132,37 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     High rep_frac marks degenerate generation-loop text ("the the the…");
     the Gopher/MassiveText filters threshold on exactly this family of
-    signals. Pure higher-order-function projection — per-row arrays, no
-    explode, no shuffle, fully inside whole-stage codegen, so at 100 TB it
-    runs at scan speed.
+    signals. Total grams is a scalar off the token count (no gram strings
+    built); the distinct count rides the codegen shingle-row form's one
+    doc-keyed shuffle — everything whole-stage codegen, no interpreted
+    HOF chain in the hot path.
     """
+    from ..operators.dedup import shingle_rows
+
     d = load(spark, sf_dir, "documents")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size({_TOKENS}) - 2, 0)),"
-        f" i -> concat_ws(' ', slice({_TOKENS}, i, 3)))"
-    )
-    g = d.select("doc_id", grams.alias("grams"))
-    total = F.size("grams").cast("long")
-    dist = F.size(F.array_distinct("grams")).cast("long")
-    return g.select(
+    # Round 7 (PERF §43 pass-count rule applied here too): the in-row
+    # transform/slice/concat_ws gram chain is interpreted, measured
+    # 3.5 s at sf0.1; total grams is just greatest(n_tokens − 2, 0) (a
+    # scalar — no gram strings needed), and the distinct count comes from
+    # the codegen shingle_rows form (distinct per doc by construction).
+    # 0.94 s at sf0.1, output row-identical to the HOF form.
+    base = d.select(
         "doc_id",
-        total.alias("total_grams"),
-        dist.alias("distinct_grams"),
-        F.when(total == 0, F.lit(0.0))
-        .otherwise(F.round(F.lit(1.0) - dist / total, 6))
+        F.expr(f"greatest(size({_TOKENS}) - 2, 0)").cast("long").alias("total_grams"),
+    )
+    dist = (
+        shingle_rows(d, n=3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_grams"))
+    )
+    j = base.join(dist, "doc_id", "left")
+    dcol = F.coalesce("distinct_grams", F.lit(0))
+    return j.select(
+        "doc_id",
+        "total_grams",
+        dcol.alias("distinct_grams"),
+        F.when(F.col("total_grams") == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - dcol / F.col("total_grams"), 6))
         .alias("rep_frac"),
     ).orderBy("doc_id")
 
