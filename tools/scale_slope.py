@@ -200,9 +200,19 @@ def main() -> None:
     specs = get_specs()
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
 
+    import gc
+
     results: dict[str, dict] = {q: {"tiers": {}} for q in names}
     for sf in sorted(tiers):
         sf_dir = tiers[sf]
+        # Free accumulated localCheckpoint blocks between tiers: the
+        # ContextCleaner only releases them after driver-side GC (periodic
+        # JVM GC defaults to 30 min), and ~dozens of retained shingle
+        # materializations from earlier tiers measurably slow the big
+        # tiers (minhash ×10 read 13 s vs 23 s across otherwise-identical
+        # runs before this was added).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         for q in names:
             fn = specs[q].fn
             fn(spark, sf_dir).toPandas()  # untimed warm pass
