@@ -205,15 +205,16 @@ def main() -> None:
     results: dict[str, dict] = {q: {"tiers": {}} for q in names}
     for sf in sorted(tiers):
         sf_dir = tiers[sf]
-        # Free accumulated localCheckpoint blocks between tiers: the
-        # ContextCleaner only releases them after driver-side GC (periodic
-        # JVM GC defaults to 30 min), and ~dozens of retained shingle
-        # materializations from earlier tiers measurably slow the big
-        # tiers (minhash ×10 read 13 s vs 23 s across otherwise-identical
-        # runs before this was added).
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
         for q in names:
+            # Free accumulated localCheckpoint blocks before EVERY query:
+            # the ContextCleaner only releases them after driver-side GC
+            # (periodic JVM GC defaults to 30 min), and retained shingle
+            # materializations from preceding queries measurably pollute
+            # big-tier timings (value_band ×10 read 20.6 s mid-run vs
+            # 5.4 s isolated; minhash ×10 swung 13 → 23 s across runs)
+            # — per-query GC makes tier rows independent measurements.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             fn = specs[q].fn
             fn(spark, sf_dir).toPandas()  # untimed warm pass
             walls, rows = [], None
