@@ -321,7 +321,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.array_distinct("t")) / F.size("t") >= 0.3)
     )
     survivors = exact_dedup(q, text_col="text", id_col="doc_id").select("doc_id")
-    s = q.join(survivors, "doc_id")
+    # Three consumers (near-dup pair generation, the CC node frame, the
+    # canonical-survivor join) otherwise each recompute the scan + quality
+    # gate + dedup window — the same lazy-localCheckpoint sharing the
+    # shingle-consuming dedup family got in r7 (PERF.md §47); only the
+    # columns the branches need are kept so the materialized frame stays
+    # narrow.
+    s = (
+        q.join(survivors, "doc_id")
+        .select("doc_id", "lang", "text", "t")
+        .localCheckpoint(eager=False)
+    )
     pairs = ngram_jaccard_pairs(s, n=3, threshold=0.5).select("doc_a", "doc_b")
     labeled = attach_components(
         s.select("doc_id"), pairs, "doc_id", src="doc_a", dst="doc_b"

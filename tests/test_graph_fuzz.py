@@ -71,6 +71,27 @@ def test_connected_components_vs_union_find(spark, edges):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(edge, min_size=1, max_size=25))
+def test_connected_components_distributed_path_vs_union_find(spark, edges):
+    # local_threshold=0 forces the star-round path (r8 hybrid finish would
+    # otherwise close every fuzz-sized graph driver-side) — both paths stay
+    # pinned against the same python union-find oracle.
+    non_loop = [(a, b) for a, b in edges if a != b]
+    if not non_loop:
+        return
+    df = spark.createDataFrame(non_loop, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got == _union_find_components(non_loop)
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

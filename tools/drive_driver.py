@@ -24,6 +24,7 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--sf", default="/root/testdata/sf0.01")
 ap.add_argument("--budget", default=None, help="json {query: baseline_sec}; fail on >2.5x+5s")
 ap.add_argument("--write-budget", default=None, help="write measured times as new baseline json")
+ap.add_argument("--only", default=None, help="regex: run only matching query names")
 args = ap.parse_args()
 
 # Hostile driver session: different timezone, no tuning, default confs
@@ -55,6 +56,12 @@ budgets = json.load(open(args.budget)) if args.budget else {}
 fails = 0
 slow = []
 measured = {}
+if args.only:
+    import re as _re
+
+    pat = _re.compile(args.only)
+    qs = {n: f for n, f in qs.items() if pat.search(n)}
+    print("only-filter:", args.only, "->", len(qs), "queries")
 for name, fn in sorted(qs.items()):
     t0 = time.perf_counter()
     spdf = fn(spark, sf).toPandas()
