@@ -8,6 +8,17 @@ DuckDB's ``hash()`` (engine-specific).
 Scale notes per operator are in each docstring; the common theme is that
 candidate generation is always key-bucketed (hash group, LSH band, SimHash
 band) so the pair space is per-bucket quadratic, never global quadratic.
+
+Retention note (ADVICE r7): the shingle-sharing operators below use
+``localCheckpoint(eager=False)`` frames that live in block-manager storage
+until the DataFrame is garbage-collected driver-side. In a batch/bench
+context (fresh session per run, or the bench tools' per-query GC) that is
+the intended lifetime; a LONG-LIVED service invoking these repeatedly
+should drop references promptly (storage is reclaimed via the
+ContextCleaner once the frame is unreachable) and accept that checkpoint
+truncation makes the stage non-recomputable on executor loss — the
+standard localCheckpoint trade, chosen here because the frames are
+3×-reused within one query.
 """
 
 from __future__ import annotations

@@ -83,8 +83,19 @@ def two_sided_value_band(
     """
     contribs = dict(contribs)
     reserved = {"_band_key", "_band_tag", "_band_n"}
-    if reserved & (set(contribs) | {id_col, value_col, *partition_by}):
+    user_names = set(contribs) | {id_col, value_col, *partition_by}
+    if reserved & user_names:
         raise ValueError(f"column names may not use the reserved names {reserved}")
+    # Generated aliases (ADVICE r7): the probe stream carries value_col+"_out"
+    # and the cumsum stage prefixes contrib names with "_cum_" — a user
+    # column landing on either would produce a silently ambiguous plan.
+    if (value_col + "_out") in user_names or any(
+        n.startswith("_cum_") for n in user_names
+    ):
+        raise ValueError(
+            f"column names may not equal {value_col + '_out'!r} or start "
+            "with '_cum_' (internal probe/cumsum aliases)"
+        )
     if set(contribs) & {id_col, value_col, *partition_by, "band_n"}:
         raise ValueError(
             "contrib output names collide with id/partition/value/band_n columns"

@@ -473,6 +473,13 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint doc_id — unreduced, ids past ~3.47e9 overflow int64, where
     Spark wraps silently while DuckDB raises (the silent-divergence hazard
     ADVICE r6 flagged; poisson_bootstrap_ci set the pattern).
+
+    MIGRATION NOTE (round 7 → 8, ADVICE r7): the mod-reduction changed the
+    assignment for any doc_id ≥ 1,000,003 relative to rounds ≤ 6 — a
+    one-time re-split event for large-id corpora. Eval sets built on the
+    pre-r7 assignment are invalidated for such ids and must be rebuilt;
+    the forward-stability guarantee (adding docs never moves existing
+    ones) holds from r7 onward.
     """
     d = load(spark, sf_dir, "documents")
     b = ((F.col("doc_id") % 1000003) * 2654435761) % 100

@@ -239,6 +239,11 @@ def value_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, so the result is deterministic without a tiebreak column in
     the frame spec. One exchange on the partition key; the in-partition
     frame scan is the sorted-run sliding window.
+
+    DELIBERATE O(n·w) demo: this is the W6 semantics showcase. The scale
+    path is ``value_band_prefix_totals`` (E220, below) — the same band
+    totals via the two_sided_value_band prefix-sum decomposition, no
+    sliding frame, hash-equal at two SFs.
     """
     o = load(spark, sf_dir, "orders")
     w = (

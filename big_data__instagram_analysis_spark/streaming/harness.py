@@ -51,13 +51,19 @@ def _record_progress(sink_name: str, q) -> None:
         progresses = q.recentProgress or []
     except Exception:  # progress is diagnostics — never fail the query on it
         return
-    state_rows = state_bytes = dropped = 0
+    state_rows = state_bytes = dropped = removed = 0
     final_ops: list[dict] = []
+    trajectory: list[dict] = []
     for p in progresses:
+        b_rows = b_removed = 0
         for op in p.get("stateOperators") or []:
             state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
             state_bytes = max(state_bytes, int(op.get("memoryUsedBytes") or 0))
             dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+            removed += int(op.get("numRowsRemoved") or 0)
+            b_rows += int(op.get("numRowsTotal") or 0)
+            b_removed += int(op.get("numRowsRemoved") or 0)
+        trajectory.append({"rows_total": b_rows, "rows_removed": b_removed})
     if progresses:
         final_ops = [
             {
@@ -76,6 +82,11 @@ def _record_progress(sink_name: str, q) -> None:
             "max_state_rows": state_rows,
             "max_state_bytes": state_bytes,
             "rows_dropped_by_watermark": dropped,
+            # eviction evidence (VERDICT r7 task #3): total rows the state
+            # store REMOVED as the watermark passed them, plus the per-batch
+            # state-size trajectory so decay from the high-water is visible.
+            "rows_removed_total": removed,
+            "state_rows_trajectory": trajectory,
             "state_operators_final": final_ops,
         }
     )

@@ -96,18 +96,20 @@ def _cipher_table(k: int) -> dict[int, int]:
 
 
 def _replicate_documents(tb: pa.Table, k: int) -> pa.Table:
-    doc_id = pc.add(tb["doc_id"], k * ID_OFF)
+    # Transform only the columns the replication semantics touch; carry
+    # every other column through generically so a future schema addition
+    # isn't silently dropped from the synth tiers (ADVICE r7).
     table = _cipher_table(k)
     new_texts = [t.translate(table) for t in tb["text"].to_pylist()]
-    return pa.table(
-        {
-            "doc_id": doc_id,
-            "text": pa.array(new_texts, tb.schema.field("text").type),
-            "lang": tb["lang"],
-            "source": tb["source"],
-            "n_chars": tb["n_chars"],  # cipher is length-preserving
-        }
-    )
+    cols = {}
+    for name in tb.schema.names:
+        if name == "doc_id":
+            cols[name] = pc.add(tb["doc_id"], k * ID_OFF)
+        elif name == "text":
+            cols[name] = pa.array(new_texts, tb.schema.field("text").type)
+        else:  # incl. n_chars: the cipher is length-preserving
+            cols[name] = tb[name]
+    return pa.table(cols)
 
 
 def _replicate_embeddings(tb: pa.Table, k: int) -> pa.Table:
