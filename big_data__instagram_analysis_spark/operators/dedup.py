@@ -152,8 +152,17 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    # merge hint: BOTH sides of the shingle self-join grow with the corpus,
+    # so broadcast is never the right physical choice at scale — and the
+    # planner cannot be trusted to see that: the shingle frame's static
+    # estimate runs ~50x under its true size (posexplode expansion is not
+    # modeled; 2.1 MiB claimed for 2.6M rows at the x10 tier), and AQE can
+    # only UPGRADE sort-merge to broadcast, never demote a statically
+    # chosen broadcast — the x10 parity run on a default-1g driver died in
+    # notEnoughMemoryToBuildAndBroadcast before this hint (round 8).
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.hint("merge")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -308,8 +317,11 @@ def ngram_containment_pairs(
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    # merge hint: big-big self-join by construction; see ngram_jaccard_pairs
+    # above for the static-underestimate/broadcast-demotion rationale (r8).
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.hint("merge")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -86,7 +86,12 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     hits = (
-        sh.join(freq, "s")
+        # merge hint: freq (corpus-frequent shingles) grows with the corpus,
+        # and the checkpointed shingle scan's static size estimate runs far
+        # under true size — a statically chosen broadcast of either side
+        # cannot be demoted by AQE (operators/dedup.py rationale, r8).
+        sh.hint("merge")
+        .join(freq, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boilerplate"))
     )

@@ -261,8 +261,15 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
 
     a, b = bands.alias("a"), bands.alias("b")
+    # merge hints on this and the two sh_ex joins below: every side grows
+    # with the corpus (bands = 8 rows/doc, sh_ex = shingles/doc, cand =
+    # near-dup candidates), so broadcast is never right at scale — and the
+    # shingle frame's static estimate runs ~50x under its true size, which
+    # statically picked a broadcast AQE cannot demote (the x10 parity run
+    # on a default-1g driver OOM'd in the sa⋈sh_ex build; round 8).
     cand = (
-        a.join(
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
@@ -274,9 +281,14 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sa = cand.join(sh_ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+    sa = cand.join(
+        sh_ex.select(F.col("doc_id").alias("doc_a"), "s").hint("merge"), "doc_a"
+    )
     shared = (
-        sa.join(sh_ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        sa.join(
+            sh_ex.select(F.col("doc_id").alias("doc_b"), "s").hint("merge"),
+            ["doc_b", "s"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -531,8 +543,10 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    # merge hint: big-big shingle self-join (operators/dedup.py rationale, r8)
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.hint("merge")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -1440,7 +1440,11 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nr = rare.groupBy("doc_id").agg(F.count("*").alias("nr"))
     pairs = (
+        # merge hint: big-big fingerprint self-join; the checkpointed frame's
+        # static size estimate is far under true size, and a statically
+        # chosen broadcast cannot be demoted by AQE (dedup.py rationale, r8).
         rare.alias("a")
+        .hint("merge")
         .join(
             rare.alias("b"),
             (F.col("a.fp") == F.col("b.fp"))
@@ -1759,7 +1763,9 @@ def ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = rare.where(F.col("source") != DSIR_TARGET_SRC)
     best = (
-        new.join(ref, "fp")
+        # merge hint: both sides are corpus-growing fingerprint sets off the
+        # statically-underestimated checkpoint scan (dedup.py rationale, r8).
+        new.hint("merge").join(ref, "fp")
         .groupBy("doc_id", "source", "ref_doc")
         .agg(F.count(F.lit(1)).alias("shared"))
         .groupBy("doc_id", "source")

@@ -572,3 +572,21 @@ def test_winnow_match_pairs_checkpoints_the_culled_frame(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     ).lower()
     assert "scan existingrdd" in plan or "logicalrdd" in plan, plan[:500]
+
+
+def test_corpus_pair_joins_never_broadcast_the_shingle_frame(spark, sf_dir):
+    """r8: the checkpointed shingle/fingerprint frames carry static size
+    estimates ~50x under true size (posexplode expansion unmodeled), and a
+    statically chosen broadcast cannot be demoted by AQE — at the x10 tier
+    this OOM'd a default-size driver. The big-big pair joins are merge-
+    hinted; a refactor that drops the hint re-opens the scale hazard while
+    still passing parity, so pin the physical shape here."""
+    for name, min_smj in [
+        ("minhash_lsh_neardup", 3),  # bands self-join + two sh_ex joins
+        ("ngram_jaccard_neardup", 1),
+        ("containment_neardup_pairs", 1),
+        ("winnow_match_pairs", 1),
+        ("boilerplate_ngram_flags", 1),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("SortMergeJoin") >= min_smj, (name, plan[:600])

@@ -25,14 +25,24 @@ ap.add_argument("--sf", default="/root/testdata/sf0.01")
 ap.add_argument("--budget", default=None, help="json {query: baseline_sec}; fail on >2.5x+5s")
 ap.add_argument("--write-budget", default=None, help="write measured times as new baseline json")
 ap.add_argument("--only", default=None, help="regex: run only matching query names")
+ap.add_argument(
+    "--driver-memory",
+    default=None,
+    help="JVM heap for the local session (e.g. 4g). Default: Spark's 1g. "
+    "The sf0.01 gate stays at the hostile default; the synthesized x10 "
+    "tier needs this — its ~GB working set is an environment constraint "
+    "(local mode driver==executor), not a plan property.",
+)
 args = ap.parse_args()
 
 # Hostile driver session: different timezone, no tuning, default confs
-spark = (SparkSession.builder.master("local[8]")
-         .appName("driver-sim")
-         .config("spark.sql.session.timeZone", "America/New_York")
-         .config("spark.ui.enabled", "false")
-         .getOrCreate())
+builder = (SparkSession.builder.master("local[8]")
+           .appName("driver-sim")
+           .config("spark.sql.session.timeZone", "America/New_York")
+           .config("spark.ui.enabled", "false"))
+if args.driver_memory:
+    builder = builder.config("spark.driver.memory", args.driver_memory)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entrymod
@@ -62,7 +72,16 @@ if args.only:
     pat = _re.compile(args.only)
     qs = {n: f for n, f in qs.items() if pat.search(n)}
     print("only-filter:", args.only, "->", len(qs), "queries")
+import gc
+
 for name, fn in sorted(qs.items()):
+    # Release the previous query's localCheckpoint blocks before running the
+    # next one (same hygiene as tools/scale_slope.py): the ContextCleaner
+    # frees them only after driver-side GC, and on big tiers (synth x10)
+    # accumulated blocks in the default-1g driver-sim session starved a
+    # later query's broadcast build (notEnoughMemoryToBuildAndBroadcast).
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     spdf = fn(spark, sf).toPandas()
     dt = time.perf_counter() - t0

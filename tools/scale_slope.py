@@ -45,6 +45,7 @@ import argparse
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -182,6 +183,8 @@ def main() -> None:
     ap.add_argument("--synth", default="3,10", help="comma list of sf0.1 multipliers; '' disables")
     ap.add_argument("--out", default=os.path.join(REPO_ROOT, "SCALE_SLOPE.json"))
     ap.add_argument("--queries", default=",".join(HEAVY_QUERIES))
+    ap.add_argument("--merge", action="store_true",
+                    help="update only the measured queries inside an existing --out")
     args = ap.parse_args()
 
     from big_data__instagram_analysis_spark.io import scratch_dir
@@ -229,8 +232,20 @@ def main() -> None:
                 pdf = fn(spark, sf_dir).toPandas()
                 walls.append(time.perf_counter() - t0)
                 rows = len(pdf)
-            results[q]["tiers"][str(sf)] = {"sec": round(min(walls), 4), "rows": rows}
-            print(f"sf={sf:<6} {q:32s} {min(walls):8.3f}s rows={rows}", flush=True)
+            results[q]["tiers"][str(sf)] = {
+                "sec": round(min(walls), 4),
+                "mean_sec": round(statistics.fmean(walls), 4),
+                "stdev_sec": round(statistics.stdev(walls), 4)
+                if len(walls) > 1
+                else 0.0,
+                "reps": args.reps,
+                "rows": rows,
+            }
+            print(
+                f"sf={sf:<6} {q:32s} {min(walls):8.3f}s "
+                f"(±{results[q]['tiers'][str(sf)]['stdev_sec']:.3f}) rows={rows}",
+                flush=True,
+            )
 
     for q in names:
         pts = [
@@ -259,6 +274,15 @@ def main() -> None:
             "id offsets (orders/events) — see module docstring for caveats."
         ),
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        prior.setdefault("queries", {}).update(payload["queries"])
+        prior["tiers"] = payload["tiers"]
+        prior.setdefault("reps_by_query", {}).update(
+            {q: args.reps for q in names}
+        )
+        payload = prior
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
