@@ -152,10 +152,25 @@ def main() -> None:
     # identical plans (PERF.md §40). min-over-reps semantics unchanged;
     # every rep still executes a fresh DataFrame instance (same logical
     # plan, new lineage — no stage reuse via registered shuffle outputs).
+    # GC both VMs before each query's rep block (and before each LLM rep
+    # below) — the same measurement hygiene as tools/scale_slope.py
+    # (PERF.md §45): localCheckpoint blocks from PRECEDING queries are
+    # only released by the ContextCleaner after driver-side GC, and their
+    # accumulation measurably pollutes later queries' timings within a
+    # run (minhash swung 2.3 ↔ 3.1 s at sf0.1 depending on how much dead
+    # storage the block manager was carrying). GC runs OUTSIDE the timed
+    # regions; per-rep warmth is unchanged.
+    import gc as _gc
+
+    def _gc_both() -> None:
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     samples: dict[str, list[float]] = {name: [] for name in bench_names}
     per_query_jobs: dict[str, int] = {}
     per_query_stages: dict[str, int] = {}
     for name in bench_names:
+        _gc_both()
         for rep in range(n_reps):
             df = specs[name].fn(spark, sf_dir)
             jobs_before = set(tracker.getJobIdsForGroup(None) or [])
@@ -326,6 +341,7 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).toPandas()
         llm_samples: dict[str, list[float]] = {n: [] for n in llm_names}
         for _ in range(n_llm):
+            _gc_both()  # release prior rep's checkpoint blocks (untimed)
             dfs_llm = {n: specs[n].fn(spark, sf_dir) for n in llm_names}
             for name in llm_names:
                 t0 = time.perf_counter()

@@ -231,7 +231,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    # Four consumers read the (doc, shingle) rows (sizes, signatures, and
+    # Three consumers read the (doc, shingle) rows (the fused stats agg and
     # both sides of the exact-verify join); lazily localCheckpoint the
     # frame so they share ONE materialization instead of re-running the
     # scan+window shingling per lineage branch (the winnow/CC idiom;
@@ -239,15 +239,22 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manager's memory-and-disk tier, so at 100 TB this is a deliberate
     # disk-spill-for-recompute trade on a frame reused four times.
     sh_ex = shingle_rows(d, n=3).localCheckpoint(eager=False)
-    sizes = sh_ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sigs = sh_ex.groupBy("doc_id").agg(
+    # ONE groupBy(doc_id) computes the 8 per-table minima AND the shingle
+    # count, and n_sh rides along the band rows into the candidate pairs —
+    # round 8 removed the separate sizes aggregation (a fourth full pass
+    # over the shingle frame) and the two sizes equi-joins that used to
+    # finish the query: the exact-Jaccard denominator now falls out of the
+    # candidate row itself (8 extra bytes per band row, nothing at scale).
+    stats = sh_ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
             for i in range(MINHASH_TABLES)
-        ]
+        ],
     )
-    bands = sigs.select(
+    bands = stats.select(
         "doc_id",
+        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -258,7 +265,9 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        "doc_id", "n_sh", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     # merge hints on this and the two sh_ex joins below: every side grows
@@ -276,11 +285,18 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("nb"),
         )
         .distinct()
     )
 
+    # (r8 counter-measurement: semi-joining sh_ex down to candidate docs
+    # before the verify joins read 3.0-4.0 s vs 2.8 s here — the semi either
+    # re-ran per branch or forced an extra materialization barrier; the
+    # direct form below stays.)
     sa = cand.join(
         sh_ex.select(F.col("doc_id").alias("doc_a"), "s").hint("merge"), "doc_a"
     )
@@ -289,16 +305,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sh_ex.select(F.col("doc_id").alias("doc_b"), "s").hint("merge"),
             ["doc_b", "s"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    xa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    xb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     exact_jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(xa, "doc_a")
-        .join(xb, "doc_b")
-        .where(exact_jac >= 0.5)
+        shared.where(exact_jac >= 0.5)
         .select(
             "doc_a",
             "doc_b",
