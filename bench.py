@@ -341,12 +341,22 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).toPandas()
         llm_samples: dict[str, list[float]] = {n: [] for n in llm_names}
         for _ in range(n_llm):
-            _gc_both()  # release prior rep's checkpoint blocks (untimed)
-            dfs_llm = {n: specs[n].fn(spark, sf_dir) for n in llm_names}
+            # Build each query's DataFrame just-in-time and drop the
+            # reference before the next one: the earlier pre-built dict of
+            # all 7 kept every query's localCheckpoint blocks REACHABLE for
+            # the whole rep, so the per-rep GC couldn't release them and
+            # queries late in the alphabet ran against a block manager
+            # carrying ~3 predecessors' materializations (minhash read
+            # 2.85 s here vs 2.3-2.7 s in a fresh session). GC stays
+            # outside the timed region; timing still covers analysis +
+            # execution + Arrow collection of a fresh lineage.
             for name in llm_names:
+                _gc_both()
+                df = specs[name].fn(spark, sf_dir)
                 t0 = time.perf_counter()
-                dfs_llm[name].toPandas()
+                df.toPandas()
                 llm_samples[name].append(time.perf_counter() - t0)
+                del df
         llm_q = {n: round(min(s), 4) for n, s in llm_samples.items()}
         llm_floor: dict[str, float] = {}
         for name in llm_names:
