@@ -1344,7 +1344,13 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(fph, 0L, (a, x) -> a + x)").alias("fp_checksum"),
             F.array_min("fph").alias("fp_min"),
             F.array_max("fph").alias("fp_max"),
-            F.expr("CAST(size(fph) * 1000000 DIV n_grams AS BIGINT)").alias("density_ppm"),
+            # size() is INT — widen before the ppm multiply (same int32
+            # overflow class as source_quality_percentile_cut's rn; a doc
+            # with >2,147 fingerprints would overflow, and long docs at
+            # corpus scale get there).
+            F.expr(
+                "CAST(size(fph) AS BIGINT) * 1000000 DIV n_grams"
+            ).alias("density_ppm"),
         )
         .orderBy("doc_id")
     )
@@ -1547,8 +1553,14 @@ def source_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame
         "source",
         "div_ppm",
         "n",
+        # row_number() is INT; unwidened, (rn-1)*1000000 overflows int32 the
+        # moment a source holds >2,148 docs — fine at sf0.1 (~1k docs per
+        # source), ANSI ARITHMETIC_OVERFLOW at the x10 tier, and a SILENT
+        # divergence vs DuckDB (which auto-promotes) wherever ANSI is off.
+        # Found by the round-8 full-surface x10 sweep; widen before the
+        # multiply (n from count() is already BIGINT).
         F.when(F.col("n") == 1, F.lit(1000000))
-        .otherwise(F.expr("(rn - 1) * 1000000 DIV (n - 1)"))
+        .otherwise(F.expr("(CAST(rn AS BIGINT) - 1) * 1000000 DIV (n - 1)"))
         .alias("pr_ppm"),
     )
     kept = F.col("pr_ppm") >= 500000
