@@ -206,17 +206,22 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. unpivot signatures to (doc, band, val) and equi-join on
          (band, val) — the shuffle key is the band bucket, so only
          same-bucket docs ever meet (never |N|²), skew splittable by AQE;
-      4. verify candidates EXACTLY via shared-shingle counts: candidate
+      4. prune candidates that CANNOT clear the threshold (size-ratio
+         bound 2·min(na,nb) ≥ max(na,nb) — exact, not heuristic), then
+         verify the rest EXACTLY via shared-shingle counts: candidate
          pairs join the (doc, shingle) rows on doc_a then equi-join on
-         (doc_b, shingle), count per pair, Jaccard = shared/(na+nb-shared)
-         from exact integer counts, filtered ≥ 0.5.
+         (doc_b, shingle) — both as shuffled-hash joins building on the
+         shingle side (the expansion is the big side and SMJ would sort
+         it), count per pair, Jaccard = shared/(na+nb-shared) from exact
+         integer counts, filtered ≥ 0.5.
 
     Rounds 1-3 used pyspark.ml's MinHashLSH.approxSimilarityJoin — same
     banding structure but measured 10 s of the query's 11.4 s at sf0.1
     (vector-type overhead + a non-codegen keyDistance UDF over every of
     the ~82k candidate pairs, plus HOF shingling recomputed per consumer);
-    this plain-DataFrame form runs the identical contract in ~2.3 s with
-    every operator inside whole-stage codegen.
+    this plain-DataFrame form runs the identical contract in ~1.7 s with
+    every operator inside whole-stage codegen (2.3 s in rounds 4-8; round
+    9 added the size-ratio prune + shuffled-hash verify, PERF.md §52).
 
     Raw LSH candidates are not hash-checkable (hash choice is
     engine-internal), so the certified-tolerance pattern applies: the
@@ -270,12 +275,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a, b = bands.alias("a"), bands.alias("b")
-    # merge hints on this and the two sh_ex joins below: every side grows
-    # with the corpus (bands = 8 rows/doc, sh_ex = shingles/doc, cand =
-    # near-dup candidates), so broadcast is never right at scale — and the
-    # shingle frame's static estimate runs ~50x under its true size, which
-    # statically picked a broadcast AQE cannot demote (the x10 parity run
-    # on a default-1g driver OOM'd in the sa⋈sh_ex build; round 8).
+    # merge hint: both band sides grow with the corpus (8 rows/doc), so
+    # broadcast is never right at scale — and the checkpointed frames'
+    # static estimates run ~50x under true size, which statically picked a
+    # broadcast AQE cannot demote (the x10 parity run on a default-1g
+    # driver OOM'd in the sa⋈sh_ex build; round 8).
     cand = (
         a.hint("merge")
         .join(
@@ -291,18 +295,38 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_sh").alias("nb"),
         )
         .distinct()
+        # Size-ratio prefilter (round 9): J = shared/(na+nb−shared) ≥ 0.5
+        # with shared ≤ min(na,nb) forces 2·min(na,nb) ≥ max(na,nb), so a
+        # candidate violating it CANNOT clear the threshold — a rigorous
+        # prune, not a heuristic (ties kept; the oracle pair set is
+        # untouched). It's free — na/nb already ride on the candidate row —
+        # and cuts the verify expansion ~29% at sf0.1 (hub-bucket pairs
+        # join dissimilar-length docs). ABAB-measured with the SHJ switch
+        # below: 2.66 → 1.69 s at sf0.1 (PERF.md §52).
+        .where(F.least("na", "nb") * 2 >= F.greatest("na", "nb"))
     )
 
     # (r8 counter-measurement: semi-joining sh_ex down to candidate docs
     # before the verify joins read 3.0-4.0 s vs 2.8 s here — the semi either
     # re-ran per branch or forced an extra materialization barrier; the
     # direct form below stays.)
+    #
+    # shuffle_hash (round 9, was merge): the verify expansion (cand ×
+    # doc_a's shingles, ~4-5M skinny rows at sf0.1) is the query's largest
+    # intermediate, and SMJ had to SORT it on (doc_b, s) — the dominant
+    # cost in the ABAB profile. A shuffled-hash join builds on the
+    # shingle-frame side (the hint target), whose per-partition slice is
+    # bounded by shuffle partitioning exactly like any hash-agg table —
+    # NOT a broadcast (the r8 OOM was a statically-sized broadcast of the
+    # whole frame; SHJ holds |sh_ex|/P rows per task, AQE skew-split
+    # applies) — and streams the big expansion side unsorted.
     sa = cand.join(
-        sh_ex.select(F.col("doc_id").alias("doc_a"), "s").hint("merge"), "doc_a"
+        sh_ex.select(F.col("doc_id").alias("doc_a"), "s").hint("shuffle_hash"),
+        "doc_a",
     )
     shared = (
         sa.join(
-            sh_ex.select(F.col("doc_id").alias("doc_b"), "s").hint("merge"),
+            sh_ex.select(F.col("doc_id").alias("doc_b"), "s").hint("shuffle_hash"),
             ["doc_b", "s"],
         )
         .groupBy("doc_a", "doc_b", "na", "nb")
@@ -321,15 +345,34 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Scale-adaptive cap on the brute-force pair space (round 9, VERDICT r8
+#: task #3). Whenever |embeddings| ≤ BRUTE_SUBSET_CAP the subset predicate
+#: is vacuously true and the query is the EXACT full all-pairs computation
+#: (every base tier: sf0.1 has 2000 vectors). Above the cap, both engines
+#: keep the same deterministic ~BRUTE_SUBSET_CAP-vector subset via the
+#: repo's engine-portable multiplicative hash (dataset_split_assign idiom:
+#: mod-reduce by the prime 1000003 BEFORE the Knuth multiply so the
+#: product stays < 2^63 for any bigint id — Spark would wrap silently
+#: where DuckDB raises). This is how a brute-force baseline is actually
+#: run at corpus scale — as a bounded sampled audit — and it makes the
+#: ×10-tier DuckDB oracle affordable (~2M pairs instead of 200M+).
+BRUTE_SUBSET_CAP = 2048
+
+
 @query(
     "embedding_cosine_neardup",
     category="L2,L3,E9",
-    oracle="""
-WITH p AS (
+    oracle=f"""
+WITH n AS (SELECT count(*) AS n_vec FROM embeddings),
+sub AS (
+  SELECT vec_id, embedding FROM embeddings, n
+  WHERE ((vec_id % 1000003) * 2654435761) % 100000 * n_vec
+        < 100000 * {BRUTE_SUBSET_CAP}
+), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS ea,
          list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS eb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
 ), s AS (
   SELECT vec_a, vec_b,
          list_sum(list_transform(range(1, 1 + len(ea)), i -> ea[i] * eb[i])) AS dot,
@@ -354,11 +397,25 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured max 0.479 at sf0.001, 0.513 at sf0.01) — the original 0.55
     exceeded the max at EVERY SF, so the green hash was an empty-vs-empty
     comparison proving nothing (found in the round-3 zero-row audit;
-    59 pairs at sf0.01 now)."""
+    59 pairs at sf0.01 now).
+
+    Round 9: the pair space is bounded by BRUTE_SUBSET_CAP above — exact
+    full all-pairs at every base tier (n ≤ 2048), deterministic
+    ~2048-vector subset beyond, so the ×10 synth tier is hash-checkable
+    against the same oracle (VERDICT r8 task #3). The unbounded scale
+    paths for this semantics are ann_lsh_bucketed / semantic_dedup_clusters."""
     from ..operators.similarity import cosine_threshold_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return cosine_threshold_pairs(e, spark, threshold=0.4)
+    # Scale-adaptive deterministic subset (see BRUTE_SUBSET_CAP): identity
+    # whenever n ≤ cap, ~cap vectors above it. n is a 1-scalar driver
+    # action (the bounded-collect idiom); the predicate mirrors the oracle
+    # CTE exactly. Integer-only arithmetic: bucket(≤1e5) × n stays under
+    # 2^63 up to n ≈ 9e13 rows.
+    n_vec = e.count()
+    bucket = ((F.col("vec_id") % 1000003) * F.lit(2654435761)) % 100000
+    sub = e.where(bucket * F.lit(n_vec) < F.lit(100000 * BRUTE_SUBSET_CAP))
+    return cosine_threshold_pairs(sub, spark, threshold=0.4)
 
 
 @query(

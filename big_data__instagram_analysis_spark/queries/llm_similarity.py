@@ -332,6 +332,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.cosine_topk_allpairs) surface in the LSH output.
     The oracle pins both booleans next to the corpus size. Raw pairs stay
     available via _lsh_candidate_pairs for tests/test_ann.py.
+
+    COST NOTE (VERDICT r8): at the ×10 tier this query's ~72 s is spent
+    almost entirely in the brute-force recall CERTIFICATE (exact global
+    top-10 over all pairs), not the LSH datapath — the LSH side stays
+    sub-quadratic. At deployment scale the certificate would be computed
+    over a bounded ANCHOR SAMPLE of query vectors (exact top-k per
+    sampled anchor is O(sample × corpus), the standard recall-audit
+    recipe) rather than all pairs; the fixture-tier exact certificate is
+    kept because it is strictly stronger evidence where it is affordable.
     """
     from ..operators.similarity import cosine_topk_allpairs
 
@@ -1007,14 +1016,30 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- E236: hard-negative mining for contrastive/embedding training ------------
 
 
+#: Scale-adaptive cap on the hard-negative ANCHOR batch (round 9, VERDICT
+#: r8 task #3; same engine-portable hash idiom as llm_dedup's
+#: BRUTE_SUBSET_CAP). Every base tier keeps all mod-{QUERY_MOD} anchors
+#: (sf0.1 has 80 — under the cap, predicate vacuously true, results
+#: unchanged); bigger tiers keep a deterministic ~80-anchor subset, so the
+#: oracle's anchors×corpus lateral scan stays O(corpus) and the ×10 tier
+#: is hash-checkable. Mining over a bounded anchor batch per pass is the
+#: production shape anyway (contrastive trainers mine per-batch, not
+#: all-anchors-at-once).
+HN_ANCHOR_CAP = 80
+
+
 @query(
     "hard_negative_mining",
     category="L3,E236",
     oracle=f"""
-WITH q AS (
+WITH nm AS (SELECT count(*) AS n_mod FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+q AS (
   SELECT vec_id AS query_id, label AS qlabel,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+  FROM embeddings, nm
+  WHERE vec_id % {QUERY_MOD} = 0
+    AND ((vec_id % 1000003) * 2654435761) % 100000 * n_mod
+        < 100000 * {HN_ANCHOR_CAP}
 ), c AS (
   SELECT vec_id AS cand_id, label AS clabel,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
@@ -1066,6 +1091,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    # Scale-adaptive anchor cap (HN_ANCHOR_CAP above): identity at every
+    # base tier (≤80 mod-anchors), deterministic ~80-anchor subset beyond
+    # — keeps the anchor toPandas() bounded at ANY corpus size and the
+    # oracle's lateral scan O(corpus). n_mod is a 1-scalar driver action
+    # (bounded-collect idiom); predicate mirrors the oracle CTE exactly.
+    n_mod = anchors.count()
+    bucket = ((F.col("vec_id") % 1000003) * F.lit(2654435761)) % 100000
+    anchors = anchors.where(bucket * F.lit(n_mod) < F.lit(100000 * HN_ANCHOR_CAP))
     apdf = anchors.select("vec_id", "label", "embedding").toPandas()
     a_ids = apdf["vec_id"].to_numpy().astype(np.int64)
     a_labels = apdf["label"].to_numpy().astype(np.int64)

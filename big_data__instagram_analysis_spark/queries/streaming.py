@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from ..io import load, scratch_dir
 from ..numeric import cents_sum
 from ..registry import query
-from ..streaming.harness import events_stream, run_available_now
+from ..streaming.harness import (
+    PROGRESS_LOG,
+    evict_events_stream,
+    events_stream,
+    run_available_now,
+)
 
 _upsert_counter = itertools.count()
 
@@ -463,6 +468,111 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias("gap_s"),
     ).orderBy("view_id", "purchase_id")
+
+
+# --- E247 (extension): TTL'd stream-stream join — eviction in the declared
+# --- surface (VERDICT r8 task #4) ---------------------------------------------
+
+
+@query(
+    "stream_stream_join_ttl",
+    category="X4,E13,E247",
+    oracle="""
+WITH e AS (  -- µs-floor like Spark's timestamp type (SURVEY.md §5.4)
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events
+)
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       CAST((p.us - v.us) // 1000000 AS BIGINT) AS gap_s,
+       TRUE AS state_evicted_no_drops
+FROM e v
+JOIN e p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.us >= v.us
+ AND p.us <= v.us + CAST(1800000000 AS BIGINT)
+ORDER BY view_id, purchase_id
+""",
+)
+def stream_stream_join_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join under a PRODUCTION 1-hour watermark whose
+    join state observably EVICTS during the run — the TTL'd twin of
+    stream_stream_join_pairs (whose 3650-day retain-everything watermark
+    VERDICT r8 called a shape gap: eviction previously lived only in the
+    tools/stream_state_metrics side artifact, outside the hash-checked
+    surface).
+
+    Replay (harness.evict_replay_dir): the whole base events table in
+    micro-batch 1, then two sentinel batches at max(ts)+30d/+60d carrying
+    impossible user ids (−1/−2, joinable with nothing). Batch 1 sees all
+    real data at once, so every qualifying pair emits immediately and
+    nothing is ever late (dropped-by-watermark must be 0); the +30d batch
+    advances the global watermark past every buffered row, so the
+    symmetric-hash-join store removes them (rows_removed > 0); the +60d
+    batch gives the store a turn after the advance. The sink therefore
+    equals the batch 30-min attribution join over the real events — the
+    same SQL twin as stream_stream_join_pairs — while state eviction
+    happens inside THIS declared, hash-checked query.
+
+    Certified contract: `state_evicted_no_drops` is computed from the
+    query's own StreamingQueryProgress (rows_removed_total > 0 AND
+    rows_dropped_by_watermark == 0) and the oracle pins it TRUE — if
+    eviction ever stops firing, or the replay ordering ever lets a real
+    row be dropped late (which would silently shrink the pair set), the
+    hash gate fails rather than an artifact going stale.
+
+    At 100 TB this is the deployment shape as-is: watermark sized to the
+    attribution window bounds join state by arrival rate × (window +
+    delay), not history; the sentinel batches stand in for the ordinary
+    forward march of event time.
+    """
+    views = (
+        evict_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        evict_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    sink = run_available_now(joined, output_mode="append")
+    rec = PROGRESS_LOG[-1] if PROGRESS_LOG else {}
+    certified = bool(
+        rec.get("rows_removed_total", 0) > 0
+        and rec.get("rows_dropped_by_watermark", 0) == 0
+    )
+    return (
+        sink.select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+        .withColumn("state_evicted_no_drops", F.lit(certified))
+        .orderBy("view_id", "purchase_id")
+    )
 
 
 # --- E14 (extension): foreachBatch upsert sink (keep-latest merge) ------------

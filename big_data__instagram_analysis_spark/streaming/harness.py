@@ -119,6 +119,98 @@ def events_stream(
     return reader.parquet(replay_dir)
 
 
+def evict_replay_dir(
+    spark: SparkSession, sf_dir: str, *, n_base_files: int = 1
+) -> str:
+    """Events replay dir extended with two far-future sentinel batches —
+    the replay that makes watermark EVICTION observable inside a declared
+    query (VERDICT r8 task #4; previously only tools/stream_state_metrics
+    built this shape).
+
+    Layout: the base events table in ``n_base_files`` part files, then two
+    sentinel part files at max(ts)+30d and +60d, each holding one 'view'
+    row (user_id −1) and one 'purchase' row (user_id −2) — IMPOSSIBLE user
+    ids, so sentinels can never join with real data or each other and an
+    inner-join sink stays equal to the batch join over the real events.
+    mtimes are stamped ONCE from a single captured timestamp AFTER all
+    writes (base = t−600, sentinels = t−300 / t−180 — ADVICE r8: in-loop
+    re-stamping made base-vs-sentinel ordering depend on write duration),
+    so the mtime-ordered file source delivers base → +30d → +60d.
+
+    With ``n_base_files=1`` and maxFilesPerTrigger=1 the whole base lands
+    in micro-batch 1 — nothing is ever late (zero dropped-by-watermark),
+    the +30d batch advances the watermark past every buffered row (state
+    eviction fires), and the +60d batch gives the store a turn after the
+    advance. That makes a PRODUCTION-watermark streaming query
+    deterministic AND oracle-checkable while its state demonstrably
+    evicts. Keyed + marker-guarded: built once per (sf_dir, n_base_files).
+    """
+    from pyspark.sql import functions as F
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|evict|{n_base_files}".encode()
+    ).hexdigest()[:12]
+    edir = scratch_dir(f"stream_evict_{key}")
+    marker = os.path.join(edir, "_SPARK_GRAFT_READY")
+    if not os.path.exists(marker):
+        import glob
+        import time
+
+        batch = load(spark, sf_dir, "events")
+        batch.repartition(n_base_files).write.mode("overwrite").parquet(edir)
+        base_parts = sorted(glob.glob(os.path.join(edir, "part-*.parquet")))
+        mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        seen = set(base_parts)
+        sentinel_parts: dict[int, list[str]] = {}
+        for days in (30, 60):
+            # orderBy before limit: a deterministic template row, so the
+            # replay bytes don't depend on scan order across rebuilds.
+            one = batch.orderBy("event_id").limit(1)
+            rows = []
+            for uid, etype in ((-1, "view"), (-2, "purchase")):
+                rows.append(
+                    one.withColumn("event_id", F.lit(-(days * 10 + abs(uid))))
+                    .withColumn("user_id", F.lit(uid))
+                    .withColumn("event_type", F.lit(etype))
+                    .withColumn("ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS"))
+                )
+            sent = rows[0].unionByName(rows[1])
+            if "ts_ns" in batch.columns:
+                sent = sent.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
+            sent.select(*batch.columns).coalesce(1).write.mode("append").parquet(edir)
+            new = sorted(set(glob.glob(os.path.join(edir, "part-*.parquet"))) - seen)
+            seen.update(new)
+            sentinel_parts[days] = new
+        t = time.time()
+        for p in base_parts:
+            os.utime(p, (t - 600, t - 600))
+        for days, tt in ((30, t - 300), (60, t - 180)):
+            for p in sentinel_parts[days]:
+                os.utime(p, (tt, tt))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return edir
+
+
+def evict_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_base_files: int = 1,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream over :func:`evict_replay_dir` — one file per trigger, so
+    the replay is base batch(es) → +30d sentinel → +60d sentinel."""
+    edir = evict_replay_dir(spark, sf_dir, n_base_files=n_base_files)
+    schema = load(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(edir)
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     *,

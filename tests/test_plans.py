@@ -582,7 +582,6 @@ def test_corpus_pair_joins_never_broadcast_the_shingle_frame(spark, sf_dir):
     hinted; a refactor that drops the hint re-opens the scale hazard while
     still passing parity, so pin the physical shape here."""
     for name, min_smj in [
-        ("minhash_lsh_neardup", 3),  # bands self-join + two sh_ex joins
         ("ngram_jaccard_neardup", 1),
         ("containment_neardup_pairs", 1),
         ("winnow_match_pairs", 1),
@@ -590,3 +589,12 @@ def test_corpus_pair_joins_never_broadcast_the_shingle_frame(spark, sf_dir):
     ]:
         plan = _plan(spark, sf_dir, name)
         assert plan.count("SortMergeJoin") >= min_smj, (name, plan[:600])
+    # minhash (round 9): band self-join stays SMJ, but the two exact-verify
+    # joins are SHUFFLED-HASH building on the shingle side — per-partition
+    # build slice, NOT a broadcast (SMJ there sorted the ~4-5M-row verify
+    # expansion, the query's dominant cost; PERF.md §52). Pin all three
+    # shapes AND the no-broadcast property the r8 OOM taught.
+    plan = _plan(spark, sf_dir, "minhash_lsh_neardup")
+    assert plan.count("SortMergeJoin") >= 1, plan[:600]
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:600]
+    assert "BroadcastHashJoin" not in plan, plan[:600]

@@ -97,8 +97,24 @@ for name, fn in sorted(qs.items()):
         slow.append(f"{name}: {dt:.1f}s vs budget base {budgets[name]:.1f}s")
 
 if args.write_budget:
+    # ADVICE r8: with --only, MERGE into the existing baseline instead of
+    # replacing it wholesale — a filtered run used to silently drop every
+    # other query's budget, turning the time-budget gate off for them.
+    out_budget = measured
+    if args.only:
+        import os as _os
+
+        if _os.path.exists(args.write_budget):
+            with open(args.write_budget) as fh:
+                out_budget = json.load(fh)
+            out_budget.update(measured)
+            print(f"merged {len(measured)} measured into existing baseline")
+        else:
+            print("WARNING: --only + --write-budget on a missing baseline file: "
+                  "writing ONLY the filtered subset; unfiltered queries will "
+                  "have no budget until a full run rewrites it")
     with open(args.write_budget, "w") as fh:
-        json.dump(measured, fh, indent=1, sort_keys=True)
+        json.dump(out_budget, fh, indent=1, sort_keys=True)
     print("wrote budget baseline:", args.write_budget)
 
 print("FAILS:", fails)

@@ -278,10 +278,17 @@ def main() -> None:
         with open(args.out) as f:
             prior = json.load(f)
         prior.setdefault("queries", {}).update(payload["queries"])
-        prior["tiers"] = payload["tiers"]
+        # ADVICE r8: UNION the tier maps (a filtered --merge run used to
+        # replace the top-level map with only its own tiers, losing the
+        # provenance of the unmeasured queries' tier rows)...
+        prior.setdefault("tiers", {}).update(payload["tiers"])
         prior.setdefault("reps_by_query", {}).update(
             {q: args.reps for q in names}
         )
+        # ...and null the top-level reps when per-query reps diverge — the
+        # per-query records carry the authoritative value.
+        if any(r != args.reps for r in prior["reps_by_query"].values()):
+            prior["reps"] = None
         payload = prior
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

@@ -31,6 +31,7 @@ sys.path.insert(0, REPO_ROOT)
 
 HEAVY_STREAMING = [
     "stream_stream_join_pairs",
+    "stream_stream_join_ttl",
     "stream_stateful_user_counter",
     "stream_watermark_tumbling",
     "stream_stream_left_outer",
@@ -38,89 +39,30 @@ HEAVY_STREAMING = [
 ]
 
 
-def build_evict_replay(spark, sf_dir: str, n_files: int = 8) -> str:
-    """Events replay dir extended with two far-future sentinel batches.
-
-    The declared stream-stream join query retains everything by design
-    (3650-day watermark keeps its sink equal to the batch join, which is
-    what makes it oracle-checkable), so its boundedness evidence needs a
-    separate replay where the watermark actually PASSES the buffered rows
-    (VERDICT r7 task #3). Sentinels: one view + one purchase event at
-    max(ts)+30d and +60d, each its own part file with the newest mtimes so
-    the file source (mtime-ordered) delivers them last — the +30d batch
-    advances the watermark past all real data, and the +60d batch gives the
-    state store a processing turn AFTER that advance, so eviction is
-    observable even if no empty finalization batch runs.
-    """
-    from pyspark.sql import functions as F
-
-    from big_data__instagram_analysis_spark.io import load, scratch_dir
-
-    key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|evict|{n_files}".encode()
-    ).hexdigest()[:12]
-    edir = scratch_dir(f"stream_evict_{key}")
-    marker = os.path.join(edir, "_SPARK_GRAFT_READY")
-    if not os.path.exists(marker):
-        batch = load(spark, sf_dir, "events")
-        batch.repartition(n_files).write.mode("overwrite").parquet(edir)
-        base_parts = sorted(glob.glob(os.path.join(edir, "part-*.parquet")))
-        mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        seen = set(base_parts)
-        for days in (30, 60):
-            one = (
-                batch.where(F.col("event_type") == "view").limit(1)
-            ).unionByName(
-                batch.where(F.col("event_type") == "purchase").limit(1)
-            )
-            sent = (
-                one.withColumn(
-                    "ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS")
-                )
-                .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
-                .select(*batch.columns)
-            )
-            sent.coalesce(1).write.mode("append").parquet(edir)
-            new = sorted(
-                set(glob.glob(os.path.join(edir, "part-*.parquet"))) - seen
-            )
-            seen.update(new)
-            now = time.time()
-            for p in base_parts:
-                os.utime(p, (now - 600, now - 600))
-            for p in new:
-                os.utime(p, (now - 600 + days, now - 600 + days))
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return edir
-
-
-def _evict_reader(spark, sf_dir: str, edir: str):
-    from big_data__instagram_analysis_spark.io import load
-
-    schema = load(spark, sf_dir, "events").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(edir)
-    )
-
-
 def run_eviction_demos(spark, sf_dir: str) -> dict[str, dict]:
-    """The two mandated shapes with PRODUCTION watermarks over the extended
+    """The two mandated shapes with PRODUCTION watermarks over the sentinel
     replay: the attribution join (1 h watermark vs its 30-min range bound)
-    and the tumbling windowed agg (10-min windows, 1 h watermark, append)."""
+    and the tumbling windowed agg (10-min windows, 1 h watermark, append).
+
+    Round 9: the replay builder moved into the package
+    (streaming/harness.evict_replay_dir — it now also backs the DECLARED
+    stream_stream_join_ttl query) and the demos use its n_base_files=1
+    form: the whole base table lands in micro-batch 1, so NOTHING is ever
+    dropped-by-watermark (the old 8-file random split made drops inherent
+    — each file sampled the full time span, so batch 2+ was mostly below
+    batch 1's watermark) and the +30d sentinel batch evicts every buffered
+    row. Zero drops is now an assertable property, not an accident of
+    write timing (ADVICE r8).
+    """
     from pyspark.sql import functions as F
 
     from big_data__instagram_analysis_spark.streaming import harness
 
-    edir = build_evict_replay(spark, sf_dir)
     demos: dict[str, dict] = {}
 
     harness.reset_progress_log()
     views = (
-        _evict_reader(spark, sf_dir, edir)
+        harness.evict_events_stream(spark, sf_dir)
         .where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -130,7 +72,7 @@ def run_eviction_demos(spark, sf_dir: str) -> dict[str, dict]:
         .withWatermark("v_ts", "1 hour")
     )
     purchases = (
-        _evict_reader(spark, sf_dir, edir)
+        harness.evict_events_stream(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -146,17 +88,24 @@ def run_eviction_demos(spark, sf_dir: str) -> dict[str, dict]:
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
     harness.run_available_now(joined, output_mode="append", timeout_s=300)
-    demos["stream_stream_join_1h_watermark"] = harness.PROGRESS_LOG[-1]
+    # Guarded (ADVICE r8): _record_progress returns without appending when
+    # q.recentProgress raises, so a transient progress-API failure must not
+    # IndexError the whole metrics run after the expensive query ran.
+    demos["stream_stream_join_1h_watermark"] = (
+        harness.PROGRESS_LOG[-1] if harness.PROGRESS_LOG else {}
+    )
 
     harness.reset_progress_log()
     agg = (
-        _evict_reader(spark, sf_dir, edir)
+        harness.evict_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .count()
     )
     harness.run_available_now(agg, output_mode="append", timeout_s=300)
-    demos["tumbling_agg_1h_watermark"] = harness.PROGRESS_LOG[-1]
+    demos["tumbling_agg_1h_watermark"] = (
+        harness.PROGRESS_LOG[-1] if harness.PROGRESS_LOG else {}
+    )
     return demos
 
 
@@ -218,6 +167,16 @@ def main() -> None:
         )
         if not rec.get("rows_removed_total"):
             print(f"  WARNING: {dn} observed no state eviction", flush=True)
+        # With the post-loop single-timestamp mtime stamping, every real row
+        # arrives BEFORE the watermark-advancing sentinel batch — nonzero
+        # dropped-by-watermark means the replay ordering broke (ADVICE r8).
+        if rec.get("rows_dropped_by_watermark", 0):
+            print(
+                f"  WARNING: {dn} dropped "
+                f"{rec['rows_dropped_by_watermark']} rows by watermark — "
+                "replay mtime ordering violated, eviction evidence suspect",
+                flush=True,
+            )
 
     payload = {
         "metric": "stream_state_metrics",
