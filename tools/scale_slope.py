@@ -132,6 +132,163 @@ def _replicate_ids(tb: pa.Table, k: int, id_cols: list[str]) -> pa.Table:
     return pa.table(cols)
 
 
+#: Queries whose cost depends on VOCABULARY growth, not just row count —
+#: the ones VERDICT r8 task #6 flagged as mis-served by the substitution-
+#: cipher tiers (disjoint per-replica vocabularies are pessimistic for
+#: shuffle keys but unnatural for Heaps-law-sensitive work).
+NATURAL_QUERIES = [
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "oov_rate_by_source",
+    "winnow_match_pairs",
+    "length_drift_ks",
+]
+
+#: Heaps-law exponent for the natural tier's type budget: V(n) ≈ K·n^β.
+#: β=0.5 is the classic mid-range estimate for English-like corpora.
+HEAPS_BETA = 0.5
+
+
+def _natural_documents(tb: pa.Table, k: int, replace_types: dict[str, str]) -> pa.Table:
+    """Replica k of the NATURAL-growth tier: shared core vocabulary +
+    Heaps-style long-tail novelty (VERDICT r8 task #6).
+
+    Two deterministic transforms per document:
+
+    1. word-order SCRAMBLE — tokens permuted by a (k, n_tokens)-seeded
+       permutation. Token MULTISET (and so vocabulary, word frequencies,
+       n_chars — join of permuted split pieces is length-preserving) is
+       untouched, but word n-gram / char-shingle structure diverges from
+       replica 0, so replicas are NOT near-copies and pair-generating
+       queries don't face a data-driven quadratic output (that hazard is
+       why the cipher tiers exist; this tier serves the vocab-sensitive
+       queries). Identical docs scramble identically (seed depends only
+       on k and length), so exact-dup structure replicates.
+    2. long-tail novelty — the types in ``replace_types`` (chosen
+       rare-first to a Heaps budget, see build_natural_tier) are rewritten
+       through the k-seeded per-word substitution cipher: each replaced
+       TYPE contributes exactly one NEW type of the same length and corpus
+       frequency, the way real corpus growth adds rare types.
+    """
+    texts = tb["text"].to_pylist()
+    out_texts = []
+    for t in texts:
+        pieces = t.split(" ")
+        rng = np.random.RandomState(10007 * k + len(pieces))
+        perm = rng.permutation(len(pieces))
+        out_texts.append(
+            " ".join(replace_types.get(pieces[i], pieces[i]) for i in perm)
+        )
+    cols = {}
+    for name in tb.schema.names:
+        if name == "doc_id":
+            cols[name] = pc.add(tb["doc_id"], k * ID_OFF)
+        elif name == "text":
+            cols[name] = pa.array(out_texts, tb.schema.field("text").type)
+        else:  # n_chars etc.: scramble+same-length cipher are length-preserving
+            cols[name] = tb[name]
+    return pa.table(cols)
+
+
+def build_natural_tier(mult: int, base_dir: str, out_dir: str) -> dict:
+    """×mult tier with ORGANIC vocabulary growth: replicas share the core
+    vocabulary and add Heaps-law long-tail novelty, instead of the
+    substitution-cipher tiers' disjoint per-replica vocabularies.
+
+    Type budget: replica k must bring the cumulative type count to
+    V0·(k+1)^β (β=0.5), so it introduces T_k = V0·((k+1)^β − k^β) new
+    types — chosen RARE-FIRST (count asc, then a k-salted md5 tie-break)
+    because real corpus growth adds rare types, then renamed through the
+    k-seeded same-length cipher. Non-document tables reuse the cipher
+    tier's replication (id offsets / isometries) purely so loaders and
+    multi-table queries keep working. Returns measured vocab stats so the
+    artifact can show how close the tier landed to the Heaps target.
+    """
+    import hashlib as _hashlib
+
+    marker = os.path.join(out_dir, "_SPARK_GRAFT_READY")
+    stats_path = os.path.join(out_dir, "_VOCAB_STATS.json")
+    if os.path.exists(marker) and os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            return json.load(fh)
+    os.makedirs(out_dir, exist_ok=True)
+
+    tb = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for t in tb["text"].to_pylist():
+        counts.update(w for w in t.split(" ") if w)
+    v0 = len(counts)
+
+    reps = [tb]
+    vocab_all = set(counts)
+    new_types_per_replica = []
+    for k in range(1, mult):
+        budget = round(v0 * ((k + 1) ** HEAPS_BETA - k**HEAPS_BETA))
+        ordered = sorted(
+            counts.items(),
+            key=lambda it: (
+                it[1],
+                _hashlib.md5(f"{it[0]}|{k}".encode()).hexdigest(),
+            ),
+        )
+        cipher = _cipher_table(k)
+        replace: dict[str, str] = {}
+        for w, _ in ordered:
+            if len(replace) >= budget:
+                break
+            nw = w.translate(cipher)
+            if nw != w:  # all-punctuation words cipher to themselves: skip
+                replace[w] = nw
+        rep = _natural_documents(tb, k, replace)
+        reps.append(rep)
+        vocab_all.update(replace.values())
+        new_types_per_replica.append(len(replace))
+    big = pa.concat_tables(reps, promote_options="none")
+    pq.write_table(
+        big, os.path.join(out_dir, "documents.parquet"), store_schema=True
+    )
+
+    for t in SYNTH_TABLES:
+        if t == "documents":
+            continue
+        src = pq.read_table(os.path.join(base_dir, f"{t}.parquet"))
+        parts = []
+        for k in range(mult):
+            if k == 0:
+                parts.append(src)
+            elif t == "embeddings":
+                parts.append(_replicate_embeddings(src, k))
+            elif t == "orders":
+                parts.append(_replicate_ids(src, k, ["o_orderkey", "o_custkey"]))
+            elif t == "events":
+                parts.append(_replicate_ids(src, k, ["event_id", "user_id"]))
+        pq.write_table(
+            pa.concat_tables(parts, promote_options="none"),
+            os.path.join(out_dir, f"{t}.parquet"),
+            store_schema=True,
+        )
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+        src = os.path.join(base_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src), os.path.join(out_dir, f"{t}.parquet"))
+
+    stats = {
+        "v0_types": v0,
+        "vocab_types_after": len(vocab_all),
+        "vocab_ratio": round(len(vocab_all) / v0, 4),
+        "heaps_target_ratio": round(mult**HEAPS_BETA, 4),
+        "new_types_per_replica": new_types_per_replica,
+        "beta": HEAPS_BETA,
+    }
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return stats
+
+
 def build_synth_tier(mult: int, base_dir: str, out_dir: str) -> None:
     marker = os.path.join(out_dir, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
@@ -177,6 +334,91 @@ def fit_exponent(points: list[tuple[float, float]]) -> float | None:
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
 
 
+def run_natural(args, scratch_dir, get_specs, enable_bench_tuning, get_spark) -> None:
+    """Measure the vocab-sensitive queries at sf0.1 vs the natural-growth
+    ×N tier, both in THIS session with the same per-query GC hygiene, and
+    merge a 'natural_tier' block into the artifact. Both endpoints are
+    measured in one run so the adjacent exponent is drift-immune (the
+    bench.py §52 lesson)."""
+    mult = args.natural
+    out_dir = scratch_dir(f"scale_natural_x{mult}")
+    print(f"building natural tier x{mult} -> {out_dir}", flush=True)
+    vocab_stats = build_natural_tier(mult, BASE_TIERS[0.1], out_dir)
+    print("vocab stats:", vocab_stats, flush=True)
+
+    enable_bench_tuning()
+    spark = get_spark("iga-scale-natural")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = get_specs()
+    import gc
+
+    per_query: dict[str, dict] = {}
+    for q in NATURAL_QUERIES:
+        rec: dict = {}
+        for label, sf_dir in (("sf0.1", BASE_TIERS[0.1]), (f"x{mult}_natural", out_dir)):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            fn = specs[q].fn
+            fn(spark, sf_dir).toPandas()  # untimed warm pass
+            walls, rows = [], None
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                pdf = fn(spark, sf_dir).toPandas()
+                walls.append(time.perf_counter() - t0)
+                rows = len(pdf)
+            rec[label] = {
+                "sec": round(min(walls), 4),
+                "mean_sec": round(statistics.fmean(walls), 4),
+                "stdev_sec": round(statistics.stdev(walls), 4)
+                if len(walls) > 1
+                else 0.0,
+                "reps": args.reps,
+                "rows": rows,
+            }
+        a, b = rec["sf0.1"]["sec"], rec[f"x{mult}_natural"]["sec"]
+        rec["exponent_vs_sf0.1"] = (
+            round(math.log(b / a) / math.log(mult), 3) if a > 0 and b > 0 else None
+        )
+        per_query[q] = rec
+        print(
+            f"natural x{mult} {q:28s} sf0.1={a:7.3f}s x{mult}={b:7.3f}s "
+            f"exp={rec['exponent_vs_sf0.1']}",
+            flush=True,
+        )
+
+    block = {
+        "mult": mult,
+        "vocab": vocab_stats,
+        "queries": per_query,
+        "note": (
+            "Natural-growth tier (VERDICT r8 task #6): replicas share the "
+            "core vocabulary, word order is scrambled per replica (token "
+            "multiset preserved; replicas are NOT near-copies, so "
+            "pair-generating output stays linear), and rare types are "
+            "renamed to NEW same-length types to a Heaps V(n)=V0*n^0.5 "
+            "budget — organic vocabulary growth, vs the cipher tiers' "
+            "disjoint vocabularies. exponent_vs_sf0.1 = "
+            "log(t_nat/t_sf0.1)/log(mult), both endpoints measured in one "
+            "session (drift-immune)."
+        ),
+    }
+    payload = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            payload = json.load(f)
+    payload["natural_tier"] = block
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps({
+        "metric": "scale_slope_natural",
+        "exponents": {q: per_query[q]["exponent_vs_sf0.1"] for q in per_query},
+        "vocab_ratio": vocab_stats["vocab_ratio"],
+        "heaps_target": vocab_stats["heaps_target_ratio"],
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
@@ -185,11 +427,21 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(HEAVY_QUERIES))
     ap.add_argument("--merge", action="store_true",
                     help="update only the measured queries inside an existing --out")
+    ap.add_argument("--natural", type=int, default=0,
+                    help="run ONLY the natural-growth tier pass: build a "
+                    "×N tier with shared core vocabulary + Heaps long-tail "
+                    "novelty and measure NATURAL_QUERIES at sf0.1 vs it, "
+                    "merging a 'natural_tier' block into --out (VERDICT r8 "
+                    "task #6)")
     args = ap.parse_args()
 
     from big_data__instagram_analysis_spark.io import scratch_dir
     from big_data__instagram_analysis_spark.registry import get_specs
     from big_data__instagram_analysis_spark.session import enable_bench_tuning, get_spark
+
+    if args.natural:
+        run_natural(args, scratch_dir, get_specs, enable_bench_tuning, get_spark)
+        return
 
     tiers = dict(BASE_TIERS)
     mults = [int(m) for m in args.synth.split(",") if m.strip()]
