@@ -473,6 +473,19 @@ def orchestrate() -> None:
                 lm["per_query_dp"], lb["queries"]
             )
 
+    # Set-level per-rep (floor, wall) pairs: rep i's totals across the 10
+    # queries. Small enough for the driver-recorded stdout line, and they
+    # carry the drift-cancellation evidence at the level the 2×-bar ratio
+    # is computed (per-query pairs live in BENCH_DETAIL.json).
+    n_reps_done = min(len(ps) for ps in hd["pairs"].values())
+    set_pairs = [
+        [
+            round(sum(hd["pairs"][q][i][0] for q in hd["pairs"]), 4),
+            round(sum(hd["pairs"][q][i][1] for q in hd["pairs"]), 4),
+        ]
+        for i in range(n_reps_done)
+    ]
+
     all_ratios = {**headline_dp_ratio, **llm_out.get("per_query_dp_ratio", {})}
     all_dp = {**hd["per_query_dp"], **(lm.get("per_query_dp", {}) if lm else {})}
     all_base = {
@@ -498,6 +511,7 @@ def orchestrate() -> None:
         "reps": hd["reps"],
         "llm_set": llm_out,
         "floor": floor,
+        "floor_wall_pairs_set": set_pairs,
         "dp_gt2": dp_gt2,
         "dp_excess_sec": dp_excess,
         "sf": sf,
@@ -521,6 +535,7 @@ def orchestrate() -> None:
         "datapath_sec": datapath,
         "datapath_vs_duckdb": floor["datapath_vs_duckdb"],
         "duckdb_baseline_sec": duckdb_baseline,
+        "floor_wall_pairs_set": set_pairs,
         "dp_gt2": dp_gt2,
         "dp_excess_sec": dp_excess,
         "detail": "BENCH_DETAIL.json",
