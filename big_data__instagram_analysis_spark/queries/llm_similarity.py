@@ -1168,6 +1168,127 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- E248: embedding-space benchmark decontamination ---------------------------
+
+
+#: Registered benchmark embeddings = the fixed id-range vec_id < 40 (the
+#: embedding twin of E48's doc_id < 5 benchmark shingle set). Candidate
+#: docs whose max cosine vs ANY benchmark anchor clears DECON_TAU are
+#: flagged for removal — semantic contamination that survives E48's exact
+#: n-gram decontamination (a paraphrased eval item shares no 4-gram but
+#: sits next to the benchmark in embedding space). τ = 0.35 sits in the
+#: upper tail of the fixture's isotropic cosine distribution (measured
+#: max-sim counts: 31 flagged at sf0.001, 38 at sf0.01, 165 at sf0.1 —
+#: non-vacuous at every tier, per the round-3 zero-row audit discipline).
+DECON_ANCHOR_MAX_ID = 40
+DECON_TAU = 0.35
+
+
+@query(
+    "embedding_decontamination",
+    category="L2,L3,E248",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, ve AS ae FROM e WHERE vec_id < {DECON_ANCHOR_MAX_ID}
+), c AS (
+  SELECT vec_id, label, ve AS ce FROM e WHERE vec_id >= {DECON_ANCHOR_MAX_ID}
+), s AS (
+  SELECT c.vec_id, c.label, a.anchor_id,
+         round(list_sum(list_transform(range(1, 1 + len(ae)), i -> ae[i] * ce[i]))
+               / (sqrt(list_sum(list_transform(ae, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce, x -> x * x)))), 6) AS sim
+  FROM c, a
+), r AS (
+  SELECT vec_id, label, anchor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, anchor_id) AS rn
+  FROM s
+)
+SELECT vec_id AS cand_id, CAST(label AS INTEGER) AS label,
+       anchor_id, sim AS max_sim
+FROM r
+WHERE rn = 1 AND sim >= {DECON_TAU}
+ORDER BY cand_id
+""",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every candidate
+    vector whose max cosine against the registered benchmark anchors
+    (vec_id < DECON_ANCHOR_MAX_ID) reaches DECON_TAU, with the offending
+    anchor — the SEMANTIC complement to E48's exact-n-gram
+    benchmark_decontamination (paraphrased eval leakage shares no n-gram
+    but is cosine-close; removing both is standard pretraining hygiene,
+    e.g. the SemDeDup/decon pipelines).
+
+    Scale shape (the ann_topk_queries idiom): the benchmark matrix is
+    SMALL BY CONSTRUCTION (a registered eval set), so it broadcasts with
+    its ids; the corpus streams through ONE Arrow-batched mapInPandas
+    doing a numpy matmul per chunk and emitting, per candidate, only the
+    anchors within ROUND_MARGIN of that candidate's max — each candidate
+    lives in exactly one chunk, so the chunk max IS the global max and
+    shuffle volume is O(flagged ties), not O(corpus × anchors). The
+    deterministic (round(sim,6) DESC, anchor_id) argmax and the τ cut run
+    in Spark expressions so rounding matches the oracle exactly; the
+    oracle recomputes through the full lateral pair scan.
+    """
+    from ..operators.similarity import ROUND_MARGIN, _to_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < DECON_ANCHOR_MAX_ID)
+    apdf = anchors.select("vec_id", "embedding").toPandas()
+    a_ids = apdf["vec_id"].to_numpy().astype(np.int64)
+    a_mat = _to_matrix(apdf, "embedding")
+    a_norm = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((a_ids, a_norm))
+
+    out_schema = "cand_id long, label long, anchor_id long, sim double"
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_a, na = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_labels = pdf["label"].to_numpy().astype(np.int64)
+            c_mat = _to_matrix(pdf, "embedding")
+            nc = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = nc @ na.T  # (chunk, |anchors|)
+            out = {"cand_id": [], "label": [], "anchor_id": [], "sim": []}
+            for ci in range(len(c_ids)):
+                vals = sims[ci]
+                take = np.nonzero(vals >= vals.max() - ROUND_MARGIN)[0]
+                out["cand_id"].extend([c_ids[ci]] * take.size)
+                out["label"].extend([c_labels[ci]] * take.size)
+                out["anchor_id"].extend(ids_a[take])
+                out["sim"].extend(vals[take])
+            if out["cand_id"]:
+                yield pd.DataFrame(out)
+
+    from pyspark.sql.window import Window
+
+    cand = (
+        emb.where(F.col("vec_id") >= DECON_ANCHOR_MAX_ID)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(chunk, out_schema)
+    )
+    w = Window.partitionBy("cand_id").orderBy(F.desc("sim_r"), F.asc("anchor_id"))
+    return (
+        cand.select("cand_id", "label", "anchor_id", F.round("sim", 6).alias("sim_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("sim_r") >= DECON_TAU))
+        .select(
+            "cand_id",
+            F.col("label").cast("int").alias("label"),
+            "anchor_id",
+            F.col("sim_r").alias("max_sim"),
+        )
+        .orderBy("cand_id")
+    )
+
+
 # --- E237: int8 scalar-quantization audit --------------------------------------
 
 

@@ -240,3 +240,41 @@ def test_matryoshka_audit_invariants(spark, sf_dir):
         r = out.loc[d]
         assert 0 <= r["n_top1_agree"] <= r["n_top1_in_full_top5"] <= r["n_queries"]
     assert out.loc[32, "n_top1_agree"] >= out.loc[16, "n_top1_agree"]
+
+
+def test_embedding_decontamination_matches_numpy_brute(spark, sf_dir):
+    """E248 differential: the flagged set, per-candidate argmax anchor and
+    rounded max-sim must equal a numpy brute-force recomputation (beyond
+    the oracle: an independent engine-free ground truth)."""
+    import numpy as np
+
+    from big_data__instagram_analysis_spark.io import load
+    from big_data__instagram_analysis_spark.queries.llm_similarity import (
+        DECON_ANCHOR_MAX_ID,
+        DECON_TAU,
+    )
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    out = get_specs()["embedding_decontamination"].fn(spark, str(sf_dir)).toPandas()
+    assert len(out) > 0  # anti-vacuousness: tau measured in-distribution
+
+    pdf = load(spark, str(sf_dir), "embeddings").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    is_anchor = ids < DECON_ANCHOR_MAX_ID
+    a_ids, c_ids = ids[is_anchor], ids[~is_anchor]
+    sims = mat[~is_anchor] @ mat[is_anchor].T
+    expect = {}
+    for ci in range(len(c_ids)):
+        r = np.round(sims[ci], 6)
+        best = r.max()
+        if best >= DECON_TAU:
+            # tiebreak: max sim, then min anchor_id — the declared order
+            anchor = a_ids[np.nonzero(r == best)[0]].min()
+            expect[int(c_ids[ci])] = (int(anchor), float(best))
+    got = {
+        int(r.cand_id): (int(r.anchor_id), float(r.max_sim))
+        for r in out.itertuples()
+    }
+    assert got == expect
