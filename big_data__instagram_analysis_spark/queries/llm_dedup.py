@@ -40,6 +40,97 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, text_col="text", id_col="doc_id")
 
 
+# --- E249: per-source dedup savings report -------------------------------------
+
+
+@query(
+    "dedup_savings_by_source",
+    category="L1,L8,E249",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+), f AS (
+  SELECT source, n_tok,
+         (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_surv
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_before,
+       CAST(sum(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(CASE WHEN is_surv THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_after,
+       CAST((sum(n_tok) - sum(CASE WHEN is_surv THEN n_tok ELSE 0 END)) * 1000000
+            // sum(n_tok) AS BIGINT) AS token_savings_ppm
+FROM f
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup savings report: docs and TOKENS before/after
+    keeping one survivor (min doc_id) per normalized-content hash group —
+    the number a training-data pipeline actually budgets by ("how many
+    tokens does source X really contribute after dedup?"), and the
+    standard per-source duplication health metric next to E243's cluster
+    histogram.
+
+    Uses the L1 normalization contract (lower/trim/collapse-ws → sha256;
+    operators/dedup.py) so "duplicate" means the same thing across the
+    dedup surface. Survivor attribution: a cluster spanning sources
+    credits its tokens to the SURVIVOR's source (min doc_id) — the
+    accounting that matches what a keep-list actually ships. Savings in
+    integer ppm (bigint multiply-then-div, both engines — no float
+    division). Plan: one window over the hash shuffle (no join — the
+    survivor flag is min(doc_id) OVER (PARTITION BY h)) then a map-side-
+    combinable per-source agg; at 100 TB that's one content-hash exchange,
+    the same cost exact dedup itself pays.
+
+    NOTE: each engine computes the hash with its own sha256 — the hash is
+    a GROUPING key only (never emitted), so cross-engine equality of the
+    digest doesn't matter, only injectivity on normalized texts.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+    h = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    t = d.select("doc_id", "source", n_tok.alias("n_tok"), h.alias("h"))
+    w = Window.partitionBy("h")
+    f = t.select(
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_surv"),
+    )
+    kept_tok = F.sum(F.when(F.col("is_surv"), F.col("n_tok")).otherwise(F.lit(0)))
+    tot_tok = F.sum("n_tok")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+            F.sum(F.when(F.col("is_surv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_after"),
+            tot_tok.cast("bigint").alias("tokens_before"),
+            kept_tok.cast("bigint").alias("tokens_after"),
+            ((tot_tok - kept_tok) * 1000000)
+            .cast("bigint")
+            .alias("_sav_num"),
+        )
+        .select(
+            "source",
+            "docs_before",
+            "docs_after",
+            "tokens_before",
+            "tokens_after",
+            F.expr("_sav_num div tokens_before").alias("token_savings_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "ngram_jaccard_neardup",
     tags=("llm_bench",),
