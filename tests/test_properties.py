@@ -148,3 +148,37 @@ def test_skyline_window_matches_bruteforce_fuzz(spark):
             )
         }
         assert got == want, (trial, sorted(got ^ want), rows)
+
+
+def test_subset_cap_predicate_matches_duckdb(spark, duck):
+    """r9 scale-adaptive subset caps (llm_dedup.BRUTE_SUBSET_CAP /
+    llm_similarity.HN_ANCHOR_CAP) rest on ONE invariant: the multiplicative-
+    hash keep-predicate selects the IDENTICAL id set in both engines, and
+    is vacuously true when n <= cap. Pin both on a 10k-id domain (above
+    every base tier's 2000, so the predicate actually filters) and on a
+    2000-id domain (must keep everything)."""
+    from pyspark.sql import functions as F
+
+    for n, cap in ((10_000, 2048), (2_000, 2048), (800, 80)):
+        duck_ids = {
+            r[0]
+            for r in duck.execute(
+                f"""SELECT i FROM range({n}) AS t(i)
+                    WHERE ((i % 1000003) * 2654435761) % 100000 * {n}
+                          < 100000 * {cap}"""
+            ).fetchall()
+        }
+        bucket = ((F.col("id") % 1000003) * F.lit(2654435761)) % 100000
+        spark_ids = {
+            r.id
+            for r in spark.range(n)
+            .where(bucket * F.lit(n) < F.lit(100000 * cap))
+            .collect()
+        }
+        assert spark_ids == duck_ids, (n, cap, len(spark_ids), len(duck_ids))
+        if n <= cap:
+            assert len(spark_ids) == n  # vacuous below the cap
+        else:
+            # binomial(n, cap/n): the subset tracks the cap within 4 sigma
+            sigma = (n * (cap / n) * (1 - cap / n)) ** 0.5
+            assert abs(len(spark_ids) - cap) < 4 * sigma
