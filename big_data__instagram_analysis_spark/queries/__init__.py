@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     curation,
     dataframe_ops,
     joins,
+    linalg,
     llm_audit,
     llm_dedup,
     llm_multimodal,

@@ -387,3 +387,169 @@ def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# E256: Heaps-law vocabulary-growth checkpoints
+# ---------------------------------------------------------------------------
+
+#: Number of cumulative-corpus checkpoints (deciles of total tokens).
+HEAPS_CKPTS = 10
+
+
+@query(
+    "vocab_growth_checkpoints",
+    category="L4,E256",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), doclen AS (
+  SELECT doc_id, len(t) AS n FROM toks
+), off AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS base
+  FROM doclen
+), occ AS (
+  SELECT t[i] AS w, o.base + i AS gidx
+  FROM toks, off o, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii
+  WHERE toks.doc_id = o.doc_id
+), firsts AS (
+  SELECT w, min(gidx) AS first_idx FROM occ GROUP BY w
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tt FROM doclen
+), ck AS (
+  SELECT CAST(k AS INT) AS decile, (tt * k) // {HEAPS_CKPTS} AS n_tokens
+  FROM range(1, {HEAPS_CKPTS} + 1) r(k), total
+)
+SELECT decile,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((SELECT count(*) FROM firsts f WHERE f.first_idx <= ck.n_tokens)
+            AS BIGINT) AS n_types,
+       round(ln((SELECT count(*) FROM firsts f
+                 WHERE f.first_idx <= ck.n_tokens)) / ln(ck.n_tokens), 6)
+         AS heaps_ratio
+FROM ck
+ORDER BY decile
+""",
+)
+def vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: distinct token types V(n) at the
+    ten cumulative-token deciles of the corpus (ordered by doc_id), with
+    the per-checkpoint ln V / ln n ratio — the empirical Heaps exponent
+    proxy. This is the diagnostic that tells a data team whether a corpus
+    keeps contributing NEW vocabulary as it grows (natural text: V ≈
+    K·n^0.5) or has saturated/been over-deduplicated — and it is exactly
+    the property PERF.md §53's natural-growth scale tier engineers into
+    the fixtures.
+
+    Distributed without a global token sort: per-doc token counts (one
+    row per doc) get a cumulative-offset window, each type's FIRST global
+    occurrence index is min(doc_offset + pos) — one explode + one min-agg
+    — and each checkpoint's V(n) is a count over the vocabulary-sized
+    firsts table. The corpus-scale relation is touched once; the window
+    runs on |docs| rows, not |tokens|. Exact integers everywhere except
+    the final ln-ratio (ln of exact ints, round-6, the E75 contract).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    doclen = d.select("doc_id", F.size(toks).alias("n"), toks.alias("t"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    off = doclen.select(
+        "doc_id",
+        "t",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("base"),
+    )
+    occ = off.select(
+        F.col("base"),
+        F.posexplode("t").alias("i0", "w"),
+    ).select(F.col("w"), (F.col("base") + F.col("i0") + 1).alias("gidx"))
+    firsts = occ.groupBy("w").agg(F.min("gidx").alias("first_idx"))
+    total = int(doclen.agg(F.sum("n")).collect()[0][0])
+    cks = spark.range(1, HEAPS_CKPTS + 1).select(
+        F.col("id").cast("int").alias("decile"),
+        F.expr(f"({total}L * id) DIV {HEAPS_CKPTS}").alias("n_tokens"),
+    )
+    # V(n) per checkpoint: broadcast the 10 checkpoints against the
+    # vocabulary-sized firsts table (a tiny theta-join), count per decile.
+    v = (
+        firsts.crossJoin(F.broadcast(cks))
+        .where(F.col("first_idx") <= F.col("n_tokens"))
+        .groupBy("decile", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return v.select(
+        "decile",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(F.log("n_types") / F.log("n_tokens"), 6).alias("heaps_ratio"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# E257: Shannon token diversity per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_entropy_by_source",
+    category="L8,E257",
+    oracle="""
+WITH occ AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS w
+  FROM documents
+), freq AS (
+  SELECT source, w, count(*) AS c FROM occ GROUP BY source, w
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * ln(c)) AS clnc
+  FROM freq GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy_nats,
+       round((ln(n_tokens) - clnc / n_tokens) / ln(n_types), 4)
+         AS normalized_entropy
+FROM agg
+ORDER BY source
+""",
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (nats), plus
+    the evenness-normalized variant H/ln(V): the lexical-diversity quality
+    gate — a source whose entropy collapses is boilerplate/template spam
+    (a handful of tokens dominate), one at ln(V) is uniform noise;
+    curation thresholds both tails, and entropy drift per ingest batch is
+    a standard corpus-health alarm.
+
+    H = ln(N) − (Σ c·ln c)/N over EXACT per-(source,type) counts: one
+    explode + one map-side-combinable (source,type) agg (vocabulary-sized
+    result), then a per-source fold — no joins, no second corpus pass.
+    The only floats are ln's of exact integers and one division, rounded
+    to 4 (the E73 sums-of-logs contract: the Σ c·ln c partial-sum order
+    can differ across engines by ulps, so 4 decimals is the honest
+    precision — each term is identical IEEE on both sides).
+    """
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w"),
+    )
+    freq = occ.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    h = F.log("n_tokens") - F.col("clnc") / F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(h, 4).alias("entropy_nats"),
+        F.round(h / F.log("n_types"), 4).alias("normalized_entropy"),
+    ).orderBy("source")

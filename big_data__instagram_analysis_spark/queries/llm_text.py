@@ -2022,3 +2022,254 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E250: content-defined chunking (rolling-boundary CDC) + cross-doc dup chunks
+# ---------------------------------------------------------------------------
+
+#: CDC anchor window: a boundary decision looks at the last CDC_W tokens.
+CDC_W = 4
+#: Boundary rate: cut when the first md5 hex digit of the window is in
+#: {'0','1'} — 2/16 = 1/8 of positions, so expected chunk length ≈ 8 tokens.
+CDC_BOUNDARY_HEX = ("0", "1")
+
+
+@query(
+    "cdc_duplicate_chunks",
+    category="L2,L4,E250",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+  FROM toks
+), flagged AS (
+  SELECT doc_id, i, t[i] AS tok,
+         CASE WHEN i >= 4 AND substr(md5(array_to_string(
+                    list_slice(t, i - 3, i), ' ')), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS b
+  FROM pos
+), assigned AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5,
+         count(*) AS n_toks
+  FROM assigned GROUP BY doc_id, chunk_id
+)
+SELECT chunk_md5,
+       CAST(min(n_toks) AS BIGINT) AS n_chunk_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, chunk_md5
+LIMIT 100
+""",
+)
+def cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) with cross-document duplicate-chunk
+    detection — the storage-dedup / long-document-dedup primitive that
+    fixed-stride chunking (E45) cannot provide: because boundaries are
+    decided by the CONTENT of a rolling token window (cut after position i
+    when md5 of tokens[i-3..i] starts with '0'/'1' — a 1/8 rate, ~8-token
+    expected chunks), an insertion early in a document shifts every
+    fixed-stride chunk but leaves all CDC chunks after the next anchor
+    identical. That boundary self-synchronization is why CDC is the
+    standard in dedup storage (LBFS/Venti lineage) and in repeated-passage
+    mining over near-duplicate corpora.
+
+    Determinism: the boundary test is a seedless md5 bucket (the E193
+    idiom), so any engine or rerun derives identical chunks; DuckDB
+    recomputes every boundary, chunk assignment, and digest from scratch.
+
+    Scale: boundary flags are computed IN-ROW (one transform over the
+    token array — zero shuffle, no per-position gram materialized off-row);
+    the prefix-sum chunk assignment is one doc-keyed window exchange
+    (independent per-document sorts, the E221 positional idiom); chunk
+    reassembly is a map-side-combinable (doc, chunk) agg on the SAME
+    doc-keyed partitioning (no extra exchange); the cross-doc report
+    shuffles only 16-byte digests keyed by chunk_md5; top-100 is
+    TakeOrderedAndProject. Nothing is quadratic; the whole-corpus pair
+    space is never formed.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # In-row boundary flags: flag[i] (1-based) = 1 when the 4-token window
+    # ending at i hashes into the cut bucket. Positions 1..3 never cut.
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.when(
+            (i >= CDC_W)
+            & F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i - (CDC_W - 1), F.lit(CDC_W)))),
+                1,
+                1,
+            ).isin(*CDC_BOUNDARY_HEX),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(toks.alias("tok"), flags.alias("b"))).alias(
+            "i0", "z"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("z.tok").alias("tok"),
+        F.col("z.b").alias("b"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = ex.select(
+        "doc_id", "i", "tok", F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_id")
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("chunk_md5"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.min("n_toks").cast("bigint").alias("n_chunk_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "chunk_md5")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E254: skip-gram token PMI (word-association mining)
+# ---------------------------------------------------------------------------
+
+#: Skip-gram context radius: pairs are formed at token offsets 1..SKIPGRAM_D.
+SKIPGRAM_D = 2
+#: Top associated pairs returned (full tiebreak below).
+SKIPGRAM_TOPK = 50
+
+
+@query(
+    "token_skipgram_pmi",
+    category="L5,E254",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT unnest(t) AS w FROM toks
+), marg AS (
+  SELECT w, count(*) AS m FROM occ GROUP BY w
+), tot AS (
+  SELECT count(*) AS n_tok FROM occ
+), pos AS (
+  SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks
+), pairs AS (
+  SELECT least(t[i], t[i + d]) AS wa, greatest(t[i], t[i + d]) AS wb,
+         count(*) AS c
+  FROM pos, range(1, {SKIPGRAM_D} + 1) dd(d)
+  WHERE i + d <= len(t)
+  GROUP BY wa, wb
+), ptot AS (
+  SELECT sum(c) AS n_pair FROM pairs
+)
+SELECT wa, wb, CAST(c AS BIGINT) AS n_cooc,
+       round(ln((c / CAST(n_pair AS DOUBLE)) /
+                ((ma.m / CAST(n_tok AS DOUBLE)) *
+                 (mb.m / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.w = wa
+JOIN marg mb ON mb.w = wb
+CROSS JOIN tot CROSS JOIN ptot
+ORDER BY n_cooc DESC, wa, wb
+LIMIT {SKIPGRAM_TOPK}
+""",
+)
+def token_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI between tokens (window ±2, unordered canonical
+    pairs): the word-association statistic behind word2vec's training
+    data, collocation extraction, and phrase mining — E75's PMI machinery
+    moved from event space to token space, where the pair volume is
+    corpus-scale and the plan shape matters.
+
+    ZERO joins generate the pairs: for each offset d ∈ {1,2} the pair
+    list is arrays_zip(t, slice(t, d+1)) built IN-ROW — the corpus is
+    scanned once, no positional self-join, no doc-keyed shuffle; the only
+    exchanges are the map-side-combinable pair/marginal aggs. Pair volume
+    is exactly (2n − 3·docs) rows → linear, and the pair KEY space is
+    vocabulary², kept sub-shuffle by partial aggregation. PMI itself is
+    ln of exact count ratios (identical IEEE on both engines — the E75
+    contract), round-6, top-50 under a total order.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    arms = [
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - k, F.lit(0))).alias("x"),
+            F.slice(
+                toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+            ).alias("y"),
+        )
+        for k in range(1, SKIPGRAM_D + 1)
+    ]
+    pairs = (
+        d.select(F.explode(F.concat(*arms)).alias("p"))
+        .select(
+            F.least("p.x", "p.y").alias("wa"),
+            F.greatest("p.x", "p.y").alias("wb"),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    occ = d.select(F.explode(toks).alias("w"))
+    marg = occ.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    n_tok = float(occ.count())
+    n_pair = float(
+        pairs.agg(F.sum("c")).collect()[0][0]
+    )
+    ma = marg.select(F.col("w").alias("wa"), F.col("m").alias("ma"))
+    mb = marg.select(F.col("w").alias("wb"), F.col("m").alias("mb"))
+    return (
+        pairs.join(F.broadcast(ma), "wa")
+        .join(F.broadcast(mb), "wb")
+        .select(
+            "wa",
+            "wb",
+            F.col("c").cast("bigint").alias("n_cooc"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.lit(n_pair))
+                    / (
+                        (F.col("ma") / F.lit(n_tok))
+                        * (F.col("mb") / F.lit(n_tok))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_cooc"), "wa", "wb")
+        .limit(SKIPGRAM_TOPK)
+    )
