@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     llm_multimodal,
     llm_similarity,
     llm_text,
+    ops_gates,
     pipeline_ops,
     projections,
     retrieval,

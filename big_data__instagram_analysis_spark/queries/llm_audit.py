@@ -413,9 +413,16 @@ WITH toks AS (
            AS base
   FROM doclen
 ), occ AS (
-  SELECT t[i] AS w, o.base + i AS gidx
-  FROM toks, off o, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii
-  WHERE toks.doc_id = o.doc_id
+  -- positions generated IN-ROW (list_transform), doc_id matched by an
+  -- explicit hash join: the comma-join + LATERAL form of this CTE made
+  -- DuckDB evaluate the |docs| x |docs| cross product under the lateral
+  -- at the x10 tier (35+ min; the join form is sub-second).
+  SELECT u.w AS w, u.g AS gidx
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t) + 1),
+                                 i -> {{'w': t[i], 'g': o.base + i}})) AS u
+    FROM toks JOIN off o USING (doc_id)
+  )
 ), firsts AS (
   SELECT w, min(gidx) AS first_idx FROM occ GROUP BY w
 ), total AS (
