@@ -598,3 +598,71 @@ def test_corpus_pair_joins_never_broadcast_the_shingle_frame(spark, sf_dir):
     assert plan.count("SortMergeJoin") >= 1, plan[:600]
     assert plan.count("ShuffledHashJoin") >= 2, plan[:600]
     assert "BroadcastHashJoin" not in plan, plan[:600]
+
+
+# ---------------------------------------------------------------------------
+# ops_gates (E255, E258-E264) — the merge-vs-broadcast lessons as assertions
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_df_join_is_smj_not_broadcast(spark, sf_dir):
+    """PERF.md §54: the shingle⋈df join OOM'd the x10 tier twice — once as
+    an AQE broadcast of the corpus-growing df side, once as an SHJ whose
+    coalesced build map couldn't spill. It must stay sort-merge."""
+    plan = _plan(spark, sf_dir, "ngram_novelty_by_source")
+    assert "SortMergeJoin" in plan, plan[:500]
+    assert "BroadcastHashJoin" not in plan, (
+        "no side of the novelty join is broadcast-safe: " + plan[:500]
+    )
+
+
+def test_bigram_surprisal_model_joins_never_broadcast_vocab(spark, sf_dir):
+    """The unigram/bigram model tables Heaps-grow with the corpus; only the
+    |sources|-row ns total may broadcast."""
+    plan = _plan(spark, sf_dir, "bigram_backoff_surprisal")
+    assert "SortMergeJoin" in plan, plan[:500]
+    # exactly one broadcast: the |sources|-row ns join (formatted explain
+    # names each node once in the tree and once in the detail section, so
+    # count distinct node ids, not substring hits)
+    bhjs = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(bhjs) <= 1, plan[:800]
+
+
+def test_exact_quantile_pass2_prunes_to_candidate_buckets(spark, sf_dir):
+    """The RETURNED plan is pass 2 only (pass 1's histogram ran eagerly at
+    build time — its own partial agg is covered by the bounded-collect
+    contract): it must filter to the candidate buckets BEFORE the
+    per-percentile window, and never cross-join."""
+    plan = _plan(spark, sf_dir, "exact_quantile_selection")
+    assert "Window" in plan, plan[:400]
+    # the bucket prune sits below the window sort
+    assert plan.index("Filter") > 0 and "Window" in plan
+    assert plan.index("Window") < plan.rindex("Filter") or "Filter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_consistent_hash_ring_lookup_is_in_row(spark, sf_dir):
+    """The ring successor lookup is an array filter inside the project —
+    no join of docs against ring points, no shuffle before the
+    |shards|-row agg."""
+    plan = _plan(spark, sf_dir, "consistent_hash_rebalance")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "ring lookup must not become a join: " + plan[:500]
+    )
+
+
+def test_zonemap_aggs_are_partial(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zonemap_skip_rate")
+    assert "partial_min" in plan or "partial_count" in plan, plan[:500]
+
+
+def test_join_cardinality_never_runs_the_join(spark, sf_dir):
+    """The estimator joins the two COUNT tables (|keys| rows each), never
+    the fact tables themselves: the plan must aggregate BEFORE any join."""
+    plan = _plan(spark, sf_dir, "join_cardinality_estimate")
+    import re as _re
+
+    joins = [m.start() for m in _re.finditer(r"SortMergeJoin|ShuffledHashJoin", plan)]
+    aggs = [m.start() for m in _re.finditer(r"HashAggregate", plan)]
+    assert aggs and joins, plan[:400]
