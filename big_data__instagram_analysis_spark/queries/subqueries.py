@@ -276,3 +276,83 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_UNPIVOT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# E265: recursive CTE — repeat-purchase chain walk (Spark 4's SQL frontier)
+# ---------------------------------------------------------------------------
+
+#: hop bound for the recursive walk (constant — bounds iterations at any SF)
+CHAIN_MAX_HOP = 5
+
+#: The IDENTICAL text runs on both engines: Spark 4.1 and DuckDB both
+#: support WITH RECURSIVE ... UNION ALL (Spark does not yet support the
+#: UNION-dedup form — [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]); DATEDIFF's
+#: day count is exact-integer on both. The only engine-split token is the
+#: integer-division spelling, injected below.
+_CHAIN_SQL = """
+WITH RECURSIVE walk(c, k, hop, cum_gap) AS (
+  SELECT o_custkey, o_orderkey, 0, CAST(0 AS BIGINT)
+  FROM (SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+  UNION ALL
+  SELECT e.o_custkey, e.nk, w.hop + 1, w.cum_gap + e.gap_days
+  FROM walk w
+  JOIN (SELECT o_custkey, o_orderkey,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS nk,
+               CAST(DATEDIFF({dd}) AS BIGINT) AS gap_days
+        FROM orders) e
+    ON w.c = e.o_custkey AND w.k = e.o_orderkey
+  WHERE e.nk IS NOT NULL AND w.hop < {max_hop}
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cum_gap) AS BIGINT) AS total_wait_days,
+       CAST(sum(cum_gap) * 1000000 {div} count(*) AS BIGINT)
+         AS avg_wait_days_ppm
+FROM walk GROUP BY hop ORDER BY hop
+"""
+
+_LEAD_DATE = (
+    "LEAD(o_orderdate) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey)"
+)
+
+
+@query(
+    "repeat_purchase_chains",
+    category="J10,W3,E265",
+    oracle=_CHAIN_SQL.format(
+        dd=f"'day', o_orderdate, {_LEAD_DATE}", div="//", max_hop=CHAIN_MAX_HOP
+    ),
+)
+def repeat_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the SQL-frontier
+    iteration primitive) walking each customer's repeat-purchase chain:
+    from the first order, follow the next-order edge up to 5 hops, and
+    report how many customers reach each depth plus the exact cumulative
+    wait (days since first purchase, summed along the walked path). The
+    retention-depth curve a growth team reads off the order history.
+
+    Why this recursion cannot blow up: the edge relation is the LEAD of a
+    per-customer window, so every node has OUT-DEGREE <= 1 — the walk is
+    a set of disjoint linear chains, and UNION ALL path multiplicity
+    (which Spark's recursive CTEs cannot dedup yet —
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) is structurally 1. Each
+    iteration is one equi-join of a shrinking frontier (<= |customers|
+    rows) against the edge table, the same shape as the repo's large-star
+    CC rounds (operators/graph.py) — and the hop bound caps iterations at
+    a constant regardless of corpus size. The identical SQL text runs on
+    both engines (only DATEDIFF argument order and div spelling differ);
+    gaps are exact integer day counts, the ppm average is integer
+    division.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _CHAIN_SQL.format(
+            dd=f"{_LEAD_DATE}, o_orderdate", div="div", max_hop=CHAIN_MAX_HOP
+        )
+    )

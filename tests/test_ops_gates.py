@@ -341,3 +341,43 @@ def test_join_cardinality_prediction_is_exact(spark, sf_dir):
     rows = join_cardinality_estimate(spark, sf_dir).collect()
     assert rows and all(r.predicted_rows == actual for r in rows)
     assert rows == sorted(rows, key=lambda r: (-r.contribution, r.user_id))
+
+
+# ---------------------------------------------------------------------------
+# E265 (lives in subqueries.py but tested with this batch)
+# ---------------------------------------------------------------------------
+
+
+def test_repeat_purchase_chains_matches_python(spark, sf_dir):
+    from big_data__instagram_analysis_spark.queries.subqueries import (
+        CHAIN_MAX_HOP,
+        repeat_purchase_chains,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    )
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append((r.o_orderdate, r.o_orderkey))
+    reach: Counter = Counter()
+    wait: Counter = Counter()
+    for orders in by_cust.values():
+        orders.sort()
+        first = orders[0][0]
+        for hop, (d, _) in enumerate(orders[: CHAIN_MAX_HOP + 1]):
+            reach[hop] += 1
+            wait[hop] += (d - first).days
+    got = {r.hop: r for r in repeat_purchase_chains(spark, sf_dir).collect()}
+    assert set(got) == {h for h in reach}
+    prev = None
+    for hop in sorted(got):
+        g = got[hop]
+        assert g.n_customers == reach[hop]
+        assert g.total_wait_days == wait[hop]
+        assert g.avg_wait_days_ppm == wait[hop] * 1_000_000 // reach[hop]
+        # reach is monotone non-increasing: a linear chain cannot re-grow
+        assert prev is None or g.n_customers <= prev
+        prev = g.n_customers
