@@ -635,9 +635,10 @@ def test_exact_quantile_pass2_prunes_to_candidate_buckets(spark, sf_dir):
     per-percentile window, and never cross-join."""
     plan = _plan(spark, sf_dir, "exact_quantile_selection")
     assert "Window" in plan, plan[:400]
-    # the bucket prune sits below the window sort
-    assert plan.index("Filter") > 0 and "Window" in plan
-    assert plan.index("Window") < plan.rindex("Filter") or "Filter" in plan
+    # the bucket prune must sit BELOW the window in the tree (higher node
+    # id = deeper): a Filter node appears after the Window's tree line
+    tree_window = plan.index("Window")
+    assert "Filter" in plan[tree_window:], plan[:600]
     assert "CartesianProduct" not in plan
 
 
