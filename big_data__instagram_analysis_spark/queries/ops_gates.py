@@ -938,3 +938,224 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("contribution"), "user_id")
         .limit(JC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# E267: k-anonymity audit (the privacy gate before publishing)
+# ---------------------------------------------------------------------------
+
+#: minimum group size for a quasi-identifier combination to be publishable
+KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    category="A1,A6,E267",
+    oracle=f"""
+WITH q AS (
+  SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+         year(o.o_orderdate) AS yr
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), g AS (
+  SELECT seg, nat, yr, count(*) AS sz FROM q GROUP BY 1, 2, 3
+)
+SELECT seg AS mktsegment,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) * 1000000
+            // sum(sz) AS BIGINT) AS risk_ppm
+FROM g
+GROUP BY seg
+ORDER BY mktsegment
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (market segment, nation, order year): how many records sit in
+    equivalence classes smaller than k=5 — the re-identification risk
+    gate a governance team runs BEFORE an order history (or a training
+    corpus's metadata) is published or joined into an LLM dataset. The
+    complement to the PII surface (E66 redaction / masking): redaction
+    hides direct identifiers; k-anonymity measures whether the REMAINING
+    quasi-identifiers still single people out.
+
+    Plan: one fact-dim equi-join (customer GROWS with SF — merge-hinted,
+    never broadcast at 100 TB), one map-side-combinable group-size agg
+    (output = |QI combinations| rows, thousands), one per-segment fold.
+    All emits exact integers; risk_ppm is integer division.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    q = o.join(
+        c.withColumnRenamed("c_custkey", "o_custkey").hint("merge"), "o_custkey"
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    g = q.groupBy("seg", "nat", "yr").agg(F.count(F.lit(1)).alias("sz"))
+    small = F.col("sz") < KANON_K
+    return (
+        g.groupBy("seg")
+        .agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+            F.sum(F.when(small, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                f"sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) * 1000000"
+                " div sum(sz)"
+            ).alias("risk_ppm"),
+        )
+        .select(
+            F.col("seg").alias("mktsegment"),
+            "n_rows",
+            "n_groups",
+            "n_small_groups",
+            "rows_at_risk",
+            "risk_ppm",
+        )
+        .orderBy("mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E268: run-length / sortedness encoding audit (storage-layout gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rle_sortedness_audit",
+    category="S7,O1,E268",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_returnflag,
+         l_orderkey // {ZM_CHUNK} AS file_ins,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS file_clu
+  FROM lineitem
+), runs AS (
+  SELECT 'insertion' AS layout, 'ship_day' AS col,
+         CASE WHEN lag(ship_day) OVER (PARTITION BY file_ins
+              ORDER BY l_orderkey, l_linenumber, ship_day)
+              IS DISTINCT FROM ship_day
+              THEN 1 ELSE 0 END AS brk
+  FROM li
+  UNION ALL
+  SELECT 'insertion', 'returnflag',
+         CASE WHEN lag(l_returnflag) OVER (PARTITION BY file_ins
+              ORDER BY l_orderkey, l_linenumber, l_returnflag)
+              IS DISTINCT FROM l_returnflag
+              THEN 1 ELSE 0 END
+  FROM li
+  UNION ALL
+  SELECT 'clustered', 'ship_day',
+         CASE WHEN lag(ship_day) OVER (PARTITION BY file_clu
+              ORDER BY ship_day, l_orderkey, l_linenumber)
+              IS DISTINCT FROM ship_day THEN 1 ELSE 0 END
+  FROM li
+  UNION ALL
+  SELECT 'clustered', 'returnflag',
+         CASE WHEN lag(l_returnflag) OVER (PARTITION BY file_clu
+              ORDER BY l_returnflag, l_orderkey, l_linenumber)
+              IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END
+  FROM li
+)
+SELECT layout, col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(brk) AS BIGINT) AS n_runs,
+       CAST((count(*) - sum(brk)) * 1000000 // count(*) AS BIGINT)
+         AS rle_savings_ppm
+FROM runs
+GROUP BY layout, col
+ORDER BY layout, col
+""",
+)
+def rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding payoff audit: for two columns (ship day,
+    return flag) under two file layouts — insertion order (orderkey-
+    chunked, E262's layout A) vs per-file clustering on the column
+    itself — count the value RUNS a columnar encoder would see and the
+    RLE savings in ppm. Zone maps (E262) measure what a layout lets you
+    SKIP; this measures what it lets you COMPRESS — the other half of
+    the 100 TB layout decision (a clustered column RLEs to ~|distinct
+    values| runs per file; an insertion-ordered one barely compresses).
+
+    Plan: run breaks are a lag() over (file PARTITION BY, explicit total
+    ORDER) — per-file independent window sorts, the same partition-sort
+    shape as E238's per-source windows (no global sort at any scale);
+    then one map-side-combinable 4-group fold. The row order inside each
+    layout is an EXPLICIT sort key, never parquet arrival order — and the
+    audited column is APPENDED to every sort key because
+    (l_orderkey, l_linenumber) is not unique in the fixture (1,161 dup
+    pairs with different ship dates): a tie that differs in the audited
+    value would otherwise order nondeterministically and flip run counts
+    run-to-run (observed: 5996 vs 5997 between two DuckDB sessions). All emits exact integers. Run counts
+    use number-of-breaks (first row of each partition is not a break, so
+    n_runs = breaks; savings = (rows - breaks)/rows — a monotone proxy
+    shared by both engines).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "l_returnflag",
+        (F.col("l_orderkey") / ZM_CHUNK).cast("long").alias("file_ins"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("file_clu"),
+    )
+
+    def runs(layout: str, col: str, file_col: str, order: list) -> DataFrame:
+        w = Window.partitionBy(file_col).orderBy(*order)
+        brk = F.when(
+            ~F.lag(col).over(w).eqNullSafe(F.col(col)), 1
+        ).otherwise(0)
+        return li.select(
+            F.lit(layout).alias("layout"), F.lit(col).alias("col"), brk.alias("brk")
+        )
+
+    all_runs = (
+        runs("insertion", "ship_day", "file_ins", ["l_orderkey", "l_linenumber", "ship_day"])
+        .unionAll(
+            runs("insertion", "l_returnflag", "file_ins", ["l_orderkey", "l_linenumber", "l_returnflag"])
+        )
+        .unionAll(
+            runs(
+                "clustered",
+                "ship_day",
+                "file_clu",
+                ["ship_day", "l_orderkey", "l_linenumber"],
+            )
+        )
+        .unionAll(
+            runs(
+                "clustered",
+                "l_returnflag",
+                "file_clu",
+                ["l_returnflag", "l_orderkey", "l_linenumber"],
+            )
+        )
+    )
+    return (
+        all_runs.withColumn(
+            "col", F.when(F.col("col") == "l_returnflag", "returnflag").otherwise(F.col("col"))
+        )
+        .groupBy("layout", "col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("brk").cast("long").alias("n_runs"),
+            F.expr("(count(1) - sum(brk)) * 1000000 div count(1)").alias(
+                "rle_savings_ppm"
+            ),
+        )
+        .orderBy("layout", "col")
+    )

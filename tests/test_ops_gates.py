@@ -381,3 +381,102 @@ def test_repeat_purchase_chains_matches_python(spark, sf_dir):
         # reach is monotone non-increasing: a linear chain cannot re-grow
         assert prev is None or g.n_customers <= prev
         prev = g.n_customers
+
+
+# ---------------------------------------------------------------------------
+# E267
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_matches_python(spark, sf_dir):
+    from big_data__instagram_analysis_spark.queries.ops_gates import (
+        KANON_K,
+        k_anonymity_audit,
+    )
+
+    cust = {
+        r.c_custkey: (r.c_mktsegment, r.c_nationkey)
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    groups: Counter = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        seg, nat = cust[r.o_custkey]
+        groups[(seg, nat, r.o_orderdate.year)] += 1
+    ref: dict[str, list[int]] = {}
+    for (seg, _, _), sz in groups.items():
+        b = ref.setdefault(seg, [0, 0, 0, 0])
+        b[0] += sz
+        b[1] += 1
+        if sz < KANON_K:
+            b[2] += 1
+            b[3] += sz
+    got = {r.mktsegment: r for r in k_anonymity_audit(spark, sf_dir).collect()}
+    assert set(got) == set(ref)
+    for seg, (nr, ng, nsg, rar) in ref.items():
+        g = got[seg]
+        assert (g.n_rows, g.n_groups, g.n_small_groups, g.rows_at_risk) == (
+            nr,
+            ng,
+            nsg,
+            rar,
+        )
+        assert g.risk_ppm == rar * 1_000_000 // nr
+
+
+# ---------------------------------------------------------------------------
+# E268
+# ---------------------------------------------------------------------------
+
+
+def test_rle_audit_matches_python_and_clustering_wins(spark, sf_dir):
+    from big_data__instagram_analysis_spark.queries.ops_gates import (
+        ZM_CHUNK,
+        rle_sortedness_audit,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+        .collect()
+    )
+    recs = [
+        (
+            r.l_orderkey // ZM_CHUNK,
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_shipdate.strftime("%Y-%m-%d"),
+            r.l_returnflag,
+        )
+        for r in rows
+    ]
+
+    def breaks(part_of, key_of, val_of):
+        by_part: dict = {}
+        for rec in recs:
+            by_part.setdefault(part_of(rec), []).append(rec)
+        b = 0
+        for part in by_part.values():
+            part.sort(key=key_of)
+            prev = object()
+            for rec in part:
+                if val_of(rec) != prev:
+                    b += 1
+                prev = val_of(rec)
+        return b
+
+    ref_ins_day = breaks(
+        lambda r: r[0], lambda r: (r[1], r[2], r[3]), lambda r: r[3]
+    )
+    got = {
+        (r.layout, r.col): r for r in rle_sortedness_audit(spark, sf_dir).collect()
+    }
+    assert got[("insertion", "ship_day")].n_runs == ref_ins_day
+    for col in ("ship_day", "returnflag"):
+        ins, clu = got[("insertion", col)], got[("clustered", col)]
+        assert ins.n_rows == clu.n_rows == len(recs)
+        # the property the audit exists to show: clustering never loses
+        assert clu.rle_savings_ppm >= ins.rle_savings_ppm
