@@ -667,3 +667,18 @@ def test_join_cardinality_never_runs_the_join(spark, sf_dir):
     joins = [m.start() for m in _re.finditer(r"SortMergeJoin|ShuffledHashJoin", plan)]
     aggs = [m.start() for m in _re.finditer(r"HashAggregate", plan)]
     assert aggs and joins, plan[:400]
+
+
+def test_k_anonymity_dim_join_is_smj(spark, sf_dir):
+    """customer grows with SF — the QI join must not broadcast it."""
+    plan = _plan(spark, sf_dir, "k_anonymity_audit")
+    assert "SortMergeJoin" in plan, plan[:400]
+    assert "BroadcastHashJoin" not in plan, plan[:400]
+
+
+def test_rle_audit_windows_are_per_file_sorts(spark, sf_dir):
+    """Run counting must be partitioned window sorts, never a global sort
+    feeding one window."""
+    plan = _plan(spark, sf_dir, "rle_sortedness_audit")
+    assert "Window" in plan, plan[:400]
+    assert "CartesianProduct" not in plan
