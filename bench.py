@@ -227,6 +227,47 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
     for _ in range(3):
         for name in names:
             specs[name].fn(spark, sf_dir).toPandas()
+
+    # Whole-set wall (the BENCH `value`): the query set submitted
+    # concurrently to the warm scheduler (fresh DataFrame instances — no
+    # stage reuse). At bench tier each job's stages are sub-core-count
+    # wide, so sequential submission leaves the 32-way executor mostly
+    # idle between stages and the whole-set number degenerates into 10×
+    # per-job scheduling latency; concurrent submission is Spark's
+    # designed multi-tenancy path and measures set THROUGHPUT the way
+    # BASELINE.md §2 frames DuckDB's "whole-set ≈ 9 q/s". Measured HERE,
+    # on the warm but UN-CHURNED JVM, before the ABAB floor reps. In r9 this pass sat
+    # after 5 warm-up passes + 5×10 ABAB reps + 50 System.gc() calls and
+    # collapsed 0.755 s → 4.06 s with in-pass degradation 4.06→8.5→8.3 s
+    # (VERDICT r9 #2). Set throughput is a steady-state property — it
+    # must not inherit the floor-measurement machinery's JVM wear. A
+    # 1-rep probe of the same pass re-runs AFTER the ABAB block
+    # (concurrent_post_churn_sec) so the wear stays measured and
+    # attributable instead of hidden. GC runs between reps, outside the
+    # timed region, and each rep builds fresh DataFrame instances.
+    import gc
+    import threading
+
+    n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
+
+    def _concurrent_rep() -> float:
+        dfs_conc = {name: specs[name].fn(spark, sf_dir) for name in names}
+        threads = [
+            threading.Thread(target=df.toPandas) for df in dfs_conc.values()
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round(time.perf_counter() - t0, 4)
+
+    conc_runs: list[float] = []
+    for _ in range(n_conc):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        conc_runs.append(_concurrent_rep())
+
     for _ in range(2):
         for name in names:
             specs[name].fn(spark, floor_dir).toPandas()
@@ -251,27 +292,12 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
     empty_job = _min_wall(lambda: spark.range(1).toPandas())
     shuffle_1row = _min_wall(lambda: spark.range(1).groupBy("id").count().toPandas())
 
-    # Whole-set wall: the query set submitted concurrently to the warm
-    # scheduler (fresh DataFrame instances — no stage reuse). At bench
-    # tier each job's stages are sub-core-count wide, so sequential
-    # submission leaves the 32-way executor mostly idle between stages and
-    # the whole-set number degenerates into 10× per-job scheduling
-    # latency. Concurrent submission is Spark's designed multi-tenancy
-    # path and measures set THROUGHPUT the same way BASELINE.md §2 frames
-    # DuckDB's "whole-set ≈ 9 q/s". Per-query latencies above remain
-    # sequential/isolated — both numbers are reported.
-    import threading
-
-    conc_runs: list[float] = []
-    for _ in range(n_conc):
-        dfs_conc = {name: specs[name].fn(spark, sf_dir) for name in names}
-        threads = [threading.Thread(target=df.toPandas) for df in dfs_conc.values()]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        conc_runs.append(round(time.perf_counter() - t0, 4))
+    # Post-churn probe: ONE more concurrent rep after the ABAB block, so
+    # the JVM-wear delta (VERDICT r9 #2's 4.06→8.5 s signature) is an
+    # in-artifact number every round instead of an undisclosed collapse.
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    conc_post = _concurrent_rep()
 
     phase = {
         "queries": timings,
@@ -285,6 +311,7 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
         "empty_job_sec": round(empty_job, 4),
         "shuffle_1row_sec": round(shuffle_1row, 4),
         "concurrent_runs": conc_runs,
+        "concurrent_post_churn_sec": conc_post,
         "reps": n_reps,
     }
     with open(out_path, "w") as f:
@@ -508,6 +535,7 @@ def orchestrate() -> None:
         "sequential_wall_sec": sequential,
         "concurrent_wall_sec": concurrent,
         "concurrent_runs": hd["concurrent_runs"],
+        "concurrent_post_churn_sec": hd.get("concurrent_post_churn_sec"),
         "reps": hd["reps"],
         "llm_set": llm_out,
         "floor": floor,
@@ -527,6 +555,7 @@ def orchestrate() -> None:
         "queries": timings,
         "sequential_wall_sec": sequential,
         "concurrent_wall_sec": concurrent,
+        "concurrent_post_churn_sec": hd.get("concurrent_post_churn_sec"),
         "llm_wall_sec": llm_out.get("wall_sec"),
         "llm_datapath_sec": llm_out.get("datapath_sec"),
         "llm_duckdb_baseline_sec": llm_out.get("duckdb_baseline_sec"),

@@ -76,9 +76,15 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3 AND doc_id < 50
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF as a declarative DataFrame composition (explode → tf/df aggs →
-    broadcast df join → rank window): fully oracle-checkable, unlike
-    HashingTF whose bucket hashing is engine-specific. Top-3 terms per doc
-    for a stable doc subset."""
+    df join → rank window): fully oracle-checkable, unlike HashingTF whose
+    bucket hashing is engine-specific. Top-3 terms per doc for a stable doc
+    subset.
+
+    The term→df table is VOCABULARY-sized (Heaps: ~n^0.5 — 10^8+ types at
+    100 TB), so it is deliberately NOT broadcast-hinted (VERDICT r9 #3 /
+    PERF §54 rule: broadcast only provably bounded tables). Unhinted, AQE
+    upgrades the join to broadcast at runtime only when the built side
+    actually fits; at scale it stays a shuffle join on `term`."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -86,7 +92,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(
@@ -600,8 +606,10 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tails).
 
     Two passes over the exploded tokens: one groupBy builds the unigram
-    table (vocabulary-sized, broadcast back), one join+groupBy scores
-    docs. The model is corpus-relative — no external LM, fully
+    table, one join+groupBy scores docs. The unigram table is
+    VOCABULARY-sized (Heaps ~n^0.5), so no broadcast hint — AQE may
+    broadcast it at small tiers where it measurably fits; at 100 TB the
+    join shuffles on `term` (PERF §54 rule, VERDICT r9 #3). The model is corpus-relative — no external LM, fully
     deterministic, which is what makes it hash-checkable (ln of exact
     count ratios; both engines compute identical IEEE ops). Top-50
     rarest-token docs returned with a full tiebreak.
@@ -612,7 +620,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n")).collect()[0][0]
-    scored = toks.join(F.broadcast(freq), "term").select(
+    scored = toks.join(freq, "term").select(
         "doc_id", F.log(F.col("n") / F.lit(float(total))).alias("lp")
     )
     return (
@@ -1116,8 +1124,9 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines prune both tails because each tail fails differently; doing
     it per source keeps one crawl's scale from setting another's cutoffs.
 
-    Plan: the two unigram_logprob_score passes (vocab groupBy →
-    broadcast join → doc groupBy), then ONE window per source for the
+    Plan: the two unigram_logprob_score passes (vocab groupBy → unhinted
+    freq join [vocab-sized, so no forced broadcast — AQE decides;
+    VERDICT r9 #3] → doc groupBy), then ONE window per source for the
     decile label and a per-source aggregate — the window's partition key
     is the source, so the 100 TB sort is many independent per-source
     sorts, not a global one. ntile over the total order (nlp, doc_id) is
@@ -1135,7 +1144,7 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n")).collect()[0][0]
     scored = (
-        toks.join(F.broadcast(freq), "term")
+        toks.join(freq, "term")
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
@@ -2215,6 +2224,11 @@ def token_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved from event space to token space, where the pair volume is
     corpus-scale and the plan shape matters.
 
+    The two marginal tables are VOCABULARY-sized, so the PMI joins carry
+    no broadcast hint (PERF §54 rule; VERDICT r9 #3) — AQE may upgrade
+    them where they measurably fit, and at 100 TB they shuffle on the
+    token key like any vocab-keyed agg.
+
     ZERO joins generate the pairs: for each offset d ∈ {1,2} the pair
     list is arrays_zip(t, slice(t, d+1)) built IN-ROW — the corpus is
     scanned once, no positional self-join, no doc-keyed shuffle; the only
@@ -2253,8 +2267,8 @@ def token_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = marg.select(F.col("w").alias("wa"), F.col("m").alias("ma"))
     mb = marg.select(F.col("w").alias("wb"), F.col("m").alias("mb"))
     return (
-        pairs.join(F.broadcast(ma), "wa")
-        .join(F.broadcast(mb), "wb")
+        pairs.join(ma, "wa")
+        .join(mb, "wb")
         .select(
             "wa",
             "wb",

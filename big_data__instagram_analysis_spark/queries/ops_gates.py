@@ -404,10 +404,11 @@ SELECT source,
        CAST(sum(cs) AS BIGINT) AS n_bigram_positions,
        CAST(sum(CASE WHEN excl = 0 THEN cs ELSE 0 END) * 1000000
             // sum(cs) AS BIGINT) AS backoff_ppm,
-       round(sum(cs * -ln(CASE WHEN excl > 0
+       round(sum(CAST(floor(cs * -ln(CASE WHEN excl > 0
                                THEN excl / CAST(c1x AS DOUBLE)
                                ELSE {SB_ALPHA} * (c2x + 1) / CAST(nx + v AS DOUBLE)
-                          END)) / sum(cs), 4) AS avg_surprisal
+                          END) * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT))
+             / CAST(1000000.0 AS DOUBLE) / sum(cs), 4) AS avg_surprisal
 FROM scored
 GROUP BY source
 ORDER BY source
@@ -501,6 +502,15 @@ def bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.lit(SB_ALPHA) * (F.col("c2x") + 1) / (F.col("nx") + F.lit(v)).cast("double")
     )
+    # ADVICE r9: a double SUM is merge-order nondeterministic, and rounding
+    # it to 4dp for a bit-exact compare leaves a latent half-boundary
+    # straddle. Quantize each TERM to micro-units row-wise (identical IEEE
+    # ops on both engines — the E73 per-row contract; floor(x+0.5), the
+    # house HALF_UP-vs-rint-safe form) and sum BIGINTs: integer addition is
+    # commutative, so the aggregate is order-immune by construction.
+    q_micro = F.floor(
+        F.col("cs") * -F.log(score) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
     return (
         scored.groupBy("source")
         .agg(
@@ -509,7 +519,7 @@ def bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum(CASE WHEN excl = 0 THEN cs ELSE 0 END) * 1000000 div sum(cs)"
             ).alias("backoff_ppm"),
             F.round(
-                F.sum(F.col("cs") * -F.log(score)) / F.sum("cs"), 4
+                F.sum(q_micro) / F.lit(1000000.0) / F.sum("cs"), 4
             ).alias("avg_surprisal"),
         )
         .orderBy("source")
@@ -718,7 +728,10 @@ def zonemap_skip_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chronological; the house DATE-output rule). All emits exact integers.
     """
     li = load(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") / ZM_CHUNK).cast("long").alias("file_a"),
+        # Integer `div` mirrors the oracle's `//` exactly (ADVICE r9: the
+        # old double-divide-then-truncate was only exact because ZM_CHUNK
+        # is a power of two and keys are positive).
+        F.expr(f"l_orderkey div {ZM_CHUNK}").alias("file_a"),
         (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
         .cast("long")
         .alias("file_b"),
@@ -1108,7 +1121,8 @@ def rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
         "l_returnflag",
-        (F.col("l_orderkey") / ZM_CHUNK).cast("long").alias("file_ins"),
+        # Integer `div`, not double-divide-and-truncate (ADVICE r9).
+        F.expr(f"l_orderkey div {ZM_CHUNK}").alias("file_ins"),
         (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
         .cast("long")
         .alias("file_clu"),

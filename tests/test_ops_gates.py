@@ -167,21 +167,24 @@ def test_bigram_surprisal_matches_python(spark, sf_dir):
             sc = excl / (un_t[a] - un_s.get((s, a), 0))
         else:
             sc = SB_ALPHA * (un_t[b] - un_s.get((s, b), 0) + 1) / (nt - ns[s] + v)
-        acc = ref.setdefault(s, [0, 0, 0.0])
+        acc = ref.setdefault(s, [0, 0, 0])
         acc[0] += cs
         acc[1] += cs if excl == 0 else 0
-        acc[2] += cs * -math.log(sc)
+        # Mirror the query's ADVICE-r9 fix: per-term micro-unit
+        # quantization, then an exact (order-immune) integer sum.
+        acc[2] += math.floor(cs * -math.log(sc) * 1e6 + 0.5)
     got = {
         r.source: r for r in bigram_backoff_surprisal(spark, sf_dir).collect()
     }
     assert set(got) == set(ref)
-    for src, (npos, nback, ssum) in ref.items():
+    for src, (npos, nback, qsum) in ref.items():
         g = got[src]
         assert g.n_bigram_positions == npos
         assert g.backoff_ppm == nback * 1_000_000 // npos
-        # E73 contract: partial-sum order may differ by ulps around the
-        # 4dp boundary — allow the last digit to straddle.
-        assert abs(g.avg_surprisal - round(ssum / npos, 4)) <= 1e-4 + 1e-9
+        # The engine sum is now an exact integer, so run-to-run (merge
+        # order) variance is gone; the remaining slack is only Python
+        # libm vs JVM libm ulps on the per-term ln.
+        assert abs(g.avg_surprisal - round(qsum / 1e6 / npos, 4)) <= 1e-4 + 1e-9
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +259,11 @@ def test_zonemap_perfect_skip_on_clustered_layout(spark, sf_dir):
     for y, r in rows.items():
         # month files never straddle a year boundary -> exact pruning
         assert r.rows_scanned_b == per_year.get(y, 0)
-        assert r.skipped_a <= r.skipped_b
+        # ADVICE r9: compare only the NORMALIZED skip rates — the absolute
+        # skipped-file counts ride on layout-dependent file totals
+        # (files_a grows with the corpus, files_b is ~84 months), so the
+        # absolute ordering can legitimately flip at a larger tier even
+        # when the ppm ordering (the layout-quality claim) holds.
         assert 0 <= r.skip_ppm_a <= r.skip_ppm_b <= 1_000_000
 
 

@@ -660,13 +660,23 @@ def test_zonemap_aggs_are_partial(spark, sf_dir):
 
 def test_join_cardinality_never_runs_the_join(spark, sf_dir):
     """The estimator joins the two COUNT tables (|keys| rows each), never
-    the fact tables themselves: the plan must aggregate BEFORE any join."""
+    the fact tables themselves: the plan must aggregate BEFORE any join.
+
+    ADVICE r9: existence of both node kinds was too weak — a regression
+    that joined the raw facts and aggregated afterwards would still have
+    had both. The tree section prints parent-first, so "aggregation feeds
+    the join" means some HashAggregate appears BELOW (after) the first
+    join in the tree; a facts-first join would leave every agg above it."""
     plan = _plan(spark, sf_dir, "join_cardinality_estimate")
     import re as _re
 
-    joins = [m.start() for m in _re.finditer(r"SortMergeJoin|ShuffledHashJoin", plan)]
-    aggs = [m.start() for m in _re.finditer(r"HashAggregate", plan)]
+    tree = plan.split("\n\n")[0]  # node-details section repeats the names
+    joins = [m.start() for m in _re.finditer(r"SortMergeJoin|ShuffledHashJoin", tree)]
+    aggs = [m.start() for m in _re.finditer(r"HashAggregate", tree)]
     assert aggs and joins, plan[:400]
+    assert max(aggs) > min(joins), (
+        "no aggregate below the join — the plan joins raw fact rows:\n" + tree
+    )
 
 
 def test_k_anonymity_dim_join_is_smj(spark, sf_dir):
@@ -682,3 +692,61 @@ def test_rle_audit_windows_are_per_file_sorts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rle_sortedness_audit")
     assert "Window" in plan, plan[:400]
     assert "CartesianProduct" not in plan
+
+
+#: Queries whose join build side is a VOCABULARY-derived frame (term→df,
+#: unigram freq, PMI marginals). Vocabulary grows ~n^0.5 with the corpus
+#: (Heaps — the repo's own E256 audit), so at 100 TB these tables hold
+#: 10^8+ rows and a forced broadcast is a guaranteed OOM (VERDICT r9 #3).
+VOCAB_JOIN_QUERIES = (
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "perplexity_band_prune",
+    "token_skipgram_pmi",
+)
+
+
+def test_vocab_joins_carry_no_forced_broadcast_hint(spark, sf_dir):
+    """No ResolvedHint in the analyzed plan of any vocab-join query.
+
+    A `F.broadcast()` hint is STATS-IMMUNE: the planner obeys it at any
+    size, which is how four vocab-sized broadcasts shipped green for two
+    rounds (the fixture vocabulary is 31-54 types — VERDICT r9 #3).
+    Unhinted, the decision rides on size estimates that grow linearly
+    with corpus bytes, so the same code broadcasts only while the table
+    measurably fits."""
+    for name in VOCAB_JOIN_QUERIES:
+        df = get_specs()[name].fn(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, (
+            f"{name}: forced join-strategy hint on a vocab-derived frame:\n"
+            + analyzed[:600]
+        )
+
+
+def test_vocab_joins_respect_broadcast_threshold(spark, sf_dir):
+    """With broadcasts conf-disabled, no vocab query may still plan one.
+
+    This is the behavioral half of the hint check: `F.broadcast()`
+    overrides `autoBroadcastJoinThreshold`, so a reintroduced hint fails
+    here even though the stats-driven plan at bench tier legitimately
+    broadcasts (the vocab frame genuinely fits). threshold=-1 simulates
+    "the estimate says too big" — exactly the 100 TB planner state."""
+    from big_data__instagram_analysis_spark.session import RUNTIME_CONF
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prior = spark.conf.get(key)
+    prior_rt = RUNTIME_CONF.get(key)
+    # Query fns re-apply RUNTIME_CONF via tune(), so override both layers.
+    RUNTIME_CONF[key] = "-1"
+    spark.conf.set(key, "-1")
+    try:
+        for name in VOCAB_JOIN_QUERIES:
+            plan = _plan(spark, sf_dir, name)
+            assert "BroadcastHashJoin" not in plan, (
+                f"{name}: broadcast survives threshold=-1 — a forced hint "
+                "is back on a vocab-derived frame:\n" + plan[:600]
+            )
+    finally:
+        RUNTIME_CONF[key] = prior_rt
+        spark.conf.set(key, prior)

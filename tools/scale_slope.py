@@ -148,6 +148,153 @@ NATURAL_QUERIES = [
 #: β=0.5 is the classic mid-range estimate for English-like corpora.
 HEAPS_BETA = 0.5
 
+#: Queries whose join build side is vocabulary-derived (VERDICT r9 #3).
+#: The fixture vocabulary is 31-54 types, which made forced vocab
+#: broadcasts invisible in every slope artifact — this tier makes them
+#: measurable: ~3.7M distinct types in a ~34 MB corpus, sized so Spark's
+#: STATIC estimate of the exploded/aggregated side (width-scaled scan
+#: bytes — Generate stats don't multiply rows) exceeds the 10 MB
+#: autoBroadcastJoinThreshold and an unhinted plan goes sort-merge; a
+#: reintroduced F.broadcast() overrides the stats and flips the recorded
+#: broadcast_on_vocab_join flag back to true.
+VOCAB_INFLATED_QUERIES = [
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "perplexity_band_prune",
+    "token_skipgram_pmi",
+]
+
+VI_DOCS = 75_000
+VI_TOKS_PER_DOC = 50
+
+
+def build_vocab_inflated_tier(out_dir: str) -> dict:
+    """Synthetic documents table: few rows, HUGE vocabulary.
+
+    Every token is an 8-hex md5 prefix of (doc, position) — deterministic,
+    incompressible (no dictionary-page shrink hiding the scan size), and
+    ~unique (expected 8-hex collisions over 3.75M draws: ~1.6k), so the
+    type count is ~= the token count: the exact corpus shape (vocabulary
+    ~ corpus) where a vocab-table broadcast is maximally wrong."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    doc_ids, texts, sources, langs, n_chars = [], [], [], [], []
+    for i in range(VI_DOCS):
+        toks = [
+            hashlib.md5(f"{i}_{k}".encode()).hexdigest()[:8]
+            for k in range(VI_TOKS_PER_DOC)
+        ]
+        t = " ".join(toks)
+        doc_ids.append(i)
+        texts.append(t)
+        sources.append(f"src{i % 5}")
+        langs.append("en")
+        n_chars.append(len(t))
+    tb = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(tb, os.path.join(out_dir, "documents.parquet"))
+    n_tokens = VI_DOCS * VI_TOKS_PER_DOC
+    return {
+        "n_docs": VI_DOCS,
+        "n_tokens": n_tokens,
+        "approx_n_types": n_tokens,  # md5-prefix tokens; ~1.6k collisions
+        "parquet_bytes": os.path.getsize(
+            os.path.join(out_dir, "documents.parquet")
+        ),
+    }
+
+
+def run_vocab_inflated(args, scratch_dir, get_specs, enable_bench_tuning, get_spark) -> None:
+    """Measure VOCAB_INFLATED_QUERIES at sf0.1 vs the inflated-vocab tier
+    and record, per query, the wall time AND whether any vocab join still
+    broadcast in the FINAL (AQE) plan — merged into --out as
+    'vocab_inflated_tier' (VERDICT r9 task #7)."""
+    out_dir = scratch_dir("scale_vocab_inflated")
+    print(f"building vocab-inflated tier -> {out_dir}", flush=True)
+    stats = build_vocab_inflated_tier(out_dir)
+    print("tier stats:", stats, flush=True)
+
+    enable_bench_tuning()
+    spark = get_spark("iga-scale-vocab")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = get_specs()
+    import gc
+    import re as _re
+
+    per_query: dict[str, dict] = {}
+    for q in VOCAB_INFLATED_QUERIES:
+        rec: dict = {}
+        for label, sf_dir in (("sf0.1", BASE_TIERS[0.1]), ("vocab_inflated", out_dir)):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            fn = specs[q].fn
+            df = fn(spark, sf_dir)
+            df.toPandas()  # untimed warm pass; also finalizes the AQE plan
+            final_plan = df._jdf.queryExecution().executedPlan().toString()
+            walls, rows = [], None
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                pdf = fn(spark, sf_dir).toPandas()
+                walls.append(time.perf_counter() - t0)
+                rows = len(pdf)
+            rec[label] = {
+                "sec": round(min(walls), 4),
+                "mean_sec": round(statistics.fmean(walls), 4),
+                "reps": args.reps,
+                "rows": rows,
+                "broadcast_on_vocab_join": bool(
+                    _re.search(r"BroadcastHashJoin", final_plan)
+                ),
+            }
+        per_query[q] = rec
+        print(
+            f"vocab-inflated {q:28s} sf0.1={rec['sf0.1']['sec']:7.3f}s "
+            f"inflated={rec['vocab_inflated']['sec']:7.3f}s "
+            f"bhj@inflated={rec['vocab_inflated']['broadcast_on_vocab_join']}",
+            flush=True,
+        )
+
+    block = {
+        "tier": stats,
+        "queries": per_query,
+        "note": (
+            "Vocab-inflated micro-tier (VERDICT r9 task #7): ~3.7M distinct "
+            "md5-prefix types in 75k docs. broadcast_on_vocab_join reads the "
+            "FINAL executed plan: at sf0.1 the 31-54-type vocab frame "
+            "legitimately broadcasts (stats-driven); at this tier an "
+            "unhinted plan must NOT broadcast — true here means a "
+            "stats-immune F.broadcast() regressed into a vocab join "
+            "(the tests/test_plans.py vocab suite pins the same contract)."
+        ),
+    }
+    payload = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            payload = json.load(f)
+    payload["vocab_inflated_tier"] = block
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps({
+        "metric": "scale_slope_vocab_inflated",
+        "broadcast_flags": {
+            q: per_query[q]["vocab_inflated"]["broadcast_on_vocab_join"]
+            for q in per_query
+        },
+        "secs_inflated": {
+            q: per_query[q]["vocab_inflated"]["sec"] for q in per_query
+        },
+    }))
+    spark.stop()
+
 
 def _natural_documents(tb: pa.Table, k: int, replace_types: dict[str, str]) -> pa.Table:
     """Replica k of the NATURAL-growth tier: shared core vocabulary +
@@ -433,6 +580,13 @@ def main() -> None:
                     "novelty and measure NATURAL_QUERIES at sf0.1 vs it, "
                     "merging a 'natural_tier' block into --out (VERDICT r8 "
                     "task #6)")
+    ap.add_argument("--vocab-inflated", action="store_true",
+                    help="run ONLY the vocab-inflated tier pass: build a "
+                    "~3.7M-type micro-corpus and measure the vocab-join "
+                    "queries at sf0.1 vs it, recording wall + whether any "
+                    "vocab join still broadcasts in the final plan; merges "
+                    "a 'vocab_inflated_tier' block into --out (VERDICT r9 "
+                    "task #7)")
     args = ap.parse_args()
 
     from big_data__instagram_analysis_spark.io import scratch_dir
@@ -441,6 +595,11 @@ def main() -> None:
 
     if args.natural:
         run_natural(args, scratch_dir, get_specs, enable_bench_tuning, get_spark)
+        return
+    if args.vocab_inflated:
+        run_vocab_inflated(
+            args, scratch_dir, get_specs, enable_bench_tuning, get_spark
+        )
         return
 
     tiers = dict(BASE_TIERS)
