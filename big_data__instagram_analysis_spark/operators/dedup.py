@@ -103,6 +103,17 @@ def shingle_rows(
     """
     from pyspark.sql.window import Window as _W
 
+    # Local-tier scan-parallelism guard (round 10): a bench-tier documents
+    # file is smaller than one split, so the scan is ONE task and the whole
+    # split+posexplode phase ran single-threaded (ABAB-measured 0.88 →
+    # 0.46 s at sf0.1). Repartition ONLY when the scan produced far fewer
+    # partitions than cores — at 100 TB the scan is thousands of splits and
+    # this is a no-op (a corpus-wide text shuffle would be exactly wrong).
+    # Keying by id keeps the exchange reusable by the doc window below.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
+        df = df.repartition(8, id_col)
+
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),

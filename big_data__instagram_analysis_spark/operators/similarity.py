@@ -36,6 +36,13 @@ from pyspark.sql import functions as F
 #: top-k contender during chunk pruning.
 ROUND_MARGIN = 1e-5
 
+#: Rows per matmul slice inside the Arrow-batch loop: bounds the sims
+#: matrix + mask temporaries to ~CH×|B|×9 bytes per call (≈4 MB at the
+#: 2000-vector bench tier) no matter how large an Arrow batch the scan
+#: delivers. Same FLOPs — this is allocation/bandwidth discipline, not an
+#: algorithm change (PERF.md §56).
+SIM_CHUNK = 256
+
 #: Enforced ceiling on the driver-materialized broadcast matrix (float64
 #: bytes). The brute-force operators' contract is "one side fits in executor
 #: memory"; past this, use the sub-quadratic paths instead
@@ -103,27 +110,41 @@ def cosine_topk_allpairs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            a_ids = pdf[id_col].to_numpy().astype(np.int64)
-            a_mat = _to_matrix(pdf, vec_col)
-            na = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = na @ nb.T  # (chunk, |B|)
-            mask = a_ids[:, None] < ids_b[None, :]
-            flat = sims[mask]
-            if flat.size == 0:
-                continue
-            ai, bi = np.nonzero(mask)
-            if flat.size > k:
-                kth = np.partition(flat, flat.size - k)[flat.size - k]
-                keep = flat >= kth - ROUND_MARGIN
-            else:
-                keep = np.ones_like(flat, dtype=bool)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai[keep]],
-                    "vec_b": ids_b[bi[keep]],
-                    "sim": flat[keep],
-                }
-            )
+            a_ids_all = pdf[id_col].to_numpy().astype(np.int64)
+            a_mat_all = _to_matrix(pdf, vec_col)
+            # Row-sliced matmul (round 10): an Arrow batch can be the whole
+            # table at bench tier (one scan split), and a full-batch
+            # |batch|×|B| sims matrix plus its boolean mask/gather
+            # temporaries is tens of MB of allocation per call — measured
+            # as the bench set's dominant wall-variance source (isolated
+            # spikes 0.3→1.2 s; 4-10 s under the concurrent pass, where
+            # the memory-bandwidth-bound mask/gather ops collide with 9
+            # other jobs and the JVM's GC threads — PERF.md §56). Slicing
+            # to SIM_CHUNK rows bounds temporaries to ~4 MB regardless of
+            # batch size (same FLOPs, cache-resident), and chunk-local
+            # top-k keeps the emitted rows O(k) per slice.
+            for st in range(0, len(a_ids_all), SIM_CHUNK):
+                a_ids = a_ids_all[st : st + SIM_CHUNK]
+                a_mat = a_mat_all[st : st + SIM_CHUNK]
+                na = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+                sims = na @ nb.T  # (chunk, |B|)
+                mask = a_ids[:, None] < ids_b[None, :]
+                flat = sims[mask]
+                if flat.size == 0:
+                    continue
+                ai, bi = np.nonzero(mask)
+                if flat.size > k:
+                    kth = np.partition(flat, flat.size - k)[flat.size - k]
+                    keep = flat >= kth - ROUND_MARGIN
+                else:
+                    keep = np.ones_like(flat, dtype=bool)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai[keep]],
+                        "vec_b": ids_b[bi[keep]],
+                        "sim": flat[keep],
+                    }
+                )
 
     candidates = emb.select(id_col, vec_col).mapInPandas(chunk_topk, out_schema)
     return (

@@ -300,19 +300,23 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. prune candidates that CANNOT clear the threshold (size-ratio
          bound 2·min(na,nb) ≥ max(na,nb) — exact, not heuristic), then
          verify the rest EXACTLY via shared-shingle counts: candidate
-         pairs join the (doc, shingle) rows on doc_a then equi-join on
-         (doc_b, shingle) — both as shuffled-hash joins building on the
-         shingle side (the expansion is the big side and SMJ would sort
-         it), count per pair, Jaccard = shared/(na+nb-shared) from exact
-         integer counts, filtered ≥ 0.5.
+         pairs join the (doc, shingle) rows on doc_a (shuffled-hash,
+         building on the pruned CAND side) then equi-join on
+         (doc_b, shingle) (shuffled-hash building on the shingle slice —
+         the expansion is the big side and SMJ would sort it), count per
+         pair, Jaccard = shared/(na+nb-shared) from exact integer
+         counts, filtered ≥ 0.5.
 
     Rounds 1-3 used pyspark.ml's MinHashLSH.approxSimilarityJoin — same
     banding structure but measured 10 s of the query's 11.4 s at sf0.1
     (vector-type overhead + a non-codegen keyDistance UDF over every of
     the ~82k candidate pairs, plus HOF shingling recomputed per consumer);
-    this plain-DataFrame form runs the identical contract in ~1.7 s with
-    every operator inside whole-stage codegen (2.3 s in rounds 4-8; round
-    9 added the size-ratio prune + shuffled-hash verify, PERF.md §52).
+    this plain-DataFrame form runs the identical contract with every
+    operator inside whole-stage codegen (2.3 s in rounds 4-8; round 9
+    added the size-ratio prune + shuffled-hash verify, PERF.md §52;
+    round 10 parallelized the bench-tier scan, SHJ'd the band join and
+    flipped the first verify build side — 2.63 → 1.9 s ABAB at sf0.1,
+    PERF.md §56).
 
     Raw LSH candidates are not hash-checkable (hash choice is
     engine-internal), so the certified-tolerance pattern applies: the
@@ -366,13 +370,17 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a, b = bands.alias("a"), bands.alias("b")
-    # merge hint: both band sides grow with the corpus (8 rows/doc), so
-    # broadcast is never right at scale — and the checkpointed frames'
-    # static estimates run ~50x under true size, which statically picked a
-    # broadcast AQE cannot demote (the x10 parity run on a default-1g
-    # driver OOM'd in the sa⋈sh_ex build; round 8).
+    # shuffle_hash (round 10, was merge): both band sides grow with the
+    # corpus (8 rows/doc), so broadcast is never right at scale — the
+    # checkpointed frames' static estimates run ~50x under true size,
+    # which statically picked a broadcast AQE cannot demote (the x10
+    # parity run on a default-1g driver OOM'd in the sa⋈sh_ex build;
+    # round 8). Between the shuffle strategies, SHJ skips the sort and
+    # its build side holds only the PER-PARTITION band slice (|bands|/P
+    # rows — the same boundedness as any hash agg; AQE skew-split
+    # applies), ABAB-measured −0.2 s at sf0.1 and green at the ×10 tier.
     cand = (
-        a.hint("merge")
+        a.hint("shuffle_hash")
         .join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -411,8 +419,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT a broadcast (the r8 OOM was a statically-sized broadcast of the
     # whole frame; SHJ holds |sh_ex|/P rows per task, AQE skew-split
     # applies) — and streams the big expansion side unsorted.
-    sa = cand.join(
-        sh_ex.select(F.col("doc_id").alias("doc_a"), "s").hint("shuffle_hash"),
+    # Build on CAND (round 10, was the shingle side): the hash map then
+    # holds the pruned candidate pairs (4.5x fewer rows than the shingle
+    # slice at sf0.1; still per-partition-bounded at scale) while the
+    # shingle rows stream through as probes — ABAB-measured −0.27 s.
+    sa = cand.hint("shuffle_hash").join(
+        sh_ex.select(F.col("doc_id").alias("doc_a"), "s"),
         "doc_a",
     )
     shared = (

@@ -589,14 +589,15 @@ def test_corpus_pair_joins_never_broadcast_the_shingle_frame(spark, sf_dir):
     ]:
         plan = _plan(spark, sf_dir, name)
         assert plan.count("SortMergeJoin") >= min_smj, (name, plan[:600])
-    # minhash (round 9): band self-join stays SMJ, but the two exact-verify
-    # joins are SHUFFLED-HASH building on the shingle side — per-partition
-    # build slice, NOT a broadcast (SMJ there sorted the ~4-5M-row verify
-    # expansion, the query's dominant cost; PERF.md §52). Pin all three
-    # shapes AND the no-broadcast property the r8 OOM taught.
+    # minhash (round 10): ALL THREE joins are SHUFFLED-HASH — the band
+    # self-join and both exact-verify joins. Build sides are per-partition
+    # slices (band slice / pruned candidates / shingle slice), never a
+    # whole-frame broadcast (the r8 OOM lesson): SMJ would sort the
+    # ~4-5M-row verify expansion and the ~0.5M-row band frame, the
+    # query's dominant costs (PERF.md §52/§56). Pin the shapes AND the
+    # no-broadcast property.
     plan = _plan(spark, sf_dir, "minhash_lsh_neardup")
-    assert plan.count("SortMergeJoin") >= 1, plan[:600]
-    assert plan.count("ShuffledHashJoin") >= 2, plan[:600]
+    assert plan.count("ShuffledHashJoin") >= 3, plan[:600]
     assert "BroadcastHashJoin" not in plan, plan[:600]
 
 
