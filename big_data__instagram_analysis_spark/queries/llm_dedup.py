@@ -739,3 +739,94 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- E270: sorted-neighborhood near-dup blocking (SNM) -----------------------
+
+#: Normalized-key prefix (chars) two sorted neighbors must share to become
+#: a candidate pair, and the block key width that bounds each window sort.
+SNM_PREFIX = 16
+SNM_BLOCK = 2
+
+
+@query(
+    "sorted_neighborhood_neardup",
+    category="L2,E270",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, replace(lower(text), ' ', '') AS key,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM documents
+), o AS (
+  SELECT doc_id, key, toks,
+         lag(doc_id) OVER w AS p_doc,
+         lag(key)    OVER w AS p_key,
+         lag(toks)   OVER w AS p_toks
+  FROM k WINDOW w AS (PARTITION BY substr(key, 1, {SNM_BLOCK})
+                      ORDER BY key, doc_id)
+)
+SELECT p_doc AS doc_a, doc_id AS doc_b,
+       CAST(len(list_distinct(list_intersect(toks, p_toks))) * 1000000
+            // len(list_distinct(list_concat(toks, p_toks))) AS BIGINT) AS jac_ppm
+FROM o
+WHERE p_doc IS NOT NULL
+  AND substr(key, 1, {SNM_PREFIX}) = substr(p_key, 1, {SNM_PREFIX})
+ORDER BY doc_a, doc_b
+""",
+)
+def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup candidates: the third blocking
+    family next to MinHash banding (L2) and SimHash pigeonholing — sort by
+    a normalized key and compare only ADJACENT docs, the classic
+    record-linkage method (Hernández & Stolfo 1995) that catches
+    shared-prefix near-dups with zero hashing and zero pair joins.
+
+    Pair generation is a lag() window: each doc meets only its sort
+    predecessor, so candidates are ≤ |docs| rows by construction — no
+    quadratic anything. The window partitions on the first {SNM_BLOCK}
+    key chars, so at 100 TB the sort is many independent block sorts
+    (the repo's no-global-window rule); the documented SNM tradeoff —
+    a near-dup pair split across a block boundary is missed — is the
+    price of that boundedness, and prefix-divergent near-dups are
+    exactly what the MinHash path (minhash_lsh_neardup) exists for.
+
+    The emitted evidence is EXACT: distinct-token Jaccard in integer ppm
+    (|∩|·10⁶ div |∪|), computed IN-ROW from the lagged token arrays —
+    array_intersect/array_union against the lag()'d neighbor, no join,
+    no shuffle beyond the block window itself.
+    """
+    d = load(spark, sf_dir, "documents")
+    key = F.expr("replace(lower(text), ' ', '')")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    k = d.select("doc_id", key.alias("key"), toks.alias("toks"))
+    w = Window.partitionBy(F.substring("key", 1, SNM_BLOCK)).orderBy(
+        "key", "doc_id"
+    )
+    o = k.select(
+        "doc_id",
+        "key",
+        "toks",
+        F.lag("doc_id").over(w).alias("p_doc"),
+        F.lag("key").over(w).alias("p_key"),
+        F.lag("toks").over(w).alias("p_toks"),
+    )
+    inter = F.size(F.array_intersect("toks", "p_toks"))
+    uni = F.size(F.array_union("toks", "p_toks"))
+    return (
+        o.where(
+            F.col("p_doc").isNotNull()
+            & (
+                F.substring("key", 1, SNM_PREFIX)
+                == F.substring("p_key", 1, SNM_PREFIX)
+            )
+        )
+        .select(
+            F.col("p_doc").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.expr(
+                "cast(size(array_intersect(toks, p_toks)) * 1000000 "
+                "div size(array_union(toks, p_toks)) as bigint)"
+            ).alias("jac_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

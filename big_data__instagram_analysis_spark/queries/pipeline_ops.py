@@ -931,3 +931,90 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("c_mktsegment")
+
+
+# --- E269: token-budget shard packing (training-stream sharding) -------------
+
+#: Tokens per training shard. Small enough that every base tier produces
+#: multiple shards per source (non-vacuous at sf0.001), large enough that
+#: the output stays |total_tokens|/BUDGET rows — linear in the corpus, like
+#: any shard manifest.
+PACK_TOKEN_BUDGET = 512
+
+
+@query(
+    "pack_shards_token_budget",
+    category="L4,P6,E269",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+), asg AS (
+  SELECT source, doc_id, n_tok,
+         cum_before // {PACK_TOKEN_BUDGET} AS shard_id
+  FROM cum
+)
+SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM asg
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+""",
+)
+def pack_shards_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based token sharding: the manifest step that turns a curated
+    corpus into fixed-budget training shards (Megatron/GPT-style contiguous
+    token streams — a document belongs to the shard its starting token
+    OFFSET falls in, so shard boundaries are pure integer arithmetic on the
+    running total).
+
+    Deliberately NOT greedy first-fit bin packing: greedy packing is a
+    sequential recurrence (each decision depends on the previous shard's
+    remaining room) with no associative decomposition — the offset rule is
+    what distributed pipelines actually use because it needs only a
+    prefix-sum, is deterministic under a (source, doc_id) total order, and
+    reshards identically on any cluster size.
+
+    Plan: one scan → in-row token count (no explode — `size(filter(...))`
+    on the split array) → per-SOURCE cumulative window (the 100 TB sort is
+    per-source, never global) → integer div → shard agg. All-integer
+    output; the window's ROWS BETWEEN ... AND 1 PRECEDING gives the
+    pre-doc offset so a doc straddling a boundary lands in the shard it
+    STARTS in, matching the oracle's `//` exactly.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    asg = (
+        d.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .withColumn(
+            "shard_id", F.expr(f"cum_before div {PACK_TOKEN_BUDGET}")
+        )
+    )
+    return (
+        asg.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -208,3 +208,99 @@ def test_threshold_sweep_matches_python_brute_force(spark, sf_dir):
         for r in neardup_threshold_sweep(spark, sf_dir).collect()
     }
     assert got == hist and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# E269: token-budget shard packing — python-reference invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pack_shards_matches_python_reference(spark, sf_dir):
+    """Re-pack in plain python (per-source doc_id order, offset rule) and
+    require identical manifests, plus the offset-sharding invariants: shard
+    ids per source are contiguous from 0; every shard except a source's
+    last STARTS below budget·(shard+1) (straddle allowed — a doc belongs to
+    the shard it starts in); doc ranges are disjoint and ordered."""
+    from big_data__instagram_analysis_spark.queries.pipeline_ops import (
+        PACK_TOKEN_BUDGET,
+        pack_shards_token_budget,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        n_tok = len([t for t in r.text.split(" ") if t])
+        cum = by_src.setdefault(r.source, {"cum": 0, "shards": {}})
+        sid = cum["cum"] // PACK_TOKEN_BUDGET
+        s = cum["shards"].setdefault(sid, [0, 0, r.doc_id, r.doc_id])
+        s[0] += 1
+        s[1] += n_tok
+        s[3] = r.doc_id
+        cum["cum"] += n_tok
+
+    got = pack_shards_token_budget(spark, sf_dir).collect()
+    exp = {
+        (src, sid): tuple(v)
+        for src, d in by_src.items()
+        for sid, v in d["shards"].items()
+    }
+    assert len(got) == len(exp)
+    for g in got:
+        nd, nt, first, last = exp[(g.source, g.shard_id)]
+        assert (g.n_docs, g.tokens, g.first_doc, g.last_doc) == (
+            nd,
+            nt,
+            first,
+            last,
+        )
+    # contiguity + ordering per source
+    for src, d in by_src.items():
+        sids = sorted(d["shards"])
+        assert sids == list(range(len(sids)))
+        ranges = [d["shards"][s][2:] for s in sids]
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 < b0  # disjoint, ordered doc ranges
+
+
+# ---------------------------------------------------------------------------
+# E270: sorted-neighborhood blocking — python-reference invariants
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_python_reference(spark, sf_dir):
+    """Re-run SNM in plain python (block on first-2 normalized chars, sort
+    by (key, doc_id), adjacent pairs sharing a 16-char prefix) and require
+    the identical pair set with identical exact integer-ppm Jaccard."""
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        SNM_BLOCK,
+        SNM_PREFIX,
+        sorted_neighborhood_neardup,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    recs = []
+    for r in rows:
+        key = r.text.lower().replace(" ", "")
+        toks = set(t for t in r.text.split(" ") if t)
+        recs.append((key[:SNM_BLOCK], key, r.doc_id, toks))
+    exp = {}
+    by_block = {}
+    for blk, key, doc, toks in sorted(recs, key=lambda x: (x[0], x[1], x[2])):
+        prev = by_block.get(blk)
+        if prev is not None and prev[0][:SNM_PREFIX] == key[:SNM_PREFIX]:
+            inter = len(prev[2] & toks)
+            uni = len(prev[2] | toks)
+            exp[(prev[1], doc)] = inter * 1_000_000 // uni
+        by_block[blk] = (key, doc, toks)
+
+    got = sorted_neighborhood_neardup(spark, sf_dir).collect()
+    assert {(g.doc_a, g.doc_b): g.jac_ppm for g in got} == exp
+    assert len(got) > 0  # non-vacuous on the fixture
