@@ -1018,3 +1018,138 @@ def pack_shards_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# --- E271: Neyman-allocation stratified eval-split design ---------------------
+
+#: Total evaluation-sample budget to allocate across strata.
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation_split",
+    category="A8,L4,E271",
+    oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority AS stratum,
+         count(*) AS n_rows,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s1,
+         sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+             * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2
+  FROM orders
+  GROUP BY 1
+), w AS (
+  SELECT stratum, n_rows,
+         round(sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n_rows AS DOUBLE))
+                    / (CAST(n_rows AS DOUBLE) - 1)) / 100.0, 4) AS sd_price,
+         CAST(floor(CAST(n_rows AS DOUBLE)
+                    * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n_rows AS DOUBLE))
+                           / (CAST(n_rows AS DOUBLE) - 1)) + 0.5) AS BIGINT)
+           AS weight_u
+  FROM m
+), t AS (
+  SELECT sum(weight_u) AS w_tot FROM w
+), a AS (
+  SELECT stratum, n_rows, sd_price, weight_u,
+         {NEYMAN_BUDGET} * weight_u // (SELECT w_tot FROM t LIMIT 1) AS base_n,
+         {NEYMAN_BUDGET} * weight_u % (SELECT w_tot FROM t LIMIT 1) AS rem,
+         row_number() OVER (
+           ORDER BY {NEYMAN_BUDGET} * weight_u % (SELECT w_tot FROM t LIMIT 1) DESC,
+                    stratum) AS rem_rank
+  FROM w
+), l AS (
+  SELECT {NEYMAN_BUDGET} - sum(base_n) AS leftover FROM a
+)
+SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, sd_price,
+       CAST(weight_u AS BIGINT) AS weight_u,
+       CAST(base_n + CASE WHEN rem_rank <= (SELECT leftover FROM l)
+                          THEN 1 ELSE 0 END AS BIGINT) AS alloc_n,
+       CAST((base_n + CASE WHEN rem_rank <= (SELECT leftover FROM l)
+                           THEN 1 ELSE 0 END) * 1000000 // n_rows AS BIGINT)
+         AS sampling_ppm
+FROM a
+ORDER BY stratum
+""",
+)
+def neyman_allocation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified eval-split design: allocate a fixed
+    evaluation budget across strata ∝ N_h·σ_h — the allocation that
+    minimizes the estimator variance of a stratified mean (Neyman 1934),
+    i.e. how an eval set SHOULD be drawn when strata differ in spread
+    (high-variance order priorities get proportionally more samples than
+    population share alone would give).
+
+    Exactness discipline: σ_h comes from exact integer cents moments
+    (S2 in decimal(38,0)/HUGEINT — the stats_aggs A8 contract) converted
+    to double with a TEXTUALLY identical formula in both engines;
+    weights are per-row quantized (floor(N_h·σ_h + 0.5) — deterministic
+    IEEE per row, no multi-row float sum anywhere) and the allocation is
+    LARGEST-REMAINDER on pure integers: base = B·w_h div W, leftover
+    distributed by (remainder DESC, stratum) row_number — Σ alloc_n is
+    exactly B by construction, every emitted number integer-exact.
+
+    Plan: one scan → map-side-combinable per-stratum moments (|strata|
+    rows) → |strata|-row windows for the total/ranks. The 100 TB cost is
+    the scan; everything after the first agg touches 5 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("s1"),
+        F.sum(
+            (cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n_rows").cast("double")
+    ) / (F.col("n_rows").cast("double") - 1)
+    w = m.select(
+        "stratum",
+        "n_rows",
+        F.round(F.sqrt(var) / 100.0, 4).alias("sd_price"),
+        F.floor(F.col("n_rows").cast("double") * F.sqrt(var) + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_u"),
+    )
+    wall = Window.partitionBy()
+    rem_w = Window.partitionBy().orderBy(
+        F.desc(F.lit(NEYMAN_BUDGET) * F.col("weight_u") % F.col("w_tot")),
+        "stratum",
+    )
+    a = (
+        w.withColumn("w_tot", F.sum("weight_u").over(wall))
+        .withColumn(
+            "base_n", F.expr(f"{NEYMAN_BUDGET} * weight_u div w_tot")
+        )
+        .withColumn("rem_rank", F.row_number().over(rem_w))
+        .withColumn(
+            "leftover", F.lit(NEYMAN_BUDGET) - F.sum("base_n").over(wall)
+        )
+    )
+    alloc = F.col("base_n") + F.when(
+        F.col("rem_rank") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        a.select(
+            "stratum",
+            "n_rows",
+            "sd_price",
+            "weight_u",
+            alloc.cast("bigint").alias("alloc_n"),
+            F.expr(
+                f"cast((base_n + if(rem_rank <= leftover, 1, 0)) * 1000000 "
+                "div n_rows as bigint)"
+            ).alias("sampling_ppm"),
+        )
+        .orderBy("stratum")
+    )

@@ -304,3 +304,47 @@ def test_sorted_neighborhood_matches_python_reference(spark, sf_dir):
     got = sorted_neighborhood_neardup(spark, sf_dir).collect()
     assert {(g.doc_a, g.doc_b): g.jac_ppm for g in got} == exp
     assert len(got) > 0  # non-vacuous on the fixture
+
+
+# ---------------------------------------------------------------------------
+# E271: Neyman allocation — exactness invariants
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """Σ alloc_n == budget exactly (largest remainder), weights ∝ N·σ
+    (python recompute), and ppm consistency."""
+    import math
+
+    from big_data__instagram_analysis_spark.queries.pipeline_ops import (
+        NEYMAN_BUDGET,
+        neyman_allocation_split,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.o_orderpriority, []).append(
+            math.floor(r.o_totalprice * 100 + 0.5)
+        )
+    exp_w = {}
+    for s, cents in by.items():
+        n = len(cents)
+        s1 = sum(cents)
+        s2 = sum(c * c for c in cents)
+        var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+        exp_w[s] = math.floor(n * math.sqrt(var) + 0.5)
+
+    got = neyman_allocation_split(spark, sf_dir).collect()
+    assert sum(g.alloc_n for g in got) == NEYMAN_BUDGET
+    for g in got:
+        assert g.weight_u == exp_w[g.stratum]
+        assert g.n_rows == len(by[g.stratum])
+        assert g.sampling_ppm == g.alloc_n * 1_000_000 // g.n_rows
+    # Neyman dominance: the largest-weight stratum gets the largest alloc.
+    top_w = max(got, key=lambda g: g.weight_u)
+    assert top_w.alloc_n == max(g.alloc_n for g in got)
