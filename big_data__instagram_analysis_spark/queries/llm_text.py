@@ -586,12 +586,15 @@ WITH toks AS (
 ), tot AS (
   SELECT sum(n) AS total FROM freq
 ), scored AS (
-  SELECT t.doc_id, ln(f.n / (SELECT total FROM tot)) AS lp
+  SELECT t.doc_id,
+         CAST(floor(-ln(f.n / (SELECT total FROM tot))
+                    * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS q_nlp
   FROM toks t JOIN freq f ON t.term = f.term
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(-avg(lp), 4) AS avg_neg_logprob
+       round(sum(q_nlp) / CAST(1000000.0 AS DOUBLE) / count(*), 4)
+         AS avg_neg_logprob
 FROM scored
 GROUP BY doc_id
 ORDER BY avg_neg_logprob DESC, doc_id
@@ -620,14 +623,22 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n")).collect()[0][0]
-    scored = toks.join(freq, "term").select(
-        "doc_id", F.log(F.col("n") / F.lit(float(total))).alias("lp")
-    )
+    # Per-token micro-unit quantization + exact BIGINT sum (round 10): a
+    # double AVG is partial-merge-order sensitive and this is the E73
+    # contract's name-giver — same order-immunity fix as
+    # bigram_backoff_surprisal (ADVICE r9).
+    q_nlp = F.floor(
+        -F.log(F.col("n") / F.lit(float(total))) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = toks.join(freq, "term").select("doc_id", q_nlp.alias("q_nlp"))
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.avg("lp"), 4).alias("avg_neg_logprob"),
+            F.round(
+                F.sum("q_nlp") / F.lit(1000000.0) / F.count(F.lit(1)), 4
+            ).alias("avg_neg_logprob"),
         )
         .orderBy(F.desc("avg_neg_logprob"), "doc_id")
         .limit(50)
@@ -1098,7 +1109,9 @@ WITH toks AS (
   SELECT sum(n) AS total FROM freq
 ), scored AS (
   SELECT t.doc_id, any_value(t.source) AS source,
-         round(-avg(ln(f.n / (SELECT total FROM tot))), 4) AS nlp
+         round(sum(CAST(floor(-ln(f.n / (SELECT total FROM tot))
+                              * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT))
+               / CAST(1000000.0 AS DOUBLE) / count(*), 4) AS nlp
   FROM toks t JOIN freq f ON t.term = f.term
   GROUP BY t.doc_id
 ), tiled AS (
@@ -1143,13 +1156,20 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n")).collect()[0][0]
+    # Quantized order-immune nlp (round 10) — the E73/E260 fix applied to
+    # this consumer of the same unigram model.
+    q_nlp = F.floor(
+        -F.log(F.col("n") / F.lit(float(total))) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     scored = (
         toks.join(freq, "term")
+        .select("doc_id", "source", q_nlp.alias("q_nlp"))
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
             F.round(
-                -F.avg(F.log(F.col("n") / F.lit(float(total)))), 4
+                F.sum("q_nlp") / F.lit(1000000.0) / F.count(F.lit(1)), 4
             ).alias("nlp"),
         )
     )
