@@ -830,3 +830,135 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- E272: cross-source duplication overlap matrix ---------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    category="L2,L8,E272",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b,
+         shared * 1000000 // (x.n_sh + y.n_sh - shared) AS jac_ppm
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 2 >= x.n_sh + y.n_sh - shared
+), lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.doc_a, p.doc_b, p.jac_ppm
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+         AS docs_involved,
+       CAST(min(jac_ppm) AS BIGINT) AS min_jac_ppm,
+       CAST(max(jac_ppm) AS BIGINT) AS max_jac_ppm,
+       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication overlap matrix: near-dup pair counts per
+    (source, source) cell — the dedup-governance readout that tells a
+    corpus owner WHICH crawls duplicate each other (mirror sites, scraped
+    re-posts, vendor feeds reselling the same pages) vs which only
+    self-duplicate, and therefore where a cross-source dedup pass will
+    actually reclaim tokens.
+
+    Built on the exact shared-shingle pair machinery (the L2
+    ngram-Jaccard contract, threshold ≥ 0.5 via the integer
+    cross-multiplied predicate — no float division in the filter), then
+    two dimension joins to label each pair with its docs' sources,
+    canonicalized least/greatest so the matrix is upper-triangular
+    regardless of doc-id order. Every emitted stat is integer-exact
+    (ppm via multiply-then-div; mean as sum div count — no float agg
+    anywhere, so no merge-order sensitivity). Pair volume is the L2
+    candidate set (sub-quadratic by the shared-shingle equi-join), and
+    the matrix itself is ≤ |sources|² rows.
+    """
+    from ..operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=3).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .where(F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "shared * 1000000 div (na + nb - shared)"
+            ).alias("jac_ppm"),
+        )
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+            "jac_ppm",
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("long")
+            .alias("docs_involved"),
+            F.min("jac_ppm").cast("long").alias("min_jac_ppm"),
+            F.max("jac_ppm").cast("long").alias("max_jac_ppm"),
+            F.expr("sum(jac_ppm) div count(1)").alias("mean_jac_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

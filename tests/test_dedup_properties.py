@@ -348,3 +348,47 @@ def test_neyman_allocation_invariants(spark, sf_dir):
     # Neyman dominance: the largest-weight stratum gets the largest alloc.
     top_w = max(got, key=lambda g: g.weight_u)
     assert top_w.alloc_n == max(g.alloc_n for g in got)
+
+
+# ---------------------------------------------------------------------------
+# E272: source overlap matrix — invariants vs the exact pair set
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_matches_pairs(spark, sf_dir):
+    """Rebuild the matrix in python from ngram_jaccard_neardup's exact
+    pair set + the doc→source map: cells, pair counts and integer-ppm
+    stats must match; matrix must be canonical (source_a <= source_b)."""
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        ngram_jaccard_neardup,
+        source_overlap_matrix,
+    )
+
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    cells = {}
+    for p in ngram_jaccard_neardup(spark, sf_dir).collect():
+        sa, sb = sorted((src[p.doc_a], src[p.doc_b]))
+        ppm = int(p.jaccard * 1_000_000 + 0.5)  # oracle rounds at 6dp = ppm
+        c = cells.setdefault((sa, sb), [0, set(), set(), []])
+        c[0] += 1
+        c[1].add(p.doc_a)
+        c[2].add(p.doc_b)
+        c[3].append(ppm)
+
+    got = source_overlap_matrix(spark, sf_dir).collect()
+    assert {(g.source_a, g.source_b) for g in got} == set(cells)
+    for g in got:
+        assert g.source_a <= g.source_b
+        n, da, db, ppms = cells[(g.source_a, g.source_b)]
+        assert g.n_pairs == n
+        assert g.docs_involved == len(da) + len(db)
+        # The query TRUNCATES (shared*1e6 div union); this reconstruction
+        # ROUNDS the 6dp jaccard — they may differ by exactly 1 ppm.
+        assert abs(g.min_jac_ppm - min(ppms)) <= 1
+        assert abs(g.max_jac_ppm - max(ppms)) <= 1
+        assert abs(g.mean_jac_ppm - sum(ppms) // n) <= 1
