@@ -248,8 +248,6 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
     import gc
     import threading
 
-    n_conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONC_REPS", "3"))
-
     def _concurrent_rep() -> float:
         dfs_conc = {name: specs[name].fn(spark, sf_dir) for name in names}
         threads = [
@@ -292,12 +290,19 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
     empty_job = _min_wall(lambda: spark.range(1).toPandas())
     shuffle_1row = _min_wall(lambda: spark.range(1).groupBy("id").count().toPandas())
 
-    # Post-churn probe: ONE more concurrent rep after the ABAB block, so
-    # the JVM-wear delta (VERDICT r9 #2's 4.06→8.5 s signature) is an
-    # in-artifact number every round instead of an undisclosed collapse.
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    conc_post = _concurrent_rep()
+    # Post-churn probe: the SAME concurrent pass re-run after the ABAB
+    # block at the SAME rep count as the pre-churn pass (ADVICE r10: equal
+    # rep counts make the two regimes like-for-like), so the JVM-wear
+    # delta (VERDICT r9 #2's 4.06→8.5 s signature) is an in-artifact
+    # number every round instead of an undisclosed collapse. The headline
+    # `value` stays the UN-CHURNED regime (definition changed r9→r10 and
+    # is flagged in PERF §56/§61 wherever cross-round walls are compared).
+    conc_post_runs: list[float] = []
+    for _ in range(n_conc):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        conc_post_runs.append(_concurrent_rep())
+    conc_post = min(conc_post_runs)
 
     phase = {
         "queries": timings,
@@ -312,6 +317,7 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
         "shuffle_1row_sec": round(shuffle_1row, 4),
         "concurrent_runs": conc_runs,
         "concurrent_post_churn_sec": conc_post,
+        "concurrent_post_churn_runs": conc_post_runs,
         "reps": n_reps,
     }
     with open(out_path, "w") as f:
@@ -536,6 +542,7 @@ def orchestrate() -> None:
         "concurrent_wall_sec": concurrent,
         "concurrent_runs": hd["concurrent_runs"],
         "concurrent_post_churn_sec": hd.get("concurrent_post_churn_sec"),
+        "concurrent_post_churn_runs": hd.get("concurrent_post_churn_runs"),
         "reps": hd["reps"],
         "llm_set": llm_out,
         "floor": floor,

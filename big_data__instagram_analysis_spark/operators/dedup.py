@@ -110,9 +110,14 @@ def shingle_rows(
     # partitions than cores — at 100 TB the scan is thousands of splits and
     # this is a no-op (a corpus-wide text shuffle would be exactly wrong).
     # Keying by id keeps the exchange reusable by the doc window below.
+    # Width is proportional to cores (not a hard-coded 8): on a 64-core
+    # executor an 8-way repartition would still sit 4x under this guard's
+    # own trigger threshold. defaultParallelism//2 keeps per-task splits
+    # chunky while clearing the parts*4 < cores condition on any box.
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
-        df = df.repartition(8, id_col)
+    n_parts = len(df.inputFiles()) or 1
+    if n_parts * 4 < sc.defaultParallelism:
+        df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
 
     toks = df.select(
         F.col(id_col).alias("doc"),

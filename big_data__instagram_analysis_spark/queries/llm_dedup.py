@@ -810,8 +810,13 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("key").over(w).alias("p_key"),
         F.lag("toks").over(w).alias("p_toks"),
     )
-    inter = F.size(F.array_intersect("toks", "p_toks"))
-    uni = F.size(F.array_union("toks", "p_toks"))
+    # BIGINT-promote BEFORE the *1e6 multiply: size() is INT and with ANSI
+    # mode pinned on (session.py) an adjacent pair sharing >2147 distinct
+    # tokens would raise ARITHMETIC_OVERFLOW on a 32-bit multiply while the
+    # DuckDB oracle (BIGINT len()) succeeds — the engine-vs-oracle overflow
+    # divergence class documented at llm_text.py's charclass census.
+    inter = F.size(F.array_intersect("toks", "p_toks")).cast("bigint")
+    uni = F.size(F.array_union("toks", "p_toks")).cast("bigint")
     return (
         o.where(
             F.col("p_doc").isNotNull()
@@ -823,10 +828,13 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p_doc").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
-            F.expr(
-                "cast(size(array_intersect(toks, p_toks)) * 1000000 "
-                "div size(array_union(toks, p_toks)) as bigint)"
-            ).alias("jac_ppm"),
+            inter.alias("_i"),
+            uni.alias("_u"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("_i * 1000000 div _u").alias("jac_ppm"),
         )
         .orderBy("doc_a", "doc_b")
     )
