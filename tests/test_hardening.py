@@ -251,3 +251,35 @@ def test_decode_image_gate_matches_pil_availability(spark):
         buf = io.BytesIO()
         multimodal._pil_image.new("RGB", (3, 2)).save(buf, format="PNG")
         assert multimodal.decode_image(buf.getvalue())[:2] == (3, 2)
+
+
+def test_json_extract_k_fastpath_matches_from_json_adversarial(spark):
+    """The anchored-regex fast path in json_extract_k (round 11) must equal
+    a pure from_json parse on every hostile props shape — nested objects,
+    float/string/null values, int32 overflow, lookalike keys, malformed
+    JSON, NULL — not just the flat fixture grammar. This pins the exactness
+    argument in the query docstring (tools/ab_json_extract_r11.py)."""
+    from pyspark.sql import functions as F
+
+    adv = spark.createDataFrame(
+        [
+            ('{"k": 7}',), ('{"k":-3}',), ('{ "k" : 42 }',),
+            ('{"a": {"k": 5}}',), ('{"k": 7.5}',), ('{"k": null}',),
+            ('{"kk": 9}',), ('{"a": "k\": 9", "k": 11}',), (None,),
+            ('{"k": 1234567890123}',), ('not json',), ('{"k": "12"}',),
+            ('{"k": 12, "j": 1}',), ('{"k": 0005}',), ('{"k": +5}',),
+            ('{"k": 2147483648}',), ('{"k": -2147483648}',), ('{"k":0}',),
+        ],
+        "props string",
+    )
+    pure = adv.select(
+        F.from_json("props", "k INT").getField("k").alias("k")
+    ).toPandas()
+    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    hybrid = adv.select(
+        F.coalesce(
+            F.nullif(fast, F.lit("")).cast("int"),
+            F.from_json("props", "k INT").getField("k"),
+        ).alias("k")
+    ).toPandas()
+    assert pure.equals(hybrid)
