@@ -31,7 +31,8 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
        sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 100.0
+             / count(*) + 0.5) / 10000.0                                AS avg_price,
        round(avg(l_discount), 4)                                        AS avg_disc,
        count(*)                                                         AS cnt
 FROM lineitem
@@ -58,7 +59,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum(disc_price).alias("sum_disc_price"),
             cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # Round-11 ×10 audit flag: round(avg(price)) at 5e4 magnitude
+            # sits within two orders of the 4dp boundary at larger tiers.
+            # Exact form: cents-quantized BIGINT sum → floor-form 4dp
+            # (identical IEEE ops both engines, no HALF_UP-vs-rint edge).
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+                    * F.lit(100.0)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("cnt"),
         )

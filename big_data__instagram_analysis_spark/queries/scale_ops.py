@@ -890,7 +890,9 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 )
 SELECT user_id,
-       round(sum(value * dur_s) / nullif(sum(dur_s), 0), 4) AS twap,
+       floor(sum(CAST(floor(value * dur_s * 1000000 + 0.5) AS BIGINT))
+             / nullif(sum(CAST(floor(dur_s * 1000000 + 0.5) AS BIGINT)), 0)
+             * 10000.0 + 0.5) / 10000.0 AS twap,
        CAST(count(dur_s) AS BIGINT) AS n_intervals
 FROM seq
 GROUP BY user_id
@@ -915,13 +917,29 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ((F.lead("ts_ns").over(w) - F.col("ts_ns")) / F.lit(1e9)).alias("dur_s"),
     )
+    # Round-11 wholesale sweep (VERDICT r10 weak #4): both the numerator
+    # and denominator sums were raw double sums rounded to 4dp — reorder
+    # noise stays ~1e-9 under the boundary TODAY only by magnitude
+    # argument, which degrades at larger tiers exactly like the flagged
+    # avg_surprisal. Quantize each TERM to micro-units row-wise (floor(
+    # x·1e6+0.5), identical IEEE ops both engines) and sum BIGINTs; the
+    # ratio of two integer sums is merge-order-immune by construction.
+    num_q = F.floor(
+        F.col("value") * F.col("dur_s") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    den_q = F.floor(F.col("dur_s") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    # Floor-form 4dp emission (not round()): identical IEEE ops both
+    # engines, immune to the HALF_UP-vs-rint divergence that quantized
+    # sums can land on exactly (see dsir_importance_topdocs).
+    ratio = F.sum(num_q) / F.nullif(F.sum(den_q), F.lit(0))
     return (
         e.groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.col("value") * F.col("dur_s"))
-                / F.nullif(F.sum("dur_s"), F.lit(0)),
-                4,
+            (
+                F.floor(ratio * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
             ).alias("twap"),
             F.count("dur_s").alias("n_intervals"),
         )

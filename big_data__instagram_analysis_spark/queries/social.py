@@ -648,7 +648,7 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
        CAST((epoch_ns(ts) // 3600000000000) % 24 AS INT) AS hod,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM events
 GROUP BY dow, hod
 ORDER BY dow, hod
@@ -676,7 +676,8 @@ def weekday_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            # Round-11 ×10 audit flag (4e5 magnitude): cents-exact sum.
+            cents_sum("value").alias("total"),
         )
         .orderBy("dow", "hod")
     )

@@ -266,7 +266,7 @@ WITH ticks AS (
 )
 SELECT series,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
        CAST(max(tick_id) AS BIGINT) AS last_tick
 FROM ticks
 GROUP BY series
@@ -301,7 +301,9 @@ def python_stream_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = spark.readStream.format("synthticks").load()
     agg = sdf.groupBy("series").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        # Round-11 ×10 audit flag (5e4 magnitude): cents-exact sum; the
+        # generator emits 1-decimal values so quantization is lossless.
+        cents_sum("value").alias("total"),
         F.max("tick_id").alias("last_tick"),
     )
     name = f"sg_ticks_{next(_ticks_counter)}"

@@ -104,7 +104,7 @@ WITH b AS (
 )
 SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM w
 GROUP BY win_start
 ORDER BY win_start
@@ -119,7 +119,7 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir)
     agg = (
         s.groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum("value").alias("total_value"))
         .select(_fmt(F.col("window.start")).alias("win_start"), "n", "total_value")
     )
     return run_available_now(agg, output_mode="complete").orderBy("win_start")

@@ -40,11 +40,15 @@ import numpy as np
 enable_bench_tuning()
 spark = get_spark("sum-audit")
 spark.sparkContext.setLogLevel("ERROR")
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.1")
+ONLY = os.environ.get("AUDIT_ONLY", "")  # regex filter on query names
 
 flagged = []
 new_flags = []
+import re as _re
 for name, spec in sorted(get_specs().items()):
+    if ONLY and not _re.search(ONLY, name):
+        continue
     try:
         pdf = spec.fn(spark, SF).toPandas()
     except Exception as e:
