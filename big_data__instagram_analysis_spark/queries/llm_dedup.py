@@ -970,3 +970,251 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- E273: near-dup cluster quality (intra vs cross-cluster similarity) ------
+
+@query(
+    "neardup_cluster_quality",
+    category="L2,E273",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), cand AS (
+  SELECT doc_a, doc_b,
+         shared * 1000000 // (x.n_sh + y.n_sh - shared) AS jac_ppm,
+         (shared * 2 >= x.n_sh + y.n_sh - shared) AS is_edge
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand WHERE is_edge
+  UNION
+  SELECT doc_b, doc_a FROM cand WHERE is_edge
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+), label AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id
+)
+SELECT (la.cluster_id = lb.cluster_id) AS is_intra,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT c.doc_a) + count(DISTINCT c.doc_b) AS BIGINT)
+         AS docs_involved,
+       CAST(min(c.jac_ppm) AS BIGINT) AS min_jac_ppm,
+       CAST(max(c.jac_ppm) AS BIGINT) AS max_jac_ppm,
+       CAST(sum(c.jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+FROM cand c
+JOIN labeled la ON c.doc_a = la.doc_id
+JOIN labeled lb ON c.doc_b = lb.doc_id
+GROUP BY is_intra
+ORDER BY is_intra
+""",
+)
+def neardup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality accounting for the near-dup graph (VERDICT r10 #7):
+    every shared-shingle CANDIDATE pair is labeled intra- or cross-cluster
+    against the threshold-0.5 connected components, and each class gets
+    its exact Jaccard-ppm distribution — the precision proxy that tells a
+    dedup owner how sharp the threshold boundary actually is. A healthy
+    graph shows intra pairs far above cross pairs; transitive closure
+    pulling in sub-threshold pairs (A≈B≈C with A≉C) shows up here as a
+    low intra min_jac_ppm — the quantified cost of clustering by CC.
+
+    Zero NEW pair machinery: the candidate set and ppm are the L2
+    shared-shingle family (one shingle-keyed SHJ + size joins), the
+    components come from operators/graph.py (large-star/small-star,
+    O(log n) rounds), and the labeling is two joins against the ≤|docs|
+    component map. Every emitted stat is integer-exact (ppm
+    multiply-then-div, mean as sum div count) — no float agg anywhere.
+    The output is ≤ 2 rows.
+    """
+    from ..operators.dedup import shingle_rows
+    from ..operators.graph import attach_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=3).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cand = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
+            (F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
+            .alias("is_edge"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    comp = attach_components(
+        d.select("doc_id"),
+        cand.where("is_edge").select("doc_a", "doc_b"),
+        "doc_id",
+        src="doc_a",
+        dst="doc_b",
+    )
+    lab = (
+        cand.join(
+            comp.select(
+                F.col("doc_id").alias("doc_a"), F.col("component").alias("ca")
+            ),
+            "doc_a",
+        )
+        .join(
+            comp.select(
+                F.col("doc_id").alias("doc_b"), F.col("component").alias("cb")
+            ),
+            "doc_b",
+        )
+        .select(
+            (F.col("ca") == F.col("cb")).alias("is_intra"),
+            "doc_a",
+            "doc_b",
+            "jac_ppm",
+        )
+    )
+    return (
+        lab.groupBy("is_intra")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("long")
+            .alias("docs_involved"),
+            F.min("jac_ppm").cast("long").alias("min_jac_ppm"),
+            F.max("jac_ppm").cast("long").alias("max_jac_ppm"),
+            F.expr("sum(jac_ppm) div count(1)").alias("mean_jac_ppm"),
+        )
+        .orderBy("is_intra")
+    )
+
+
+# --- E274: df-capped exact n-gram Jaccard (the 100 TB-honest pair path) ------
+
+NGRAM_DF_CAP = 16
+
+
+@query(
+    "ngram_jaccard_dfcap",
+    category="L2,E274",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), keep AS (
+  SELECT doc_id, s,
+         count(*) OVER (PARTITION BY s) AS df
+  FROM sh
+  QUALIFY df <= {NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM keep GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       shared * 1000000 // (x.n_sh + y.n_sh - shared) AS jac_ppm
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 2 >= x.n_sh + y.n_sh - shared
+ORDER BY doc_a, doc_b
+""",
+)
+def ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs with a hot-shingle document-frequency
+    cap — the 100 TB-honest form of the shared-shingle pair family
+    (VERDICT r10 #1's open question): the uncapped equi-join's fan-out is
+    quadratic in per-shingle df, so one boilerplate shingle shared by a
+    million docs would emit 5·10¹¹ candidate rows. Dropping shingles with
+    df > {NGRAM_DF_CAP} bounds every shingle's contribution at df²/2
+    pairs — total candidate volume ≤ |shingles|·CAP²/2, LINEAR in corpus
+    size by construction — and costs nothing in evidence quality:
+    ubiquitous shingles are boilerplate, not near-dup signal (the same
+    rationale as IDF weighting and as winnowing's noise floor).
+
+    Semantics are exact Jaccard IN THE CAPPED SHINGLE SPACE: df is
+    computed first (one count window over the shingle-keyed exchange —
+    no extra join), sizes and intersections both use only surviving
+    shingles, so the emitted ppm is a well-defined similarity, not a
+    truncated estimate of the uncapped one. At bench tiers the cap binds
+    only at sf0.1+ (max df 25 measured; 9 at sf0.001), so small-tier
+    results stay comparable to ngram_jaccard_neardup while the ×10 tier
+    exercises the pruned path.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=3)
+    keep = (
+        sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("s")))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("doc_id", "s")
+        .localCheckpoint(eager=False)
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "s")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .where(F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

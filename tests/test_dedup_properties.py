@@ -392,3 +392,144 @@ def test_source_overlap_matrix_matches_pairs(spark, sf_dir):
         assert abs(g.min_jac_ppm - min(ppms)) <= 1
         assert abs(g.max_jac_ppm - max(ppms)) <= 1
         assert abs(g.mean_jac_ppm - sum(ppms) // n) <= 1
+
+
+def test_neardup_cluster_quality_matches_python(spark, sf_dir):
+    """Full python reference for E273 on the fixture corpus: brute-force
+    shingle sets → candidate pairs (≥1 shared shingle) → integer ppm →
+    threshold edges → union-find components → intra/cross labeling →
+    per-class stats. Independent of every Spark operator involved
+    (shingle_rows, the SHJ pair join, large-star/small-star CC)."""
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        neardup_cluster_quality,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def shingles(t):
+        ws = [w for w in t.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in docs}
+    ids = sorted(sh)
+    cand = {}  # (a,b) -> (ppm, is_edge)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            ppm = inter * 1_000_000 // union
+            edge = 2 * inter >= union
+            cand[(a, b)] = (ppm, edge)
+            if edge:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    classes = {}
+    for (a, b), (ppm, _e) in cand.items():
+        key = find(a) == find(b)
+        c = classes.setdefault(key, [0, set(), set(), []])
+        c[0] += 1
+        c[1].add(a)
+        c[2].add(b)
+        c[3].append(ppm)
+
+    got = neardup_cluster_quality(spark, sf_dir).collect()
+    assert {g.is_intra for g in got} == set(classes)
+    for g in got:
+        n, da, db, ppms = classes[g.is_intra]
+        assert g.n_pairs == n
+        assert g.docs_involved == len(da) + len(db)
+        assert g.min_jac_ppm == min(ppms)
+        assert g.max_jac_ppm == max(ppms)
+        assert g.mean_jac_ppm == sum(ppms) // n
+    # Sanity on the semantics: every threshold edge is intra by
+    # construction, so the intra class exists whenever any edge does.
+    if any(e for (_p, e) in cand.values()):
+        assert any(g.is_intra for g in got)
+
+
+def test_ngram_jaccard_dfcap_binds_and_matches_bruteforce(spark):
+    """E274 on a constructed corpus where the df cap BINDS: 20 docs share
+    one boilerplate trigram (df=20 > 16 → dropped), two near-dup doc
+    pairs share rare trigrams (df=2 → kept). Python brute force computes
+    Jaccard in the capped shingle space; the boilerplate-only doc pairs
+    must NOT appear (without the cap every one of the 190 boilerplate
+    pairs is a candidate)."""
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        NGRAM_DF_CAP,
+        ngram_jaccard_dfcap,
+    )
+
+    boiler = "click here to subscribe now"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{boiler} unique{i} filler{i} tail{i}"))
+    # two true near-dup pairs with rare shared content
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    rows.append((200, "one two three four five six seven"))
+    rows.append((201, "one two three four five six eight"))
+
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": "en",
+                "source": "src0",
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.jac_ppm
+            for r in ngram_jaccard_dfcap(spark, td).collect()
+        }
+
+    def shingles(t):
+        ws = [w for w in t.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    df = {}
+    for s_set in sh.values():
+        for s in s_set:
+            df[s] = df.get(s, 0) + 1
+    capped = {
+        i: {s for s in s_set if df[s] <= NGRAM_DF_CAP}
+        for i, s_set in sh.items()
+    }
+    expected = {}
+    for a in sorted(capped):
+        for b in sorted(capped):
+            if a < b and capped[a] & capped[b]:
+                inter = len(capped[a] & capped[b])
+                union = len(capped[a]) + len(capped[b]) - inter
+                if 2 * inter >= union:
+                    expected[(a, b)] = inter * 1_000_000 // union
+    assert got == expected, (got, expected)
+    # The cap must actually bind: boilerplate trigrams had df=20.
+    assert any(v > NGRAM_DF_CAP for v in df.values())
+    assert (100, 101) in got and (200, 201) in got
+    assert all(a >= 100 for (a, b) in got)  # no boilerplate-only pairs
