@@ -168,19 +168,23 @@ VI_DOCS = 75_000
 VI_TOKS_PER_DOC = 50
 
 
-def build_vocab_inflated_tier(out_dir: str) -> dict:
+def build_vocab_inflated_tier(out_dir: str, n_docs: int = VI_DOCS) -> dict:
     """Synthetic documents table: few rows, HUGE vocabulary.
 
     Every token is an 8-hex md5 prefix of (doc, position) — deterministic,
     incompressible (no dictionary-page shrink hiding the scan size), and
     ~unique (expected 8-hex collisions over 3.75M draws: ~1.6k), so the
     type count is ~= the token count: the exact corpus shape (vocabulary
-    ~ corpus) where a vocab-table broadcast is maximally wrong."""
+    ~ corpus) where a vocab-table broadcast is maximally wrong.
+
+    ``n_docs`` scales the tier (round 11: a second, quarter-size point so
+    the vocab-sensitive queries get a fitted exponent IN TYPES, not just
+    one wall — VERDICT r10 task #4)."""
     import hashlib
 
     os.makedirs(out_dir, exist_ok=True)
     doc_ids, texts, sources, langs, n_chars = [], [], [], [], []
-    for i in range(VI_DOCS):
+    for i in range(n_docs):
         toks = [
             hashlib.md5(f"{i}_{k}".encode()).hexdigest()[:8]
             for k in range(VI_TOKS_PER_DOC)
@@ -201,9 +205,9 @@ def build_vocab_inflated_tier(out_dir: str) -> dict:
         }
     )
     pq.write_table(tb, os.path.join(out_dir, "documents.parquet"))
-    n_tokens = VI_DOCS * VI_TOKS_PER_DOC
+    n_tokens = n_docs * VI_TOKS_PER_DOC
     return {
-        "n_docs": VI_DOCS,
+        "n_docs": n_docs,
         "n_tokens": n_tokens,
         "approx_n_types": n_tokens,  # md5-prefix tokens; ~1.6k collisions
         "parquet_bytes": os.path.getsize(
@@ -218,9 +222,13 @@ def run_vocab_inflated(args, scratch_dir, get_specs, enable_bench_tuning, get_sp
     broadcast in the FINAL (AQE) plan — merged into --out as
     'vocab_inflated_tier' (VERDICT r9 task #7)."""
     out_dir = scratch_dir("scale_vocab_inflated")
+    out_dir_q = scratch_dir("scale_vocab_inflated_q")
     print(f"building vocab-inflated tier -> {out_dir}", flush=True)
     stats = build_vocab_inflated_tier(out_dir)
     print("tier stats:", stats, flush=True)
+    print(f"building quarter vocab tier -> {out_dir_q}", flush=True)
+    stats_q = build_vocab_inflated_tier(out_dir_q, n_docs=VI_DOCS // 4)
+    print("quarter tier stats:", stats_q, flush=True)
 
     enable_bench_tuning()
     spark = get_spark("iga-scale-vocab")
@@ -232,7 +240,11 @@ def run_vocab_inflated(args, scratch_dir, get_specs, enable_bench_tuning, get_sp
     per_query: dict[str, dict] = {}
     for q in VOCAB_INFLATED_QUERIES:
         rec: dict = {}
-        for label, sf_dir in (("sf0.1", BASE_TIERS[0.1]), ("vocab_inflated", out_dir)):
+        for label, sf_dir in (
+            ("sf0.1", BASE_TIERS[0.1]),
+            ("vocab_inflated_q", out_dir_q),
+            ("vocab_inflated", out_dir),
+        ):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             fn = specs[q].fn
@@ -270,16 +282,28 @@ def run_vocab_inflated(args, scratch_dir, get_specs, enable_bench_tuning, get_sp
                 "rows": rows,
                 "broadcast_on_vocab_join": _vocab_broadcast(final_plan),
             }
+        # Exponent IN TYPES between the two inflated points (VERDICT r10
+        # task #4): both tiers have vocabulary ~= token count, so the type
+        # ratio is the doc ratio (4x) and
+        # exponent = log(t_full / t_quarter) / log(4).
+        import math as _math
+
+        tq, tf = rec["vocab_inflated_q"]["sec"], rec["vocab_inflated"]["sec"]
+        rec["exponent_in_types"] = (
+            round(_math.log(tf / tq) / _math.log(4), 3) if tq > 0 else None
+        )
         per_query[q] = rec
         print(
             f"vocab-inflated {q:28s} sf0.1={rec['sf0.1']['sec']:7.3f}s "
-            f"inflated={rec['vocab_inflated']['sec']:7.3f}s "
+            f"quarter={tq:7.3f}s inflated={tf:7.3f}s "
+            f"exp_types={rec['exponent_in_types']} "
             f"bhj@inflated={rec['vocab_inflated']['broadcast_on_vocab_join']}",
             flush=True,
         )
 
     block = {
         "tier": stats,
+        "tier_quarter": stats_q,
         "queries": per_query,
         "note": (
             "Vocab-inflated micro-tier (VERDICT r9 task #7): ~3.7M distinct "
