@@ -363,3 +363,55 @@ def ngram_containment_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def shingle_pair_ppm(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Shared-shingle candidate pairs with EXACT integer-ppm Jaccard and
+    the threshold-0.5 edge flag — the shared building block of the
+    dedup-governance family (source_overlap_matrix E272,
+    neardup_cluster_quality E273, dedup_governance_rollup E275).
+
+    Returns (doc_a, doc_b, jac_ppm, is_edge) with doc_a < doc_b;
+    jac_ppm = |∩|·10⁶ div |∪| (multiply-then-div, no float anywhere),
+    is_edge ⟺ jaccard ≥ 0.5 via the integer cross-multiplied predicate.
+    Shape: one shingle-keyed SHJ (only docs sharing a shingle ever meet;
+    a hot shingle is a skew key — AQE skew-join splits it, and
+    ngram_jaccard_dfcap is the df-capped variant when boilerplate makes
+    even that too hot), two size joins, one lazy localCheckpoint so the
+    shingle frame materializes once across its three consumers.
+    """
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
+            (F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
+            .alias("is_edge"),
+        )
+    )

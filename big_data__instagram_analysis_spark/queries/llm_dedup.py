@@ -908,36 +908,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (sub-quadratic by the shared-shingle equi-join), and
     the matrix itself is ≤ |sources|² rows.
     """
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_pair_ppm
 
     d = load(spark, sf_dir, "documents")
-    sh = shingle_rows(d, n=3).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    shared = (
-        a.join(b.hint("shuffle_hash"), "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    pairs = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .where(F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "shared * 1000000 div (na + nb - shared)"
-            ).alias("jac_ppm"),
-        )
+    pairs = shingle_pair_ppm(d, n=3).where("is_edge").select(
+        "doc_a", "doc_b", "jac_ppm"
     )
     src = d.select("doc_id", "source")
     lab = (
@@ -1046,38 +1021,11 @@ def neardup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-then-div, mean as sum div count) — no float agg anywhere.
     The output is ≤ 2 rows.
     """
-    from ..operators.dedup import shingle_rows
+    from ..operators.dedup import shingle_pair_ppm
     from ..operators.graph import attach_components
 
     d = load(spark, sf_dir, "documents")
-    sh = shingle_rows(d, n=3).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    shared = (
-        a.join(b.hint("shuffle_hash"), "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    cand = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
-            (F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared"))
-            .alias("is_edge"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    cand = shingle_pair_ppm(d, n=3).localCheckpoint(eager=False)
     comp = attach_components(
         d.select("doc_id"),
         cand.where("is_edge").select("doc_a", "doc_b"),
@@ -1217,4 +1165,190 @@ def ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- E275: per-source dedup governance rollup (exact + near-dup exposure) ----
+
+@query(
+    "dedup_governance_rollup",
+    category="L1,L2,L8,E275",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+), f AS (
+  SELECT source, n_tok,
+         (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_surv
+  FROM t
+), exact AS (
+  SELECT source,
+         count(*) AS docs_before,
+         sum(CASE WHEN is_surv THEN 1 ELSE 0 END) AS docs_after,
+         sum(n_tok) AS tokens_before,
+         (sum(n_tok) - sum(CASE WHEN is_surv THEN n_tok ELSE 0 END)) * 1000000
+           // sum(n_tok) AS exact_savings_ppm
+  FROM f GROUP BY source
+), toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 2 >= x.n_sh + y.n_sh - shared
+), lab AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+), per_src AS (
+  SELECT source,
+         sum(CASE WHEN self THEN 1 ELSE 0 END) AS self_pairs,
+         sum(CASE WHEN self THEN 0 ELSE 1 END) AS cross_pairs,
+         count(DISTINCT CASE WHEN NOT self THEN other END) AS cross_partners
+  FROM (
+    SELECT sa AS source, (sa = sb) AS self, sb AS other FROM lab
+    UNION ALL
+    SELECT sb AS source, (sa = sb) AS self, sa AS other FROM lab WHERE sa <> sb
+  )
+  GROUP BY source
+)
+SELECT e.source,
+       CAST(e.docs_before AS BIGINT) AS docs_before,
+       CAST(e.docs_after AS BIGINT) AS docs_after,
+       CAST(e.tokens_before AS BIGINT) AS tokens_before,
+       CAST(e.exact_savings_ppm AS BIGINT) AS exact_savings_ppm,
+       CAST(coalesce(p.self_pairs, 0) AS BIGINT) AS neardup_self_pairs,
+       CAST(coalesce(p.cross_pairs, 0) AS BIGINT) AS neardup_cross_pairs,
+       CAST(coalesce(p.cross_partners, 0) AS BIGINT) AS cross_partner_sources
+FROM exact e LEFT JOIN per_src p ON e.source = p.source
+ORDER BY e.source
+""",
+)
+def dedup_governance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup governance rollup (VERDICT r10 #7's suggested row):
+    ONE table a corpus owner reads before scheduling dedup passes — for
+    each source, the exact-dedup ledger (docs/tokens before-after, savings
+    in integer ppm — the E249 accounting) JOINED with its near-dup
+    exposure from the pair graph: how many threshold pairs are
+    self-duplication (an in-source pass fixes them) vs cross-source (only
+    a global pass fixes them), and how many distinct partner sources it
+    shares near-dups with (E272's matrix, folded to a per-source row).
+
+    A self-heavy source wants a cheap per-source dedup shard; a
+    cross-heavy one forces the corpus-wide pass — this table is the
+    scheduling decision. Self pairs count ONCE for their source; cross
+    pairs count once per ENDPOINT source (each side's owner must care),
+    the double-sided accounting made explicit by the unioned-endpoint
+    form in both engines.
+
+    Plan: the exact half is one content-hash window + a per-source agg
+    (no join); the near-dup half reuses shingle_pair_ppm (operators/
+    dedup.py — shared with E272/E273) + two dim joins + an explode-free
+    two-arm union keyed by source. Everything emitted is integer-exact.
+    """
+    from ..operators.dedup import normalize_text, shingle_pair_ppm
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+    t = d.select(
+        "doc_id",
+        "source",
+        n_tok.cast("bigint").alias("n_tok"),
+        F.sha2(F.encode(normalize_text(F.col("text")), "UTF-8"), 256).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    f = t.select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_surv"),
+    )
+    kept = F.sum(F.when(F.col("is_surv"), F.col("n_tok")).otherwise(F.lit(0)))
+    tot = F.sum("n_tok")
+    exact = (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+            F.sum(F.when(F.col("is_surv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_after"),
+            tot.cast("bigint").alias("tokens_before"),
+            ((tot - kept) * 1000000).cast("bigint").alias("_sav_num"),
+        )
+        .select(
+            "source",
+            "docs_before",
+            "docs_after",
+            "tokens_before",
+            F.expr("_sav_num div tokens_before").alias("exact_savings_ppm"),
+        )
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        shingle_pair_ppm(d, n=3)
+        .where("is_edge")
+        .join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select("sa", "sb")
+    )
+    ends = lab.select(
+        F.col("sa").alias("source"),
+        (F.col("sa") == F.col("sb")).alias("self"),
+        F.col("sb").alias("other"),
+    ).unionAll(
+        lab.where(F.col("sa") != F.col("sb")).select(
+            F.col("sb").alias("source"),
+            F.lit(False).alias("self"),
+            F.col("sa").alias("other"),
+        )
+    )
+    per_src = ends.groupBy("source").agg(
+        F.sum(F.when(F.col("self"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neardup_self_pairs"),
+        F.sum(F.when(F.col("self"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("neardup_cross_pairs"),
+        F.countDistinct(F.when(~F.col("self"), F.col("other")))
+        .cast("bigint")
+        .alias("cross_partner_sources"),
+    )
+    return (
+        exact.join(per_src, "source", "left")
+        .select(
+            "source",
+            "docs_before",
+            "docs_after",
+            "tokens_before",
+            "exact_savings_ppm",
+            F.coalesce("neardup_self_pairs", F.lit(0)).alias("neardup_self_pairs"),
+            F.coalesce("neardup_cross_pairs", F.lit(0)).alias(
+                "neardup_cross_pairs"
+            ),
+            F.coalesce("cross_partner_sources", F.lit(0)).alias(
+                "cross_partner_sources"
+            ),
+        )
+        .orderBy("source")
     )

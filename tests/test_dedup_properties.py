@@ -533,3 +533,74 @@ def test_ngram_jaccard_dfcap_binds_and_matches_bruteforce(spark):
     assert any(v > NGRAM_DF_CAP for v in df.values())
     assert (100, 101) in got and (200, 201) in got
     assert all(a >= 100 for (a, b) in got)  # no boilerplate-only pairs
+
+
+def test_dedup_governance_rollup_matches_python(spark, sf_dir):
+    """Full python reference for E275: exact-dedup ledger (normalize →
+    group → min-id survivor → per-source token accounting) + near-dup
+    exposure (brute-force shingle pairs ≥ 0.5 → double-sided endpoint
+    accounting). Independent of every Spark operator involved."""
+    import hashlib
+    import re as _re
+
+    from big_data__instagram_analysis_spark.queries.llm_dedup import (
+        dedup_governance_rollup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    # exact half
+    groups: dict[str, int] = {}
+    per = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        norm = _re.sub(r"\s+", " ", r.text.lower()).strip()
+        h = hashlib.sha256(norm.encode()).hexdigest()
+        surv = h not in groups
+        if surv:
+            groups[h] = r.doc_id
+        n_tok = len([w for w in r.text.split(" ") if w])
+        e = per.setdefault(r.source, [0, 0, 0, 0])  # docs_b, docs_a, tok_b, tok_kept
+        e[0] += 1
+        e[1] += 1 if surv else 0
+        e[2] += n_tok
+        e[3] += n_tok if surv else 0
+
+    # near-dup half
+    def shingles(t):
+        ws = [w for w in t.split(" ") if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in docs}
+    src = {r.doc_id: r.source for r in docs}
+    ids = sorted(sh)
+    stats = {}  # source -> [self, cross, partner set]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter or 2 * inter < len(sh[a]) + len(sh[b]) - inter:
+                continue
+            sa, sb = src[a], src[b]
+            if sa == sb:
+                stats.setdefault(sa, [0, 0, set()])[0] += 1
+            else:
+                stats.setdefault(sa, [0, 0, set()])
+                stats.setdefault(sb, [0, 0, set()])
+                stats[sa][1] += 1
+                stats[sb][1] += 1
+                stats[sa][2].add(sb)
+                stats[sb][2].add(sa)
+
+    got = dedup_governance_rollup(spark, sf_dir).collect()
+    assert sorted(g.source for g in got) == sorted(per)
+    for g in got:
+        db, da, tb, tk = per[g.source]
+        assert (g.docs_before, g.docs_after, g.tokens_before) == (db, da, tb)
+        assert g.exact_savings_ppm == (tb - tk) * 1_000_000 // tb
+        s = stats.get(g.source, [0, 0, set()])
+        assert g.neardup_self_pairs == s[0]
+        assert g.neardup_cross_pairs == s[1]
+        assert g.cross_partner_sources == len(s[2])
