@@ -759,3 +759,25 @@ def test_vocab_joins_respect_broadcast_threshold(spark, sf_dir):
     finally:
         RUNTIME_CONF[key] = prior_rt
         spark.conf.set(key, prior)
+
+
+def test_governance_pair_family_plan_shape(spark, sf_dir):
+    """The three shingle_pair_ppm consumers (E272/E273/E275) must keep the
+    scale shape of the shared pair block: the shingle self-join is a
+    ShuffledHashJoin (both sides grow with the corpus — broadcast would
+    OOM, sort-merge pays two corpus-scale sorts), and no cartesian
+    product anywhere."""
+    for name in (
+        "source_overlap_matrix",
+        "neardup_cluster_quality",
+        "dedup_governance_rollup",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        # neardup_cluster_quality lazily localCheckpoints the pair frame,
+        # so its downstream plan truncates at the checkpoint scan and the
+        # SHJ lives in the (already-pinned) upstream block — assert it
+        # only where the pair block is visible in the same plan tree.
+        if name != "neardup_cluster_quality":
+            assert "ShuffledHashJoin" in plan, f"{name}: shingle SHJ missing"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ"
