@@ -46,3 +46,27 @@ def cents_sum(e: Column | str) -> Column:
 def cents_sum_sql(expr: str) -> str:
     """DuckDB twin of :func:`cents_sum` for oracle strings."""
     return f"sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) / 100.0"
+
+
+def cents_avg4(e: Column | str) -> Column:
+    """Deterministic 4-dp average of a 2-decimal money column.
+
+    Exact BIGINT cents sum (see module docstring) scaled to 1e-4 units and
+    emitted through the FLOOR form — floor(sum_cents·100/count + 0.5)/1e4 —
+    NOT round(): a quantized ratio can land on an exact x.xxxx5 boundary,
+    where Spark's HALF_UP (BigDecimal shortest-repr) and DuckDB's rint
+    disagree (caught live on dsir doc 308, PERF §62). floor of identical
+    IEEE inputs is identical on both engines and negative-safe.
+    """
+    sc = F.sum(cents(e))
+    return F.floor(sc * F.lit(100.0) / F.count(F.lit(1)) + F.lit(0.5)) / F.lit(
+        10000.0
+    )
+
+
+def cents_avg4_sql(expr: str) -> str:
+    """DuckDB twin of :func:`cents_avg4` for oracle strings."""
+    return (
+        f"floor(sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) * 100.0"
+        f" / count(*) + 0.5) / 10000.0"
+    )

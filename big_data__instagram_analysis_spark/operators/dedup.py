@@ -114,10 +114,18 @@ def shingle_rows(
     # executor an 8-way repartition would still sit 4x under this guard's
     # own trigger threshold. defaultParallelism//2 keeps per-task splits
     # chunky while clearing the parts*4 < cores condition on any box.
+    # Two-step probe (round 11): file count first (free — no plan
+    # conversion), and only when it looks low confirm with the ACTUAL
+    # split count via the RDD probe. File count alone is wrong for
+    # few-LARGE-files corpora (2 files × 5 GB = ~80 byte-splits — a
+    # repartition there would shuffle the whole corpus's text and CAP
+    # parallelism, the exact pathology this guard disclaims), and for
+    # non-file-backed frames (inputFiles()=[], e.g. createDataFrame),
+    # where the RDD probe sees the true parallelize partition count.
     sc = df.sparkSession.sparkContext
-    n_parts = len(df.inputFiles()) or 1
-    if n_parts * 4 < sc.defaultParallelism:
-        df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
+    if (len(df.inputFiles()) or 1) * 4 < sc.defaultParallelism:
+        if df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
+            df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
 
     toks = df.select(
         F.col(id_col).alias("doc"),

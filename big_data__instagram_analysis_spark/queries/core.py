@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
-from ..numeric import cents_sum
+from ..numeric import cents_avg4, cents_sum
 from ..registry import query
 
 # --- A1 flagship: pricing summary -----------------------------------------
@@ -61,17 +61,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             # Round-11 ×10 audit flag: round(avg(price)) at 5e4 magnitude
             # sits within two orders of the 4dp boundary at larger tiers.
-            # Exact form: cents-quantized BIGINT sum → floor-form 4dp
-            # (identical IEEE ops both engines, no HALF_UP-vs-rint edge).
-            (
-                F.floor(
-                    F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
-                    * F.lit(100.0)
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(10000.0)
-            ).alias("avg_price"),
+            cents_avg4("l_extendedprice").alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -298,9 +288,15 @@ def json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project the dynamic JSON payload (events.props → $.k) and aggregate.
 
     Anchored-fast-path JSON projection (round 11, PERF §61): the regex
-    ``^\\{\\s*"k"\\s*:\\s*(-?(?:0|[1-9]\\d{0,8}))\\s*\\}$`` full-matches exactly the
+    ``\\A\\{[ \\t\\r\\n]*"k"[ \\t\\r\\n]*:[ \\t\\r\\n]*(-?(?:0|[1-9]\\d{0,8}))[ \\t\\r\\n]*\\}\\z``
+    full-matches exactly the
     documents that are a flat single-key object with an int32-safe JSON
-    integer — on a full match, $.k is unambiguous and the capture IS the
+    integer — anchored with ``\\A``/``\\z`` (NOT ``^``/``$``: Java's ``$``
+    matches before a trailing line terminator, so ``{"k":1}\\u2028`` would
+    fast-path while Jackson rejects it) and whitespace restricted to
+    JSON's own four characters (NOT ``\\s``, which in Java also matches
+    ``\\x0B``/``\\f`` — not JSON whitespace). On a full match, $.k is
+    unambiguous and the capture IS the
     answer; on anything else (nested, float, string-typed, >9 digits,
     null-valued, malformed, NULL) the per-row fallback is the schema'd
     Jackson parse (from_json), i.e. the exact pre-r11 semantics. coalesce
@@ -319,7 +315,7 @@ def json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy changed nothing (dp 0.26): Spark splits scans by file bytes, not
     row groups, so layout was never the lever; per-row parse cost was."""
     e = load(spark, sf_dir, "events")
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     k = F.coalesce(
         F.nullif(fast, F.lit("")).cast("int"),
         F.from_json("props", "k INT").getField("k"),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..numeric import cents_sum
+from ..numeric import cents_avg4, cents_sum
 from ..registry import query
 
 # --- pivot -------------------------------------------------------------------
@@ -160,15 +160,7 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Round-11 ×10 audit flag (2.6e5 magnitude): exact cents sum +
             # floor-form 4dp avg, merge-order-immune by construction.
             cents_sum("s_acctbal").alias("total_bal"),
-            (
-                F.floor(
-                    F.sum(F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
-                    * F.lit(100.0)
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(10000.0)
-            ).alias("avg_bal"),
+            cents_avg4("s_acctbal").alias("avg_bal"),
         )
         .orderBy(F.desc("total_bal"), "n_name")
     )

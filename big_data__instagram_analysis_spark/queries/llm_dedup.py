@@ -63,7 +63,7 @@ SELECT source,
        CAST(sum(n_tok) AS BIGINT) AS tokens_before,
        CAST(sum(CASE WHEN is_surv THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_after,
        CAST((sum(n_tok) - sum(CASE WHEN is_surv THEN n_tok ELSE 0 END)) * 1000000
-            // sum(n_tok) AS BIGINT) AS token_savings_ppm
+            // nullif(sum(n_tok), 0) AS BIGINT) AS token_savings_ppm
 FROM f
 GROUP BY source
 ORDER BY source
@@ -125,7 +125,11 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_after",
             "tokens_before",
             "tokens_after",
-            F.expr("_sav_num div tokens_before").alias("token_savings_ppm"),
+            # nullif: a source whose docs all tokenize empty must yield NULL
+            # savings, not an ANSI DIVIDE_BY_ZERO that kills every source.
+            F.expr("_sav_num div nullif(tokens_before, 0)").alias(
+                "token_savings_ppm"
+            ),
         )
         .orderBy("source")
     )
@@ -1189,7 +1193,7 @@ WITH t AS (
          sum(CASE WHEN is_surv THEN 1 ELSE 0 END) AS docs_after,
          sum(n_tok) AS tokens_before,
          (sum(n_tok) - sum(CASE WHEN is_surv THEN n_tok ELSE 0 END)) * 1000000
-           // sum(n_tok) AS exact_savings_ppm
+           // nullif(sum(n_tok), 0) AS exact_savings_ppm
   FROM f GROUP BY source
 ), toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -1295,7 +1299,10 @@ def dedup_governance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_before",
             "docs_after",
             "tokens_before",
-            F.expr("_sav_num div tokens_before").alias("exact_savings_ppm"),
+            # nullif: see token_savings_ppm — NULL, not ANSI DIVIDE_BY_ZERO.
+            F.expr("_sav_num div nullif(tokens_before, 0)").alias(
+                "exact_savings_ppm"
+            ),
         )
     )
     src = d.select("doc_id", "source")

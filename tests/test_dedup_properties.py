@@ -490,7 +490,9 @@ def test_ngram_jaccard_dfcap_binds_and_matches_bruteforce(spark):
 
     import pandas as pd
 
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+    from big_data__instagram_analysis_spark.io import scratch_dir
+
+    with tempfile.TemporaryDirectory(dir=scratch_dir()) as td:
         pd.DataFrame(
             {
                 "doc_id": [r[0] for r in rows],

@@ -269,13 +269,16 @@ def test_json_extract_k_fastpath_matches_from_json_adversarial(spark):
             ('{"k": 1234567890123}',), ('not json',), ('{"k": "12"}',),
             ('{"k": 12, "j": 1}',), ('{"k": 0005}',), ('{"k": +5}',),
             ('{"k": 2147483648}',), ('{"k": -2147483648}',), ('{"k":0}',),
+            ('{"k": 1} ',), ('{"k": 1} ',), ('{"k": 1}\n',),
+            ('{"k":\x0b1}',), ('{"k":\f2}',), ('{"k":\t3}',),
+            ('{"k": 4}\x85',),
         ],
         "props string",
     )
     pure = adv.select(
         F.from_json("props", "k INT").getField("k").alias("k")
     ).toPandas()
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     hybrid = adv.select(
         F.coalesce(
             F.nullif(fast, F.lit("")).cast("int"),

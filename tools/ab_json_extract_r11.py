@@ -91,7 +91,7 @@ def v5_hybrid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     int}, where $.k is unambiguous; every other shape (nested, float,
     overflow, malformed, null) takes the v0 Jackson path per-row."""
     e = load(spark, sf_dir, "events")
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     k = F.when(fast != F.lit(""), fast.cast("int")).otherwise(
         F.from_json("props", "k INT").getField("k")
     )
@@ -113,7 +113,7 @@ def _guarded(e: DataFrame) -> DataFrame:
 
 def v6_guard_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _guarded(load(spark, sf_dir, "events"))
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     k = F.when(fast != F.lit(""), fast.cast("int")).otherwise(
         F.from_json("props", "k INT").getField("k")
     )
@@ -140,7 +140,7 @@ def v8_coalesce_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, and nullif('')→cast gives null exactly when the anchored
     fast-path missed, which is exactly when from_json must run."""
     e = load(spark, sf_dir, "events")
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     k = F.coalesce(
         F.nullif(fast, F.lit("")).cast("int"),
         F.from_json("props", "k INT").getField("k"),
@@ -199,7 +199,7 @@ def main() -> None:
     v0k = adv.select(
         F.from_json("props", "k INT").getField("k").alias("k")
     ).toPandas()
-    fast = F.regexp_extract("props", r'^\{\s*"k"\s*:\s*(-?(?:0|[1-9]\d{0,8}))\s*\}$', 1)
+    fast = F.regexp_extract("props", r'\A\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*(-?(?:0|[1-9]\d{0,8}))[ \t\r\n]*\}\z', 1)
     v5k = adv.select(
         F.when(fast != F.lit(""), fast.cast("int"))
         .otherwise(F.from_json("props", "k INT").getField("k"))
