@@ -39,10 +39,13 @@ Per-query DuckDB baselines are loaded from checked-in artifacts
 (HEADLINE_BASELINE.json, LLM_BASELINE.json — ADVICE r8: no hardcoded
 literals, so a re-measurement of BASELINE.md §2 updates the ratios by
 updating one file). dp_gt2 flags queries whose paired datapath exceeds
-2× their DuckDB time; dp_excess carries the ABSOLUTE excess seconds for
-each flag, because several headline denominators are 4-113 ms and a
-sub-0.1 s floor wobble reads as a big ratio (VERDICT r3/r7/r8:
-denominator artifacts — judge flags against the excess seconds).
+2× their DuckDB time AND whose absolute excess clears the session's
+measured scheduling floor (empty-job + 1-row-shuffle walls, min 50 ms) —
+VERDICT r11 #6: several headline denominators are 4-11 ms, below Spark's
+~25-60 ms per-job scheduling floor, so a ratio alone flagged verified-clean
+plans. dp_excess carries the ABSOLUTE excess seconds for each flag;
+dp_excess_all_sec in BENCH_DETAIL.json keeps the raw excess for every >2×
+ratio so the calibration hides nothing.
 
 Prints ONE COMPACT JSON line (<1.9 KB — the driver keeps the last 2000
 chars of stdout and json-parses the final line); the complete
@@ -525,10 +528,23 @@ def orchestrate() -> None:
         **(hb["queries"] if hb else {}),
         **llm_out.get("per_query_duckdb_sec", {}),
     }
-    dp_gt2 = sorted(n for n, r in all_ratios.items() if r > 2.0)
-    dp_excess = {
-        n: round(all_dp[n] - all_base[n], 3) for n in dp_gt2 if n in all_base
+    # VERDICT r11 #6: ratio > 2 on a millisecond DuckDB denominator is a
+    # measurement class, not a plan defect — Spark's per-job scheduling
+    # floor (~25-60 ms) dwarfs a 4-11 ms oracle denominator, so +13-34 ms
+    # excesses used to flag queries whose plans were verified clean. Flag
+    # only when the ABSOLUTE excess also clears the session's measured
+    # scheduling floor (empty-job + 1-row-shuffle min walls, 50 ms minimum);
+    # the raw excess for EVERY >2× ratio still lands in BENCH_DETAIL.json
+    # as dp_excess_all_sec so nothing is hidden by the calibration.
+    sched_floor = hd.get("empty_job_sec", 0.0) + hd.get("shuffle_1row_sec", 0.0)
+    flag_floor = max(0.05, round(sched_floor, 3))
+    excess_all = {
+        n: round(all_dp[n] - all_base[n], 3)
+        for n, r in all_ratios.items()
+        if r > 2.0 and n in all_base
     }
+    dp_gt2 = sorted(n for n, x in excess_all.items() if x > flag_floor)
+    dp_excess = {n: excess_all[n] for n in dp_gt2}
 
     detail = {
         "metric": "headline_query_set_wall_sec",
@@ -549,6 +565,8 @@ def orchestrate() -> None:
         "floor_wall_pairs_set": set_pairs,
         "dp_gt2": dp_gt2,
         "dp_excess_sec": dp_excess,
+        "dp_excess_all_sec": excess_all,
+        "dp_flag_floor_sec": flag_floor,
         "sf": sf,
     }
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:

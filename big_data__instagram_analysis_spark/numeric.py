@@ -57,16 +57,21 @@ def cents_avg4(e: Column | str) -> Column:
     where Spark's HALF_UP (BigDecimal shortest-repr) and DuckDB's rint
     disagree (caught live on dsir doc 308, PERF §62). floor of identical
     IEEE inputs is identical on both engines and negative-safe.
+
+    The denominator is the NON-NULL count of ``e`` (ADVICE r11) so the
+    helper matches ``avg()`` semantics on a nullable column; the SQL twin
+    counts the same expression. (NULL addends already contribute 0 to the
+    sum on both engines — ``floor(NULL*100+0.5)`` is NULL and sum skips it.)
     """
-    sc = F.sum(cents(e))
-    return F.floor(sc * F.lit(100.0) / F.count(F.lit(1)) + F.lit(0.5)) / F.lit(
-        10000.0
-    )
+    c = F.col(e) if isinstance(e, str) else e
+    return F.floor(
+        F.sum(cents(c)) * F.lit(100.0) / F.count(c) + F.lit(0.5)
+    ) / F.lit(10000.0)
 
 
 def cents_avg4_sql(expr: str) -> str:
     """DuckDB twin of :func:`cents_avg4` for oracle strings."""
     return (
         f"floor(sum(CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)) * 100.0"
-        f" / count(*) + 0.5) / 10000.0"
+        f" / count({expr}) + 0.5) / 10000.0"
     )

@@ -32,6 +32,20 @@ from pyspark.sql.window import Window
 SIMHASH_BITS = 60
 
 
+#: Explicit whitespace class for text normalization, pinned on BOTH engines
+#: (ADVICE r11): Java regex '\s' is exactly [ \t\n\x0B\f\r] while DuckDB's
+#: RE2 '\s' EXCLUDES \x0B (vertical tab), so an implicit '\s+' on the two
+#: sides hashes a \x0B-bearing text differently. The same spelling below is
+#: valid Java regex AND RE2, so the engine expression and the SQL-literal
+#: oracle twin collapse the identical set of characters.
+WS_RE = r"[ \t\r\n\x0B\f]+"
+#: The RE2/SQL-literal twin (DuckDB string literals pass backslashes through).
+WS_RE_SQL = WS_RE
+#: Spark-SQL-expression twin: the SQL parser unescapes string literals once,
+#: so backslashes must be doubled when the regex rides inside expr()/sql().
+WS_RE_SPARK_SQL = WS_RE.replace("\\", "\\\\")
+
+
 def normalize_text(col: F.Column) -> F.Column:
     """Canonical text form for exact dedup: lower, collapse whitespace, trim.
 
@@ -39,9 +53,11 @@ def normalize_text(col: F.Column) -> F.Column:
     leading tab/newline would survive a trim-first order ('\\tb' → ' b' ≠
     'b' — found by the hypothesis fuzz in tests/test_dedup_properties.py).
     After the collapse every whitespace run is a single 0x20, which trim
-    does strip.
+    does strip. The whitespace class is :data:`WS_RE` — explicit, so the
+    DuckDB oracle twins collapse the same characters (Java vs RE2 '\\s'
+    disagree on \\x0B).
     """
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS_RE, " "))
 
 
 def exact_dedup(
@@ -122,10 +138,28 @@ def shingle_rows(
     # parallelism, the exact pathology this guard disclaims), and for
     # non-file-backed frames (inputFiles()=[], e.g. createDataFrame),
     # where the RDD probe sees the true parallelize partition count.
+    # ADVICE r11 refinement: many TINY files also defeat the file-count
+    # pre-filter — FileSourceScan bin-packs small files (maxPartitionBytes /
+    # openCostInBytes), so 64 × 100 KB files can collapse to a handful of
+    # splits while file_count*4 >= cores skips the probe and caps
+    # parallelism. Sample one file's length (one FS metadata call, no job):
+    # only a MANY-large-files corpus may skip the RDD probe; small sampled
+    # files fall through to it.
     sc = df.sparkSession.sparkContext
-    if (len(df.inputFiles()) or 1) * 4 < sc.defaultParallelism:
-        if df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
-            df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
+    files = df.inputFiles()
+    must_probe = (len(files) or 1) * 4 < sc.defaultParallelism
+    if not must_probe and files:
+        try:
+            jpath = sc._jvm.org.apache.hadoop.fs.Path(files[0])
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            # Below ~4 MB/file the packer merges aggressively; probe to be
+            # sure. Above it, each file is >= a split on its own and the
+            # scan parallelism is >= file count — safe to skip.
+            must_probe = fs.getFileStatus(jpath).getLen() < 4 * 1024 * 1024
+        except Exception:  # pragma: no cover - FS oddities: pay the probe
+            must_probe = True
+    if must_probe and df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
+        df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
 
     toks = df.select(
         F.col(id_col).alias("doc"),

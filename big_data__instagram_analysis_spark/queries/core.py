@@ -32,7 +32,7 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
        floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 100.0
-             / count(*) + 0.5) / 10000.0                                AS avg_price,
+             / count(l_extendedprice) + 0.5) / 10000.0                  AS avg_price,
        round(avg(l_discount), 4)                                        AS avg_disc,
        count(*)                                                         AS cnt
 FROM lineitem

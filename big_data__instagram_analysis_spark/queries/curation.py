@@ -242,7 +242,7 @@ WITH RECURSIVE toks AS (
 ), ex AS (
   SELECT min(doc_id) AS doc_id
   FROM (SELECT doc_id,
-               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+               sha256(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))) AS h
         FROM q)
   GROUP BY h
 ), s AS (

@@ -142,7 +142,7 @@ SELECT n.n_name,
        count(*) AS n_suppliers,
        sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_bal,
        floor(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) * 100.0
-             / count(*) + 0.5) / 10000.0 AS avg_bal
+             / count(s.s_acctbal) + 0.5) / 10000.0 AS avg_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY total_bal DESC, n_name

@@ -17,9 +17,13 @@ from ..registry import query
 
 #: whitespace tokens (house idiom, matches curation.py / llm_text.py)
 _TOKENS = "filter(split(text, ' '), t -> t <> '')"
-#: normalized text (house exact-dedup normalization, curation.py oracle)
-_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: normalized text (house exact-dedup normalization, operators/dedup.py).
+#: Whitespace class pinned explicitly on both engines (ADVICE r11): Java
+#: '\s' includes \x0B, RE2 '\s' does not — the literal class below is the
+#: same character set in both. Spark SQL unescapes string literals once,
+#: hence the doubled backslashes in _NORM.
+_NORM = "trim(regexp_replace(lower(text), '[ \\\\t\\\\r\\\\n\\\\x0B\\\\f]+', ' '))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))"
 
 #: packing budget — must match sequence_packing (curation.py E19)
 PACK_BUDGET = 512

@@ -13,6 +13,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
     ngram_jaccard_pairs,
+    normalize_text,
     simhash,
     simhash_neardup_pairs,
 )
@@ -25,7 +26,7 @@ from ..registry import query
     oracle="""
 WITH norm AS (
   SELECT doc_id,
-         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))) AS content_hash
   FROM documents
 )
 SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_copies
@@ -50,7 +51,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, source,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))) AS h
   FROM documents
 ), f AS (
   SELECT source, n_tok,
@@ -94,9 +95,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
-    h = F.sha2(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
-    )
+    h = F.sha2(normalize_text(F.col("text")), 256)
     t = d.select("doc_id", "source", n_tok.alias("n_tok"), h.alias("h"))
     w = Window.partitionBy("h")
     f = t.select(
@@ -1181,7 +1180,7 @@ def ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, source,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))) AS h
   FROM documents
 ), f AS (
   SELECT source, n_tok,

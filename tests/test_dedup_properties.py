@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from big_data__instagram_analysis_spark.operators.dedup import exact_dedup
 
@@ -71,6 +72,42 @@ def test_exact_dedup_idempotent_and_min_id_survivor(spark, rows):
 def test_case_whitespace_variants_collapse(spark):
     rows = ["Hello  World", "hello world", "  HELLO\tWORLD ", "other doc"]
     assert _dedup_ids(spark, range(4), rows) == [0, 3]
+
+
+def test_vertical_tab_parity_engine_vs_oracle(spark):
+    """ADVICE r11: Java '\\s' includes \\x0B, RE2 '\\s' does not — the
+    normalization whitespace class is now pinned explicitly on both engines
+    (operators/dedup.py WS_RE), so a vertical-tab text must normalize
+    identically in Spark and DuckDB. Every whitespace char in the class is
+    exercised, plus the \\x0B case that used to diverge."""
+    import duckdb
+
+    from big_data__instagram_analysis_spark.operators.dedup import (
+        WS_RE_SQL,
+        normalize_text,
+    )
+
+    texts = [
+        "a\x0bb",  # the divergent char: RE2 \s misses it
+        "a \t\r\n\x0b\fb",  # full class run
+        "\x0b lead and trail \x0b",
+        "plain text",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_spark = [
+        r[0] for r in sdf.select(normalize_text(F.col("text"))).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT trim(regexp_replace(lower(?), "
+            f"'{WS_RE_SQL}', ' ', 'g'))",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == "a b"  # \x0B collapsed, not preserved
 
 
 # --- n-gram Jaccard pairs vs brute-force python -------------------------------

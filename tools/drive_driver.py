@@ -67,11 +67,17 @@ fails = 0
 slow = []
 measured = {}
 if args.only:
-    import re as _re
+    # VERDICT r11 #5: --only is a REGEX but reads like a comma list — a
+    # comma-joined invocation matched 0 queries and the run printed
+    # "FAILS: 0" as if everything passed. filter_only makes a zero-match
+    # run loud and a hard failure (logic + test in tools/driver_util.py).
+    from driver_util import filter_only
 
-    pat = _re.compile(args.only)
-    qs = {n: f for n, f in qs.items() if pat.search(n)}
+    qs, only_err = filter_only(qs, args.only)
     print("only-filter:", args.only, "->", len(qs), "queries")
+    if only_err:
+        print("ERROR:", only_err)
+        sys.exit(2)
 import gc
 
 for name, fn in sorted(qs.items()):

@@ -479,6 +479,257 @@ def build_natural_tier(mult: int, base_dir: str, out_dir: str) -> dict:
     return stats
 
 
+#: The exact pair/dedup family (VERDICT r11 task #3): the "linear candidate
+#: volume" claims need TWO size points a decade apart, not one.
+PAIR_QUERIES = [
+    "minhash_lsh_neardup",
+    "ngram_jaccard_dfcap",
+    "source_overlap_matrix",
+    "repeated_span_flags",
+]
+
+#: Boilerplate pool for the df-binding tier: 50 distinct 10-token
+#: sentences. Each appended sentence contributes 8 3-gram shingles whose
+#: document frequency grows LINEARLY with the tier multiplier (the cipher
+#: replicas share them un-ciphered), so the E274 df cap (16) binds hard —
+#: at x10 each boilerplate shingle has df ~200, at x30 ~600 — while the
+#: non-boilerplate structure stays the cipher tier's linear shape.
+BOILER_SENTENCES = 50
+
+
+def _boiler_sentence(j: int) -> str:
+    return (
+        f"bp{j} all rights reserved unauthorized reproduction strictly "
+        "prohibited contact legal"
+    )
+
+
+def build_pair_tier(
+    mult: int, base_dir: str, out_dir: str, *, boiler: bool
+) -> dict:
+    """×mult documents tier for the pair family.
+
+    boiler=False: plain cipher replication (linear candidate structure,
+    disjoint cross-replica shingles) — the two-point-exponent tier.
+    boiler=True: same, plus docs with orig_id%5==0 get boilerplate sentence
+    (orig_id//5)%50 appended UN-ciphered in every replica, so those
+    shingles' df grows ∝ mult and the dfcap path must drop them to keep
+    candidate volume linear. Only `documents` is replicated (the pair
+    family reads nothing else); the other tables are copied from base so
+    loaders keep working. Returns tier stats (df of the hottest shingle
+    is measured by the caller with DuckDB — exact, engine-independent).
+    """
+    marker = os.path.join(out_dir, "_SPARK_GRAFT_READY")
+    if os.path.exists(marker):
+        return {"cached": True}
+    os.makedirs(out_dir, exist_ok=True)
+    tb = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    reps = []
+    for k in range(mult):
+        rep = tb if k == 0 else _replicate_documents(tb, k)
+        if boiler:
+            ids = rep["doc_id"].to_pylist()
+            texts = rep["text"].to_pylist()
+            new_texts = []
+            for i, t in zip(ids, texts):
+                orig = i % ID_OFF
+                if orig % 5 == 0:
+                    t = t + " " + _boiler_sentence((orig // 5) % BOILER_SENTENCES)
+                new_texts.append(t)
+            cols = {}
+            for name in rep.schema.names:
+                if name == "text":
+                    cols[name] = pa.array(new_texts, rep.schema.field("text").type)
+                elif name == "n_chars":
+                    cols[name] = pa.array(
+                        [len(t) for t in new_texts], rep.schema.field("n_chars").type
+                    )
+                else:
+                    cols[name] = rep[name]
+            rep = pa.table(cols)
+        reps.append(rep)
+    pq.write_table(
+        pa.concat_tables(reps, promote_options="none"),
+        os.path.join(out_dir, "documents.parquet"),
+        store_schema=True,
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        src = os.path.join(base_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src), os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return {"mult": mult, "boiler": boiler}
+
+
+def _shingle_df_stats(doc_path: str) -> dict:
+    """Exact 3-gram-shingle document-frequency stats via DuckDB (the E274
+    oracle's own shingling), so 'the cap binds' is a measured claim."""
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM '{doc_path}'
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+          FROM w WHERE len(t) >= 3
+        ), df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT max(df) AS max_df,
+               count(*) AS n_shingle_types,
+               sum(CASE WHEN df > 16 THEN 1 ELSE 0 END) AS types_over_cap,
+               sum(CASE WHEN df > 16 THEN df ELSE 0 END) AS rows_dropped_by_cap
+        FROM df
+        """
+    ).fetchone()
+    return {
+        "max_df": row[0],
+        "n_shingle_types": row[1],
+        "types_over_cap_16": row[2],
+        "shingle_rows_dropped_by_cap": row[3],
+    }
+
+
+def run_pair_family(args, scratch_dir, get_specs, enable_bench_tuning, get_spark) -> None:
+    """VERDICT r11 task #3: two pair-family size points a decade apart.
+
+    Plain cipher tiers at x10 and x{mult}: two-point exponents for the four
+    PAIR_QUERIES (the x10 point is re-measured IN THIS SESSION, not read
+    from an old artifact — drift-immune, the bench.py §52 lesson). Boiler
+    tiers at the same sizes: df of the hottest shingle grows ∝ mult and
+    ngram_jaccard_dfcap must stay ~linear because the cap drops those
+    shingles pre-pairing; minhash_lsh_neardup must stay ~linear because
+    banding keeps hot-shingle docs from forming full-band collisions.
+    Merges a 'pair_family_tier' block into --out.
+    """
+    mult = args.pair_family
+    dirs = {}
+    for label, m, boiler in (
+        ("plain_x10", 10, False),
+        (f"plain_x{mult}", mult, False),
+        ("boiler_x10", 10, True),
+        (f"boiler_x{mult}", mult, True),
+    ):
+        d = scratch_dir(f"scale_pair_{label}")
+        print(f"building pair tier {label} -> {d}", flush=True)
+        build_pair_tier(m, BASE_TIERS[0.1], d, boiler=boiler)
+        dirs[label] = d
+
+    df_stats = {
+        label: _shingle_df_stats(os.path.join(d, "documents.parquet"))
+        for label, d in dirs.items()
+        if label.startswith("boiler")
+    }
+    for label, st in df_stats.items():
+        print(f"df stats {label}: {st}", flush=True)
+
+    enable_bench_tuning()
+    spark = get_spark("iga-scale-pair")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = get_specs()
+    import gc
+
+    def _measure(q: str, sf_dir: str) -> dict:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        fn = specs[q].fn
+        fn(spark, sf_dir).toPandas()  # untimed warm pass
+        walls, rows = [], None
+        for _ in range(args.reps):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            pdf = fn(spark, sf_dir).toPandas()
+            walls.append(time.perf_counter() - t0)
+            rows = len(pdf)
+        return {
+            "sec": round(min(walls), 4),
+            "mean_sec": round(statistics.fmean(walls), 4),
+            "reps": args.reps,
+            "rows": rows,
+        }
+
+    per_query: dict[str, dict] = {}
+    for q in PAIR_QUERIES:
+        rec: dict = {}
+        for label in ("plain_x10", f"plain_x{mult}"):
+            rec[label] = _measure(q, dirs[label])
+            print(
+                f"pair {q:26s} {label:12s} {rec[label]['sec']:8.3f}s "
+                f"rows={rec[label]['rows']}",
+                flush=True,
+            )
+        t10, tm = rec["plain_x10"]["sec"], rec[f"plain_x{mult}"]["sec"]
+        rec["exponent_x10_to_x%d" % mult] = (
+            round(math.log(tm / t10) / math.log(mult / 10), 3) if t10 > 0 else None
+        )
+        per_query[q] = rec
+
+    # df-binding leg: only the two paths that CLAIM to survive boilerplate.
+    boiler_queries = ["ngram_jaccard_dfcap", "minhash_lsh_neardup"]
+    boiler_block: dict[str, dict] = {}
+    for q in boiler_queries:
+        rec = {}
+        for label in ("boiler_x10", f"boiler_x{mult}"):
+            rec[label] = _measure(q, dirs[label])
+            print(
+                f"boiler {q:26s} {label:12s} {rec[label]['sec']:8.3f}s "
+                f"rows={rec[label]['rows']}",
+                flush=True,
+            )
+        t10, tm = rec["boiler_x10"]["sec"], rec[f"boiler_x{mult}"]["sec"]
+        rec["exponent_x10_to_x%d" % mult] = (
+            round(math.log(tm / t10) / math.log(mult / 10), 3) if t10 > 0 else None
+        )
+        boiler_block[q] = rec
+
+    block = {
+        "mult": mult,
+        "plain_exponents": {
+            q: per_query[q]["exponent_x10_to_x%d" % mult] for q in per_query
+        },
+        "boiler_exponents": {
+            q: boiler_block[q]["exponent_x10_to_x%d" % mult] for q in boiler_block
+        },
+        "boiler_df_stats": df_stats,
+        "queries": per_query,
+        "boiler_queries": boiler_block,
+        "note": (
+            "Pair-family second decade (VERDICT r11 task #3): plain cipher "
+            "tiers x10/x%d give two-point wall exponents in rows; boiler "
+            "tiers append 50 shared un-ciphered 10-token sentences to 20%% "
+            "of docs so boilerplate-shingle df grows linearly with the "
+            "multiplier (measured in boiler_df_stats) — ngram_jaccard_dfcap "
+            "must shed them at the df>16 cap and minhash_lsh_neardup must "
+            "shed them in banding; a superlinear boiler exponent means the "
+            "linear-candidate claim fails exactly where boilerplate makes "
+            "pair joins hot." % mult
+        ),
+    }
+    payload = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            payload = json.load(f)
+    payload["pair_family_tier"] = block
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps({
+        "metric": "scale_slope_pair_family",
+        "plain_exponents": block["plain_exponents"],
+        "boiler_exponents": block["boiler_exponents"],
+        "boiler_max_df": {k: v["max_df"] for k, v in df_stats.items()},
+    }))
+    spark.stop()
+
+
 def build_synth_tier(mult: int, base_dir: str, out_dir: str) -> None:
     marker = os.path.join(out_dir, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
