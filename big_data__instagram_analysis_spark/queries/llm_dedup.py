@@ -1358,3 +1358,345 @@ def dedup_governance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- E276: MinHash banding-parameter recall curve ----------------------------
+
+
+@query(
+    "minhash_banding_recall_curve",
+    category="L2,E276",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), hx AS (
+  SELECT doc_id, i,
+         min(CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)) AS h
+  FROM sh, range(16) t(i)
+  GROUP BY doc_id, i
+), cfg(b, r) AS (
+  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) v(b, r)
+), bands AS (
+  SELECT c.b, c.r, h.doc_id, h.i // c.r AS band,
+         string_agg(CAST(h.h AS VARCHAR), ',' ORDER BY h.i) AS sig
+  FROM hx h CROSS JOIN cfg c
+  GROUP BY c.b, c.r, h.doc_id, h.i // c.r
+), cand AS (
+  SELECT DISTINCT x.b, x.r, x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.r = y.r AND x.band = y.band AND x.sig = y.sig
+   AND x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE 2 * shared >= (x.n_sh + y.n_sh - shared)
+), nt AS (SELECT count(*) AS n_truth FROM truth
+), per AS (
+  SELECT c.b, c.r, count(*) AS n_candidates,
+         CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM cand c LEFT JOIN truth t USING (doc_a, doc_b)
+  GROUP BY c.b, c.r
+)
+SELECT cfg.b, cfg.r, nt.n_truth,
+       coalesce(per.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       coalesce(per.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       CASE WHEN nt.n_truth = 0 THEN CAST(0 AS BIGINT)
+            ELSE coalesce(per.n_hits, CAST(0 AS BIGINT)) * 1000000 // nt.n_truth
+       END AS recall_ppm,
+       CASE WHEN coalesce(per.n_candidates, CAST(0 AS BIGINT)) = 0 THEN CAST(0 AS BIGINT)
+            ELSE coalesce(per.n_hits, CAST(0 AS BIGINT)) * 1000000 // per.n_candidates
+       END AS precision_ppm
+FROM cfg CROSS JOIN nt
+LEFT JOIN per ON cfg.b = per.b AND cfg.r = per.r
+ORDER BY cfg.r
+""",
+)
+def minhash_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-certified (b, r) banding sweep: upgrades the L2 certification
+    from fixed-parameter ("this banding found every >=0.5 pair here") to a
+    CURVE ("here is measured recall/precision/candidate-cost per banding
+    choice against exact ground truth") — the table an operator reads
+    before picking banding for a new corpus (VERDICT r11 #7a).
+
+    16 minhash tables are computed ONCE and re-sliced into four nested
+    configurations (b x r = 16x1, 8x2, 4x4, 2x8); for each, candidates are
+    the distinct band-collision pairs and ground truth is the exact
+    integer-predicate (2*shared >= union) >=0.5 Jaccard pair set from the
+    shared-shingle machinery. recall_ppm/precision_ppm are integer
+    multiply-then-div — no float anywhere.
+
+    Cross-engine note: unlike minhash_lsh_neardup (engine-internal
+    xxhash64, certified only through its exact verify), the hash here is
+    md5 -> first 15 hex chars -> int64, which BOTH engines compute
+    identically, so the oracle reproduces the signatures, the candidate
+    sets, and the curve bit-for-bit. That makes this the slow,
+    fully-auditable twin: 16 md5s per (doc, shingle) row and a 30x|docs|
+    band fan-out. At 100 TB you run it on a per-source SAMPLE to pick
+    (b, r), then run the xxhash64 scale path with the chosen banding; the
+    plan shape is the same band-bucket equi-join as the scale path (never
+    |N|^2), so the sample size only scales the constant.
+    """
+    from ..operators.dedup import shingle_pair_ppm, shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, text_col="text", id_col="doc_id").localCheckpoint(
+        eager=False
+    )
+
+    def H(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(":", F.lit(str(i)), F.col("s")), "UTF-8"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*[F.min(H(i)).alias(f"h{i}") for i in range(16)])
+        .localCheckpoint(eager=False)  # 30 band projections read it
+    )
+
+    # One explode generates all 30 (config, band) rows per doc in a single
+    # projection — a 30-way unionAll here planned 30 scan branches and was
+    # stage-bound (14.7 s at sf0.001 under driver confs).
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.lit(r).alias("r"),
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{j * r + k}").cast("string") for k in range(r)]
+            ).alias("sig"),
+        )
+        for b, r in configs
+        for j in range(b)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select(
+        "doc_id",
+        F.col("x.b").alias("b"),
+        F.col("x.r").alias("r"),
+        F.col("x.band").alias("band"),
+        F.col("x.sig").alias("sig"),
+    )
+    x = bands.select("b", "r", "band", "sig", F.col("doc_id").alias("doc_a"))
+    y = bands.select("b", "r", "band", "sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        x.join(y.hint("shuffle_hash"), ["b", "r", "band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("b", "r", "doc_a", "doc_b")
+        .dropDuplicates(["b", "r", "doc_a", "doc_b"])
+    )
+
+    truth = (
+        shingle_pair_ppm(d, text_col="text", id_col="doc_id")
+        .where(F.col("is_edge"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # read by the scalar agg + the hit join
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    per = (
+        cand.join(
+            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    cfg = spark.createDataFrame(configs, "b int, r int")
+    return (
+        cfg.crossJoin(F.broadcast(n_truth))  # 1-row scalar idiom
+        .join(F.broadcast(per), ["b", "r"], "left")
+        .select(
+            "b",
+            "r",
+            "n_truth",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 div n_truth END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(n_candidates, CAST(0 AS BIGINT)) = 0 "
+                "THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 div n_candidates END"
+            ).alias("precision_ppm"),
+        )
+        .orderBy("r")
+    )
+
+
+# --- E277: df-capped MinHash-LSH (the boilerplate-proof scale path) ----------
+
+
+@query(
+    "minhash_lsh_dfcap",
+    category="L2,E277",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+  FROM toks
+), keep AS (
+  SELECT doc_id, s,
+         count(*) OVER (PARTITION BY s) AS df
+  FROM sh
+  QUALIFY df <= {NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM keep GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       shared * 1000000 // (x.n_sh + y.n_sh - shared) AS jac_ppm,
+       TRUE AS lsh_found
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 2 >= x.n_sh + y.n_sh - shared
+ORDER BY doc_a, doc_b
+""",
+)
+def minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the DF-CAPPED shingle space — the
+    boilerplate-proof composition of L2's two scale levers, added after the
+    round-12 second-decade measurement EXPOSED the gap: on a tier where
+    20% of docs share an identical un-ciphered 10-token boilerplate suffix
+    (hottest shingle df 10k/30k), plain minhash_lsh_neardup blew up 14x at
+    x10 (109.7 s vs 7.8 s) — the shared suffix dominates enough per-table
+    minima that band buckets collapse into boilerplate super-buckets, and
+    candidate volume goes quadratic in the boilerplate cohort size.
+    Banding bounds candidates only for DISSIMILAR docs; identical heavy
+    substrings defeat it, exactly as they defeat the uncapped exact join
+    (E274's rationale).
+
+    Fix = drop df > {NGRAM_DF_CAP} shingles BEFORE signatures: boilerplate
+    then contributes neither to minima (no super-buckets) nor to the
+    verify expansion, and candidate volume is linear again. Semantics are
+    exact Jaccard IN THE CAPPED SPACE (identical to E274's contract,
+    threshold >= 0.5), so the oracle is the capped exact-pair SQL and a
+    hash match certifies precision AND recall of the banding, the same
+    certified-tolerance pattern as minhash_lsh_neardup. Cost vs the plain
+    path: one df count window on the shingle exchange. At 100 TB this is
+    the variant you run — real crawls are boilerplate-heavy — with the cap
+    set from a df histogram (E274 note), not a constant.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    keep = (
+        shingle_rows(d, n=3)
+        .withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("s")))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("doc_id", "s")
+        .localCheckpoint(eager=False)  # stats agg + both verify joins
+    )
+    stats = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
+            for i in range(MINHASH_TABLES)
+        ],
+    )
+    bands = stats.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"m{i}").alias("val")
+                    )
+                    for i in range(MINHASH_TABLES)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id", "n_sh", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+        .where(F.least("na", "nb") * 2 >= F.greatest("na", "nb"))
+    )
+    sa = cand.hint("shuffle_hash").join(
+        keep.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+    )
+    shared = (
+        sa.join(
+            keep.select(F.col("doc_id").alias("doc_b"), "s").hint("shuffle_hash"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.where(
+            F.col("shared") * 2 >= F.col("na") + F.col("nb") - F.col("shared")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("shared * 1000000 div (na + nb - shared)").alias("jac_ppm"),
+            F.lit(True).alias("lsh_found"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

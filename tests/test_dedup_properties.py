@@ -643,3 +643,101 @@ def test_dedup_governance_rollup_matches_python(spark, sf_dir):
         assert g.neardup_self_pairs == s[0]
         assert g.neardup_cross_pairs == s[1]
         assert g.cross_partner_sources == len(s[2])
+
+
+# --- E276: banding recall curve vs python brute force -------------------------
+
+
+def test_banding_recall_curve_matches_python(spark, sf_dir):
+    """minhash_banding_recall_curve's entire pipeline — md5 minhash
+    signatures, band collision candidates per (b, r), exact ground truth,
+    integer ppm ratios — re-derived in plain python on the sf0.001 corpus.
+    This certifies the SPARK side independently of the DuckDB oracle (the
+    two could in principle share a bug; hashlib cannot)."""
+    import hashlib
+    from itertools import combinations
+
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    got = {
+        (r["b"], r["r"]): r
+        for r in get_specs()["minhash_banding_recall_curve"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    sh = {}
+    for did, text in docs.items():
+        toks = [t for t in text.split(" ") if t]
+        sh[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    sh = {d: s for d, s in sh.items() if s}  # no shingles -> no signature
+
+    def h(i, s):
+        return int(
+            hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    sig = {
+        d: [min(h(i, s) for s in ss) for i in range(16)]
+        for d, ss in sh.items()
+    }
+    truth = set()
+    for a, b in combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if 2 * inter >= len(sh[a]) + len(sh[b]) - inter:
+            truth.add((a, b))
+
+    for b_cfg, r_cfg in [(16, 1), (8, 2), (4, 4), (2, 8)]:
+        cand = set()
+        for a, bb in combinations(sorted(sig), 2):
+            for j in range(b_cfg):
+                lo = j * r_cfg
+                if sig[a][lo : lo + r_cfg] == sig[bb][lo : lo + r_cfg]:
+                    cand.add((a, bb))
+                    break
+        hits = len(cand & truth)
+        row = got[(b_cfg, r_cfg)]
+        assert row["n_truth"] == len(truth)
+        assert row["n_candidates"] == len(cand), (b_cfg, r_cfg)
+        assert row["n_hits"] == hits, (b_cfg, r_cfg)
+        assert row["recall_ppm"] == (
+            hits * 1_000_000 // len(truth) if truth else 0
+        )
+        assert row["precision_ppm"] == (
+            hits * 1_000_000 // len(cand) if cand else 0
+        )
+    # The sweep itself must be non-vacuous: ground truth exists, and the
+    # r=8 banding must trade recall below the r=1 banding's (or equal at
+    # 100% only if every truth pair is a near-exact dup).
+    assert truth, "no ground-truth pairs at sf0.001 — vacuous sweep"
+    assert got[(16, 1)]["recall_ppm"] >= got[(2, 8)]["recall_ppm"]
+
+
+# --- E277: capped-LSH recall vs the capped exact pair set --------------------
+
+
+def test_minhash_lsh_dfcap_equals_capped_exact(spark, sf_dir):
+    """minhash_lsh_dfcap (banding + exact verify over the df-capped
+    shingle space) must emit EXACTLY the >=0.5 pairs of ngram_jaccard_dfcap
+    (the capped exact join): any missing pair is a banding recall failure,
+    any extra pair a verify failure. This is the Spark-side certification
+    that the boilerplate-proof path loses nothing vs the exact form."""
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    specs = get_specs()
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jac_ppm"]
+        for r in specs["minhash_lsh_dfcap"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jac_ppm"]
+        for r in specs["ngram_jaccard_dfcap"].fn(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert lsh, "no capped >=0.5 pairs at this tier — vacuous certification"

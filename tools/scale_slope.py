@@ -672,8 +672,15 @@ def run_pair_family(args, scratch_dir, get_specs, enable_bench_tuning, get_spark
         )
         per_query[q] = rec
 
-    # df-binding leg: only the two paths that CLAIM to survive boilerplate.
-    boiler_queries = ["ngram_jaccard_dfcap", "minhash_lsh_neardup"]
+    # df-binding leg: only the paths that CLAIM to survive boilerplate.
+    # minhash_lsh_neardup (uncapped) was measured here once in round 12 and
+    # DOES NOT survive: 109.7 s at boiler_x10 (vs 7.8 s plain — the shared
+    # suffix dominates per-table minima, band buckets collapse into
+    # boilerplate super-buckets, candidate volume goes quadratic in the
+    # cohort) and the boiler_x30 pass was aborted after >30 min. That
+    # measurement motivated minhash_lsh_dfcap (E277), which caps the
+    # shingle space BEFORE signatures and is the variant this leg pins.
+    boiler_queries = ["ngram_jaccard_dfcap", "minhash_lsh_dfcap"]
     boiler_block: dict[str, dict] = {}
     for q in boiler_queries:
         rec = {}
@@ -874,6 +881,13 @@ def main() -> None:
                     "novelty and measure NATURAL_QUERIES at sf0.1 vs it, "
                     "merging a 'natural_tier' block into --out (VERDICT r8 "
                     "task #6)")
+    ap.add_argument("--pair-family", type=int, default=0,
+                    help="run ONLY the pair-family second-decade pass: "
+                    "plain cipher tiers at x10/xN for two-point exponents "
+                    "on PAIR_QUERIES, plus boilerplate tiers whose shingle "
+                    "df grows with the multiplier to prove the df-cap and "
+                    "banding keep candidate volume linear; merges a "
+                    "'pair_family_tier' block into --out (VERDICT r11 #3)")
     ap.add_argument("--vocab-inflated", action="store_true",
                     help="run ONLY the vocab-inflated tier pass: build a "
                     "~3.7M-type micro-corpus and measure the vocab-join "
@@ -889,6 +903,11 @@ def main() -> None:
 
     if args.natural:
         run_natural(args, scratch_dir, get_specs, enable_bench_tuning, get_spark)
+        return
+    if args.pair_family:
+        run_pair_family(
+            args, scratch_dir, get_specs, enable_bench_tuning, get_spark
+        )
         return
     if args.vocab_inflated:
         run_vocab_inflated(
