@@ -1700,3 +1700,172 @@ def minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- E278: end-to-end dedup governance pipeline ------------------------------
+
+
+@query(
+    "dedup_governance_pipeline",
+    category="L1,L2,L8,E278",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+         sha256(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\x0B\\f]+', ' ', 'g'))) AS h,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), surv AS (
+  SELECT doc_id, source, n_tok, tk
+  FROM (SELECT doc_id, source, n_tok, tk,
+               (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_surv
+        FROM t)
+  WHERE is_surv
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS g
+  FROM surv
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db
+  FROM shared
+  JOIN sizes x ON da = x.doc_id
+  JOIN sizes y ON db = y.doc_id
+  WHERE 2 * c >= x.n_sh + y.n_sh - c
+), sym AS (
+  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE s2.b <> r.a
+), label AS (
+  SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+), canon AS (
+  SELECT surv.source, surv.n_tok
+  FROM surv LEFT JOIN label USING (doc_id)
+  WHERE coalesce(comp, doc_id) = doc_id
+), raw AS (
+  SELECT source, count(*) AS docs_raw,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_raw
+  FROM t GROUP BY source
+), ex AS (
+  SELECT source, count(*) AS docs_after_exact,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_after_exact
+  FROM surv GROUP BY source
+), cn AS (
+  SELECT source, count(*) AS docs_after_neardup,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_after_neardup
+  FROM canon GROUP BY source
+)
+SELECT raw.source, docs_raw,
+       coalesce(docs_after_exact, 0) AS docs_after_exact,
+       coalesce(docs_after_neardup, 0) AS docs_after_neardup,
+       tokens_raw,
+       coalesce(tokens_after_exact, 0) AS tokens_after_exact,
+       coalesce(tokens_after_neardup, 0) AS tokens_after_neardup,
+       CASE WHEN tokens_raw = 0 THEN 0
+            ELSE (tokens_raw - coalesce(tokens_after_exact, 0)) * 1000000 // tokens_raw
+       END AS exact_savings_ppm,
+       CASE WHEN tokens_raw = 0 THEN 0
+            ELSE (coalesce(tokens_after_exact, 0) - coalesce(tokens_after_neardup, 0)) * 1000000 // tokens_raw
+       END AS neardup_extra_savings_ppm
+FROM raw LEFT JOIN ex USING (source) LEFT JOIN cn USING (source)
+ORDER BY raw.source
+""",
+)
+def dedup_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup governance in ONE lazy plan (VERDICT r11 #7b, the
+    E21 composition pattern applied to the governance family): exact dedup
+    → near-dup pair graph OVER THE SURVIVORS → connected-component
+    canonicalization → per-source three-stage ledger (raw / after-exact /
+    after-near-dup docs+tokens, savings in integer ppm of the raw token
+    count). Where E249 reports exact savings and E275 reports near-dup
+    EXPOSURE, this query runs the passes in sequence and reports what each
+    stage actually removed — the table that schedules a dedup rollout.
+
+    The funnel is the scale story (same as E21): the dedup-hash window
+    touches all docs; the shingle pair join touches only exact survivors;
+    the O(log n) CC rounds touch only near-dup docs; the three ledger aggs
+    are |sources|-row shuffles. The DuckDB twin recomputes the closure
+    with a recursive CTE (`reach`) — a hash match therefore certifies the
+    distributed large/small-star components against SQL transitive
+    closure, plus every ppm digit.
+    """
+    from ..operators.dedup import shingle_pair_ppm
+    from ..operators.graph import attach_components
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    base = d.select(
+        "doc_id", "source", "text", n_tok.alias("n_tok")
+    ).localCheckpoint(eager=False)  # raw ledger + survivor join share it
+    surv_ids = exact_dedup(base, text_col="text", id_col="doc_id").select(
+        "doc_id"
+    )
+    s = (
+        base.join(surv_ids, "doc_id")
+        .select("doc_id", "source", "text", "n_tok")
+        .localCheckpoint(eager=False)  # pair gen, CC nodes, canon join, ledger
+    )
+    pairs = (
+        shingle_pair_ppm(s, text_col="text", id_col="doc_id")
+        .where(F.col("is_edge"))
+        .select("doc_a", "doc_b")
+    )
+    labeled = attach_components(
+        s.select("doc_id"), pairs, "doc_id", src="doc_a", dst="doc_b"
+    )
+    canon = s.join(
+        labeled.where(F.col("component") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+    )
+
+    def ledger(df: DataFrame, dcol: str, tcol: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias(dcol),
+            F.sum("n_tok").alias(tcol),
+        )
+
+    raw = ledger(base, "docs_raw", "tokens_raw")
+    ex = ledger(s, "docs_after_exact", "tokens_after_exact")
+    cn = ledger(canon, "docs_after_neardup", "tokens_after_neardup")
+    return (
+        raw.join(ex, "source", "left")
+        .join(cn, "source", "left")
+        .select(
+            "source",
+            "docs_raw",
+            F.coalesce("docs_after_exact", F.lit(0)).alias("docs_after_exact"),
+            F.coalesce("docs_after_neardup", F.lit(0)).alias(
+                "docs_after_neardup"
+            ),
+            "tokens_raw",
+            F.coalesce("tokens_after_exact", F.lit(0)).alias(
+                "tokens_after_exact"
+            ),
+            F.coalesce("tokens_after_neardup", F.lit(0)).alias(
+                "tokens_after_neardup"
+            ),
+            F.expr(
+                "CASE WHEN tokens_raw = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (tokens_raw - coalesce(tokens_after_exact, CAST(0 AS BIGINT)))"
+                " * 1000000 div tokens_raw END"
+            ).alias("exact_savings_ppm"),
+            F.expr(
+                "CASE WHEN tokens_raw = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (coalesce(tokens_after_exact, CAST(0 AS BIGINT))"
+                " - coalesce(tokens_after_neardup, CAST(0 AS BIGINT)))"
+                " * 1000000 div tokens_raw END"
+            ).alias("neardup_extra_savings_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -741,3 +741,47 @@ def test_minhash_lsh_dfcap_equals_capped_exact(spark, sf_dir):
     }
     assert lsh == exact
     assert lsh, "no capped >=0.5 pairs at this tier — vacuous certification"
+
+
+# --- E278: pipeline ledger consistency with its component queries ------------
+
+
+def test_governance_pipeline_consistent_with_components(spark, sf_dir):
+    """dedup_governance_pipeline must agree with the operators it chains:
+    the after-exact column block is exactly dedup_savings_by_source's
+    accounting (same survivors, same tokens), the near-dup stage can only
+    shrink a source's ledger, and the global after-exact totals equal the
+    exact_dedup survivor count."""
+    from big_data__instagram_analysis_spark.operators.dedup import exact_dedup
+    from big_data__instagram_analysis_spark.registry import get_specs
+
+    specs = get_specs()
+    pipe = {
+        r["source"]: r
+        for r in specs["dedup_governance_pipeline"].fn(spark, sf_dir).collect()
+    }
+    sav = {
+        r["source"]: r
+        for r in specs["dedup_savings_by_source"].fn(spark, sf_dir).collect()
+    }
+    assert set(pipe) == set(sav)
+    for src, p in pipe.items():
+        s = sav[src]
+        assert p["docs_raw"] == s["docs_before"], src
+        assert p["docs_after_exact"] == s["docs_after"], src
+        assert p["tokens_raw"] == s["tokens_before"], src
+        assert p["exact_savings_ppm"] == s["token_savings_ppm"], src
+        # near-dup canonicalization only ever removes docs/tokens
+        assert p["docs_after_neardup"] <= p["docs_after_exact"], src
+        assert p["tokens_after_neardup"] <= p["tokens_after_exact"], src
+        assert p["neardup_extra_savings_ppm"] >= 0, src
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_surv = exact_dedup(d, text_col="text", id_col="doc_id").count()
+    assert sum(p["docs_after_exact"] for p in pipe.values()) == n_surv
+    # Non-vacuous: the near-dup stage must actually remove docs at this
+    # tier (the fixture has near-dup pairs but MAY have zero exact dups —
+    # sf0.001 is 500 unique texts; the exact-stage ledger is already bound
+    # by the dedup_savings_by_source equality block above).
+    assert sum(p["docs_raw"] for p in pipe.values()) >= n_surv
+    assert sum(p["docs_after_neardup"] for p in pipe.values()) < n_surv
