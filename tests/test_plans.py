@@ -781,3 +781,34 @@ def test_governance_pair_family_plan_shape(spark, sf_dir):
             assert "ShuffledHashJoin" in plan, f"{name}: shingle SHJ missing"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ"
+
+
+def test_round12_dedup_additions_plan_shape(spark, sf_dir):
+    """Round-12 L2 additions keep the family's scale shapes.
+
+    - minhash_lsh_dfcap: the banding/verify joins are ShuffledHashJoins
+      (both sides grow with the corpus — the minhash_lsh_neardup contract),
+      no cartesian, no NLJ.
+    - dedup_governance_pipeline: no cartesian/NLJ anywhere in the chain
+      (the pair block's SHJ lives behind its lazy localCheckpoint, as in
+      neardup_cluster_quality — see test_governance_pair_family_plan_shape).
+    - minhash_banding_recall_curve: the ONLY nested-loop join is the 1-row
+      n_truth scalar broadcast (the documented crossJoin-scalar idiom);
+      the band self-join shuffles, never broadcasts a growing side.
+    """
+    plan = _plan(spark, sf_dir, "minhash_lsh_dfcap")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "dedup_governance_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "minhash_banding_recall_curve")
+    assert "CartesianProduct" not in plan
+    # Formatted explain prints each node twice (tree + detail): count
+    # distinct node ids, not substring hits.
+    nlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nlj_nodes) <= 1, "only the 1-row n_truth scalar may NLJ"
+    assert "ShuffledHashJoin" in plan, "band self-join must shuffle"
