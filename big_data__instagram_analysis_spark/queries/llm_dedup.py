@@ -1520,9 +1520,13 @@ def minhash_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # read by the scalar agg + the hit join
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    # The hit join builds on TRUTH via shuffled-hash, not broadcast: the
+    # truth pair set grows with the corpus (linear in docs), so a forced
+    # broadcast is the r9 vocab-trap shape — SHJ holds only the
+    # per-partition truth slice and AQE skew-split applies.
     per = (
         cand.join(
-            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            truth.withColumn("hit", F.lit(1)).hint("shuffle_hash"),
             ["doc_a", "doc_b"],
             "left",
         )
