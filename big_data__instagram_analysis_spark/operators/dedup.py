@@ -104,21 +104,25 @@ def token_shingles(text_col: F.Column, n: int = 3) -> F.Column:
 def shingle_rows(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct (doc, n-token-shingle) ROWS — the codegen twin of
+    """Distinct (doc, n-token-shingle) ROWS — the fast twin of
     :func:`token_shingles`.
 
     token_shingles builds an in-row array via transform/concat_ws — the HOF
     chain is interpreted (not whole-stage codegen) and measured ~5 s/pass on
-    sf0.1's 270k tokens. This form posexplodes tokens (empties filtered
-    BEFORE the window, so lead() adjacency runs over the filtered sequence —
-    identical shingles) and builds each shingle from ``lead(t, i)`` columns:
-    one doc-keyed window shuffle + a dropDuplicates shuffle, every operator
-    codegen'd. Prefer it whenever downstream wants exploded rows anyway
-    (minhash signatures, shared-shingle joins); token_shingles remains for
-    consumers that need the per-doc array itself.
+    sf0.1's 270k tokens. r7–r11 used a posexplode + lead-window form
+    instead; r12 (guide §2.3/§2.4) replaces that with ``arrays_zip`` of n
+    shifted ``slice``s + one explode: the same in-row bulk array kernels,
+    but NO doc-keyed window — so no token-wide sort, and the (doc, shingle)
+    dedup happens partition-locally (partial aggregate BEFORE any
+    exchange). A/B at sf0.1 (tools/ab_shingle_zip_r12.py): shingle pass
+    0.52 → 0.40 s, the shingle_pair_ppm consumer chain 2.20 → 1.76 s,
+    identical 260,388-row output set. At 100 TB the win is structural: the
+    old form shuffled EVERY token to the doc window; this form shuffles
+    only map-side-deduped shingle rows (and when the scan-parallelism
+    guard below repartitions, the dedup is entirely partition-local).
+    Equivalence with token_shingles stays fuzz-pinned
+    (tests/test_dedup_properties.py).
     """
-    from pyspark.sql.window import Window as _W
-
     # Local-tier scan-parallelism guard (round 10): a bench-tier documents
     # file is smaller than one split, so the scan is ONE task and the whole
     # split+posexplode phase ran single-threaded (ABAB-measured 0.88 →
@@ -161,20 +165,15 @@ def shingle_rows(
     if must_probe and df.rdd.getNumPartitions() * 4 < sc.defaultParallelism:
         df = df.repartition(max(8, sc.defaultParallelism // 2), id_col)
 
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
-    ).where(F.col("t") != "")
-    w = _W.partitionBy("doc").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    ln = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
     return (
-        toks.select(
-            "doc",
-            F.concat_ws(" ", *leads).alias("s"),
-            F.lead("t", n - 1).over(w).alias("_last"),
+        df.select(F.col(id_col), F.explode(z).alias("z"))
+        .select(
+            id_col,
+            F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(n)]).alias("s"),
         )
-        .where(F.col("_last").isNotNull())
-        .select(F.col("doc").alias(id_col), "s")
         .dropDuplicates([id_col, "s"])
     )
 

@@ -322,12 +322,19 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size enters G linearly, never the iteration).
 
     Scale: the corpus is touched ONCE (the E252 mapInPandas partials);
-    every iteration then runs on the 4096-row mirrored Gram table and a
-    64-row vector — a broadcast join + 64-group agg per round,
-    localCheckpoint'd (kmeans idiom) so the plan stays bounded. The final
-    sign canonicalization (first nonzero loading > 0) makes the
-    eigenvector unique. This is how one computes PCA directions when X is
-    100 TB: reduce to G once, iterate on d×d.
+    the iteration then runs on data bounded by the embedding DIMENSION —
+    d(d+1)/2 = 2,080 Gram cells and a 64-long vector — so it is a bounded
+    driver fold (the kmeans/exact-selection idiom: collect size is a
+    constant in corpus size). r12 (guide §1.2/§5): the rounds previously
+    ran DISTRIBUTED — a broadcast join + 64-group agg + eager
+    localCheckpoint per round, ~49 scheduler jobs / 85 stages for 64-row
+    data (measured sf0.1) — pure scheduling overhead at any scale, since
+    the per-round data never grows with the corpus. The fold walks the
+    bit-identical integer orbit (same sign-decomposed truncating div;
+    Python ints are exact at these int64-safe magnitudes, see the
+    overflow audit above). The final sign canonicalization (first nonzero
+    loading > 0) makes the eigenvector unique. This is how one computes
+    PCA directions when X is 100 TB: reduce to G once, iterate on d×d.
 
     Convergence honesty: the fixture corpus is near-isotropic (λ1/λ2 ≈
     1.02), so 8 rounds pin the deterministic ORBIT and a Rayleigh quotient
@@ -339,42 +346,30 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     partials = e.select("embedding").mapInPandas(_gram_partials, _GRAM_SCHEMA)
     upper = partials.groupBy("i", "j").agg(F.sum("g").alias("v"))
-    lower = upper.where(F.col("i") != F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "v"
-    )
-    gfull = upper.unionByName(lower).localCheckpoint()
-    x = spark.range(GRAM_DIM).select(
-        F.col("id").cast("int").alias("i"), F.lit(POWER_NORM).cast("long").alias("x")
-    )
+    # Bounded driver fold: ≤ d(d+1)/2 = 2,080 cells regardless of corpus
+    # size (the distributed part above already reduced the corpus away).
+    cells = upper.collect()
+    G: dict = {}
+    for row in cells:
+        G[(row["i"], row["j"])] = row["v"]
+        if row["i"] != row["j"]:
+            G[(row["j"], row["i"])] = row["v"]
+    x = [POWER_NORM] * GRAM_DIM
     for _ in range(POWER_ITERS):
-        y = (
-            gfull.join(F.broadcast(x.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("v") * F.col("x")).alias("y"))
-        )
-        m = y.agg(
-            F.greatest(
-                F.expr(f"max(abs(y)) DIV {POWER_NORM}"), F.lit(1).cast("long")
-            ).alias("m")
-        )
-        x = (
-            y.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.expr("CASE WHEN y >= 0 THEN y DIV m ELSE -((-y) DIV m) END")
-                .cast("long")
-                .alias("x"),
-            )
-            .localCheckpoint()
-        )
-    sgn = x.where(F.col("x") != 0).agg(
-        F.when(F.min_by("x", "i") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s")
-    )
-    return (
-        x.crossJoin(F.broadcast(sgn))
-        .select(
-            F.col("i").cast("int").alias("pos"),
-            (F.col("x") * F.col("s")).cast("bigint").alias("loading"),
-        )
-        .orderBy("pos")
-    )
+        y = [
+            sum(G.get((i, j), 0) * x[j] for j in range(GRAM_DIM))
+            for i in range(GRAM_DIM)
+        ]
+        m = max(max(abs(v) for v in y) // POWER_NORM, 1)
+        # Sign-decomposed truncating division — identical to the previous
+        # Spark `CASE WHEN y >= 0 THEN y DIV m ELSE -((-y) DIV m) END` and
+        # to the oracle's // spelling (both operands non-negative per arm).
+        x = [(v // m) if v >= 0 else -((-v) // m) for v in y]
+    s = 1
+    for xi in x:
+        if xi != 0:
+            s = -1 if xi < 0 else 1
+            break
+    return spark.createDataFrame(
+        [(i, x[i] * s) for i in range(GRAM_DIM)], "pos int, loading long"
+    ).orderBy("pos")

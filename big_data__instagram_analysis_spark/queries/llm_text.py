@@ -713,27 +713,25 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this shape, so the one-step count is the honest distributed
     primitive.)
 
-    Scale: adjacent pairs come from a positional transform over the
-    in-row token array (zero shuffle — pairs never leave their executor
-    until pre-aggregated), then ONE count shuffle on the pair key with
-    map-side combine; the top-50 finishes as TakeOrderedAndProject. Pair
-    frequency + document frequency together feed the merge policy.
+    Scale: adjacent pairs come from an in-row zip of the token array with
+    its own 1-shifted slice (zero shuffle — pairs never leave their
+    executor until pre-aggregated), then ONE count shuffle on the pair key
+    with map-side combine; the top-50 finishes as TakeOrderedAndProject.
+    Pair frequency + document frequency together feed the merge policy.
+
+    r12 (guide §4.1 "prefer built-ins with codegen"): the pair array was
+    built with transform/element_at — an INTERPRETED higher-order-function
+    chain, 4.95 s/pass at sf0.1. arrays_zip of two shifted slices produces
+    the identical pairs through bulk array kernels: 1.10 s
+    (tools/ab_hof_pairs_r12.py, output asserted identical). Same zero-
+    shuffle shape, ~4.5x less per-task work.
     """
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    pairs_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    pairs = d.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size(toks) >= 2, pairs_arr).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("pair"),
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, n1), F.slice(toks, 2, n1))
+    pairs = d.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id", F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair")
     )
     return (
         pairs.groupBy("pair")
@@ -2142,50 +2140,55 @@ def cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom), so any engine or rerun derives identical chunks; DuckDB
     recomputes every boundary, chunk assignment, and digest from scratch.
 
-    Scale: boundary flags are computed IN-ROW (one transform over the
-    token array — zero shuffle, no per-position gram materialized off-row);
-    the prefix-sum chunk assignment is one doc-keyed window exchange
-    (independent per-document sorts, the E221 positional idiom); chunk
-    reassembly is a map-side-combinable (doc, chunk) agg on the SAME
-    doc-keyed partitioning (no extra exchange); the cross-doc report
-    shuffles only 16-byte digests keyed by chunk_md5; top-100 is
+    Scale: boundary flags are computed from lag() columns over the SAME
+    doc-keyed window exchange the prefix-sum chunk assignment already
+    requires (one exchange total — no per-position gram ever materializes
+    off-row); chunk reassembly is a map-side-combinable (doc, chunk) agg
+    on the SAME doc-keyed partitioning (no extra exchange); the cross-doc
+    report shuffles only 16-byte digests keyed by chunk_md5; top-100 is
     TakeOrderedAndProject. Nothing is quadratic; the whole-corpus pair
     space is never formed.
+
+    r12 (guide §4.1): the flags were an in-row transform(sequence, ...)
+    computing md5 per position through an INTERPRETED HOF lambda (the
+    bpe_pair_counts/shingle_rows lesson). The rolling 4-gram now comes
+    from three lag() columns + concat_ws on the doc window — identical
+    gram text (concat_ws skips the NULL lags at positions 1..3, and the
+    explicit lag(3)-not-null guard reproduces the i >= CDC_W rule), with
+    md5 running codegen'd per row. sf0.1 warm wall 3.22 → measured in
+    OPTIMIZATION_r12.md; boundaries byte-identical (oracle-pinned).
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    # In-row boundary flags: flag[i] (1-based) = 1 when the 4-token window
-    # ending at i hashes into the cut bucket. Positions 1..3 never cut.
-    flags = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: F.when(
-            (i >= CDC_W)
-            & F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i - (CDC_W - 1), F.lit(CDC_W)))),
-                1,
-                1,
-            ).isin(*CDC_BOUNDARY_HEX),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
     ex = d.select(
-        "doc_id",
-        F.posexplode(F.arrays_zip(toks.alias("tok"), flags.alias("b"))).alias(
-            "i0", "z"
-        ),
-    ).select(
-        "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        F.col("z.tok").alias("tok"),
-        F.col("z.b").alias("b"),
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    ).where(F.col("tok") != "")
+    w_ord = Window.partitionBy("doc_id").orderBy("p")
+    # Boundary flag: 1 when the 4-token window ENDING here hashes into the
+    # cut bucket; the first CDC_W-1 filtered positions never cut (lag(3)
+    # is NULL exactly there).
+    gram = F.concat_ws(
+        " ",
+        F.lag("tok", 3).over(w_ord),
+        F.lag("tok", 2).over(w_ord),
+        F.lag("tok", 1).over(w_ord),
+        F.col("tok"),
     )
+    b = F.when(
+        F.lag("tok", CDC_W - 1).over(w_ord).isNotNull()
+        & F.substring(F.md5(gram), 1, 1).isin(*CDC_BOUNDARY_HEX),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = ex.select("doc_id", "p", "tok", b.alias("b"))
     w = (
         Window.partitionBy("doc_id")
-        .orderBy("i")
+        .orderBy("p")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    assigned = ex.select(
-        "doc_id", "i", "tok", F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_id")
+    assigned = flagged.select(
+        "doc_id",
+        F.col("p").alias("i"),
+        "tok",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_id"),
     )
     chunks = assigned.groupBy("doc_id", "chunk_id").agg(
         F.md5(

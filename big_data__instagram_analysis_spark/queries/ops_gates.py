@@ -851,8 +851,18 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
+        # r12 (guide §1.2): N was an EAGER .count() that replayed the
+        # join+distinct in a separate pass before the returned plan ran.
+        # N now rides as a lazy 1-row countDistinct scalar crossJoined
+        # back (the zonemap / join-cardinality 1-row idiom), so the whole
+        # query is ONE plan and ReusedExchange shares the join+distinct
+        # subtree across all four consumers (an explicit localCheckpoint
+        # was A/B'd here and measured WORSE — it defeats exchange reuse
+        # and pays a cache round-trip; see OPTIMIZATION_r12.md). Same
+        # integer math — N is a column instead of an inlined Python
+        # literal — so the output is unchanged.
     )
-    n = b.select("o").distinct().count()
+    n = b.agg(F.countDistinct("o").alias("n"))
     singles = b.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
     a2 = b.select(F.col("o"), F.col("brand").alias("brand_a"))
     c2 = b.select(F.col("o"), F.col("brand").alias("brand_b"))
@@ -867,15 +877,16 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "brand_a")
         .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))  # 1-row scalar idiom
         .select(
             "brand_a",
             "brand_b",
             F.col("sp").cast("long").alias("pair_orders"),
             F.col("sa").cast("long").alias("orders_a"),
             F.col("sb").cast("long").alias("orders_b"),
-            F.expr(f"sp * 1000000 div {n}").alias("support_ppm"),
+            F.expr("sp * 1000000 div n").alias("support_ppm"),
             F.expr("sp * 1000000 div sa").alias("confidence_ppm"),
-            F.expr(f"sp * 1000000 * {n} div sa div sb").alias("lift_ppm"),
+            F.expr("sp * 1000000 * n div sa div sb").alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(AR_TOPK)

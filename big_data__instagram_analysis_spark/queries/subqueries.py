@@ -16,8 +16,9 @@ frontend.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..io import register_views
+from ..io import load, register_views
 from ..registry import query
 
 _SCALAR = """
@@ -321,6 +322,35 @@ _LEAD_DATE = (
     "ORDER BY o_orderdate, o_orderkey)"
 )
 
+#: Engine-side twin of _CHAIN_SQL over a PRE-MATERIALIZED edge view
+#: (r12, guide §2.4): Spark's UnionLoop re-evaluates the recursive arm's
+#: subqueries EVERY iteration, so the original text recomputed the
+#: orders scan + LEAD window up to 5 times (measured 44 jobs / 145
+#: stages at sf0.1). The edge relation (rn for the anchor, nk/gap_days
+#: for the walk) is one window pass, localCheckpoint'd and registered as
+#: a temp view; the recursion — still a real WITH RECURSIVE — then joins
+#: the shrinking frontier against the materialized RDD each hop. The
+#: oracle keeps the original self-contained text; results are identical
+#: (same rn/nk/gap definitions, same hop bound).
+_CHAIN_SQL_ENGINE = """
+WITH RECURSIVE walk(c, k, hop, cum_gap) AS (
+  SELECT o_custkey, o_orderkey, 0, CAST(0 AS BIGINT)
+  FROM {view} WHERE rn = 1
+  UNION ALL
+  SELECT e.o_custkey, e.nk, w.hop + 1, w.cum_gap + e.gap_days
+  FROM walk w
+  JOIN {view} e
+    ON w.c = e.o_custkey AND w.k = e.o_orderkey
+  WHERE e.nk IS NOT NULL AND w.hop < {max_hop}
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cum_gap) AS BIGINT) AS total_wait_days,
+       CAST(sum(cum_gap) * 1000000 div count(*) AS BIGINT)
+         AS avg_wait_days_ppm
+FROM walk GROUP BY hop ORDER BY hop
+"""
+
 
 @query(
     "repeat_purchase_chains",
@@ -345,14 +375,30 @@ def repeat_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one equi-join of a shrinking frontier (<= |customers|
     rows) against the edge table, the same shape as the repo's large-star
     CC rounds (operators/graph.py) — and the hop bound caps iterations at
-    a constant regardless of corpus size. The identical SQL text runs on
-    both engines (only DATEDIFF argument order and div spelling differ);
-    gaps are exact integer day counts, the ppm average is integer
-    division.
+    a constant regardless of corpus size. Gaps are exact integer day
+    counts, the ppm average is integer division.
+
+    r12: the engine side now runs the recursion over a pre-materialized
+    edge view (see _CHAIN_SQL_ENGINE) — one orders scan + ONE window pass
+    computing rn/nk/gap_days, instead of UnionLoop re-running the scan +
+    LEAD window in every iteration (44 jobs / 145 stages → the edge
+    window once; sf0.1 numbers in OPTIMIZATION_r12.md). The oracle keeps
+    the original self-contained recursive text, so the hash match proves
+    the rewrite computes the identical walk.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(
-        _CHAIN_SQL.format(
-            dd=f"{_LEAD_DATE}, o_orderdate", div="div", max_hop=CHAIN_MAX_HOP
-        )
-    )
+    from pyspark.sql.window import Window as _W
+
+    o = load(spark, sf_dir, "orders")
+    w = _W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderkey").over(w).alias("nk"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("gap_days"),
+    ).localCheckpoint(eager=False)
+    view = "repeat_chain_edges_r12"
+    edges.createOrReplaceTempView(view)
+    return spark.sql(_CHAIN_SQL_ENGINE.format(view=view, max_hop=CHAIN_MAX_HOP))
