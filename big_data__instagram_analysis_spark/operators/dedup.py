@@ -412,6 +412,7 @@ def shingle_pair_ppm(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shared-shingle candidate pairs with EXACT integer-ppm Jaccard and
     the threshold-0.5 edge flag — the shared building block of the
@@ -426,9 +427,19 @@ def shingle_pair_ppm(
     ngram_jaccard_dfcap is the df-capped variant when boilerplate makes
     even that too hot), two size joins, one lazy localCheckpoint so the
     shingle frame materializes once across its three consumers.
+
+    ``shingles`` (r12, guide §1.2): a caller that has ALREADY shingled the
+    same frame (e.g. minhash_banding_recall_curve, which builds signatures
+    from the identical (id, s) rows) passes its checkpointed frame here so
+    the scan+shingle pass runs once, not twice. Must be (id_col, "s") rows
+    with distinct-per-doc shingles — i.e. a :func:`shingle_rows` output.
     """
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).localCheckpoint(
-        eager=False
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, text_col=text_col, id_col=id_col, n=n).localCheckpoint(
+            eager=False
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")

@@ -155,8 +155,13 @@ def connected_components(
         [StructField("node", dt, False), StructField("component", dt, False)]
     )
     for _ in range(max_rounds):
-        if e.count() <= local_threshold:
-            pdf = e.toPandas()
+        # Size probe and collect in ONE job (r12, guide §1.2): limit
+        # (threshold+1) either proves the graph exceeds the local bound or
+        # already IS the full edge set — the old count()-then-toPandas pair
+        # was two scheduler jobs for the same answer. Driver memory stays
+        # bounded by local_threshold+1 rows either way.
+        pdf = e.limit(local_threshold + 1).toPandas()
+        if len(pdf) <= local_threshold:
             labels = _local_components(
                 zip(pdf["a"].tolist(), pdf["b"].tolist())
             )

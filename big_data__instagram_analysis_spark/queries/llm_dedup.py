@@ -1514,7 +1514,10 @@ def minhash_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     truth = (
-        shingle_pair_ppm(d, text_col="text", id_col="doc_id")
+        # r12: pass the already-checkpointed shingle frame — the ground
+        # truth uses the IDENTICAL (doc_id, s) rows the signatures were
+        # built from, so the scan+shingle pass runs once, not twice.
+        shingle_pair_ppm(d, text_col="text", id_col="doc_id", shingles=sh)
         .where(F.col("is_edge"))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # read by the scalar agg + the hit join
@@ -1811,12 +1814,22 @@ def dedup_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     base = d.select(
         "doc_id", "source", "text", n_tok.alias("n_tok")
-    ).localCheckpoint(eager=False)  # raw ledger + survivor join share it
-    surv_ids = exact_dedup(base, text_col="text", id_col="doc_id").select(
-        "doc_id"
-    )
+    ).localCheckpoint(eager=False)  # raw ledger + survivor window share it
+    # r12 (guide §2.4): survivors used to come from exact_dedup() followed
+    # by a join back to base to re-attach source/text/n_tok — one window
+    # exchange PLUS a join exchange of the text payload. The window-filter
+    # form below (exactly the oracle's `surv` CTE shape) selects survivors
+    # in place: ONE content-hash exchange total, no join. Survivor = min
+    # doc_id per hash, identical to exact_dedup's row_number()=1 pick.
+    from ..operators.dedup import normalize_text
+
+    hw = Window.partitionBy("h")
     s = (
-        base.join(surv_ids, "doc_id")
+        base.withColumn(
+            "h", F.sha2(F.encode(normalize_text(F.col("text")), "UTF-8"), 256)
+        )
+        .withColumn("is_surv", F.col("doc_id") == F.min("doc_id").over(hw))
+        .where("is_surv")
         .select("doc_id", "source", "text", "n_tok")
         .localCheckpoint(eager=False)  # pair gen, CC nodes, canon join, ledger
     )
