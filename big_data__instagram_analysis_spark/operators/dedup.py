@@ -194,7 +194,7 @@ def ngram_jaccard_pairs(
     generation (a hot shingle is a skew key; AQE skew-join splits it).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
-    # shingle_rows: codegen posexplode+lead shingling (equivalence
+    # shingle_rows: the zip-slice exploded-row shingling (equivalence
     # fuzz-pinned against token_shingles) — the HOF array form measured ~5x
     # slower at sf0.1 and this operator only needs the exploded rows.
     # Three consumers (sizes + both self-join sides) share ONE lazy

@@ -2155,8 +2155,8 @@ def cdc_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from three lag() columns + concat_ws on the doc window — identical
     gram text (concat_ws skips the NULL lags at positions 1..3, and the
     explicit lag(3)-not-null guard reproduces the i >= CDC_W rule), with
-    md5 running codegen'd per row. sf0.1 warm wall 3.22 → measured in
-    OPTIMIZATION_r12.md; boundaries byte-identical (oracle-pinned).
+    md5 running codegen'd per row. sf0.1 warm wall 3.22 → 2.05 s
+    (OPTIMIZATION_r12.md); boundaries byte-identical (oracle-pinned).
     """
     d = load(spark, sf_dir, "documents")
     ex = d.select(

@@ -177,7 +177,7 @@ def test_ngram_jaccard_pairs_vs_bruteforce(spark, texts):
 )
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_shingle_rows_equals_token_shingles(spark, texts):
-    """shingle_rows (codegen posexplode+lead form) must produce EXACTLY the
+    """shingle_rows (the zip-slice exploded form) must produce EXACTLY the
     distinct (doc, shingle) set of token_shingles (in-row HOF form) — the
     equivalence that lets hot paths swap in the fast shape. Fuzzes empty
     tokens, consecutive spaces, short docs, and repeated shingles."""
