@@ -434,13 +434,20 @@ def shingle_pair_ppm(
     the scan+shingle pass runs once, not twice. Must be (id_col, "s") rows
     with distinct-per-doc shingles — i.e. a :func:`shingle_rows` output.
     """
-    sh = (
-        shingles
-        if shingles is not None
-        else shingle_rows(df, text_col=text_col, id_col=id_col, n=n).localCheckpoint(
+    if shingles is not None:
+        # ADVICE r12: the escape hatch relies on a caller contract
+        # (shingle_rows-shaped frame); the column part is cheap to verify.
+        # Distinctness-per-doc stays documented, not scanned.
+        missing = {id_col, "s"} - set(shingles.columns)
+        assert not missing, (
+            f"shingle_pair_ppm(shingles=...) must carry columns "
+            f"({id_col!r}, 's'); missing {sorted(missing)}"
+        )
+        sh = shingles
+    else:
+        sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n).localCheckpoint(
             eager=False
         )
-    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")

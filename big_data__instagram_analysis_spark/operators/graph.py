@@ -160,6 +160,14 @@ def connected_components(
         # already IS the full edge set — the old count()-then-toPandas pair
         # was two scheduler jobs for the same answer. Driver memory stays
         # bounded by local_threshold+1 rows either way.
+        # ADVICE r12 trade-off, accepted and documented: on rounds where
+        # the graph is still ABOVE the bound this ships threshold+1 edge
+        # rows (~3 MB Arrow at the default bound) to the driver instead of
+        # the count()'s single row — but CollectLimit executes
+        # incrementally (scans partitions until threshold+1 rows are
+        # found), while a count-shaped probe aggregates EVERY partition,
+        # so the fused probe reads less and schedules half the jobs; the
+        # bounded transfer is noise next to a star round's shuffles.
         pdf = e.limit(local_threshold + 1).toPandas()
         if len(pdf) <= local_threshold:
             labels = _local_components(

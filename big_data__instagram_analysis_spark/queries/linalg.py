@@ -348,7 +348,15 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper = partials.groupBy("i", "j").agg(F.sum("g").alias("v"))
     # Bounded driver fold: ≤ d(d+1)/2 = 2,080 cells regardless of corpus
     # size (the distributed part above already reduced the corpus away).
+    # NOTE (ADVICE r12): the fold executes the corpus scan + Gram reduce
+    # EAGERLY at query-construction time — callers that only build the
+    # plan still pay the scan, and input errors surface here.
     cells = upper.collect()
+    if not cells:
+        # Degenerate empty corpus: the oracle's recursive CTE chain yields
+        # 0 rows (its y1 join against an empty Gram is empty), so the
+        # engine must too — not 64 zero loadings (ADVICE r12).
+        return spark.createDataFrame([], "pos int, loading long")
     G: dict = {}
     for row in cells:
         G[(row["i"], row["j"])] = row["v"]

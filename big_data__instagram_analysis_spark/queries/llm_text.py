@@ -1220,7 +1220,7 @@ def _winnow_horner_sql(k: int, b: int, m: int) -> str:
     return e
 
 
-def _winnow_selected(
+def _winnow_selected_hof(
     spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
 ) -> DataFrame:
     """Shared winnowing core: per document, the array of selected fingerprint
@@ -1317,6 +1317,123 @@ def _winnow_selected(
 #: (h < 2^31, so h*257 + codepoint < 2^40) and every packed (hash, pos)
 #: selection key inside 2^62 (hash << 31 | inverted position).
 _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M = 8, 4, 257, 2147483647
+
+
+def _winnow_selected_arrow(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """mapInArrow twin of :func:`_winnow_selected_hof` (r13, guide §4.1/§4.2):
+    the same scan-shaped zero-shuffle selection, but the per-character
+    Horner/packing/window-min arithmetic runs as whole-batch NumPy int64
+    kernels instead of interpreted zip_with/transform lambdas. Exactly one
+    difference in the produced frame: ``fph`` lists each document's
+    DISTINCT selected packed keys in ascending-key order rather than
+    first-occurrence order — every consumer (sum/min/max/size aggregates,
+    explode-to-set) is order-insensitive, and the A/B tool
+    (tools/ab_winnow_arrow_r13.py) pins set equality per document.
+
+    Only (doc_id, extra_cols, text) cross the Python boundary (§4.1:
+    explicit select before an opaque operator), and each batch is one
+    encode + ~10 vector ops — no per-row Python beyond the text list.
+    """
+    import pyspark.sql.types as T
+
+    k, w, b, m = _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M
+    assert k == 8 and w == 4, "NumPy ladder below is laid out for k=8, w=4"
+    b2 = b * b
+    b4modm = (b ** 4) % m
+
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= k)
+    src = d.select("doc_id", *extra_cols, "text")
+    in_fields = {f.name: f for f in src.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["doc_id"]]
+        + [in_fields[c] for c in extra_cols]
+        + [
+            T.StructField("n_grams", T.IntegerType(), False),
+            T.StructField("fph", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+    pass_names = ["doc_id", *extra_cols]
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            # Flat Horner ladder (1→2→4→8-char gram hashes); entries whose
+            # gram crosses a document boundary are garbage and are never
+            # selected by the per-doc gather below. Magnitude audit matches
+            # the HOF form's docstring: codepoint ≤ 0x10FFFF keeps the
+            # 4-char exact value < 2e13; the 8-char combine reduces mod m
+            # first, so every product stays < 2^63.
+            t1 = codes[:-1] * b + codes[1:]
+            t2 = t1[:-2] * b2 + t1[2:]
+            h = ((t2[:-4] % m) * b4modm + t2[4:]) % m
+            starts = np.zeros(n, dtype=np.int64)
+            starts[1:] = np.cumsum(lens[:-1])
+            ng = lens - (k - 1)  # ≥ 1: the scan filtered length ≥ k
+            total = int(ng.sum())
+            cum = np.cumsum(ng)
+            ragged = np.arange(total, dtype=np.int64) - np.repeat(cum - ng, ng)
+            hh = h[np.repeat(starts, ng) + ragged]
+            keys = (hh << 31) + (m - 1 - ragged)
+            # w=4 window minima by pairwise doubling on the per-doc-packed
+            # key array (cross-doc tails discarded by the gather).
+            kstart = cum - ng
+            ns = np.maximum(ng - (w - 1), 1)
+            long_doc = ng >= w
+            docidx = np.repeat(np.arange(n, dtype=np.int64), ns)
+            cums = np.cumsum(ns)
+            rs = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+                cums - ns, ns
+            )
+            sel = np.empty(rs.shape[0], dtype=np.int64)
+            lm = long_doc[docidx]
+            if keys.shape[0] >= w:
+                m1 = np.minimum(keys[:-1], keys[1:])
+                wm = np.minimum(m1[:-2], m1[2:])
+                sel[lm] = wm[np.repeat(kstart, ns)[lm] + rs[lm]]
+            if not long_doc.all():
+                mins = np.minimum.reduceat(keys, kstart)
+                sel[~lm] = mins[docidx[~lm]]
+            # per-doc distinct packed keys (ascending), then project to hash
+            order = np.lexsort((sel, docidx))
+            ds, ss = docidx[order], sel[order]
+            keep = np.ones(ds.shape[0], dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+            ds, ss = ds[keep], ss[keep]
+            counts = np.bincount(ds, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            fph = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(ss >> 31, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in pass_names]
+                + [pa.array(ng.astype(np.int32), type=pa.int32()), fph],
+                names=[*pass_names, "n_grams", "fph"],
+            )
+
+    return src.mapInArrow(batches, out_schema)
+
+
+#: Active winnow core: the Arrow/NumPy kernel. r13 ABAB at sf0.1
+#: (tools/ab_winnow_arrow_r13.py, 4 alternated reps, one session):
+#: winnow_fingerprints 2.79→1.69 s (−39%), winnow_match_pairs 3.41→2.69 s
+#: (−21%), ingest_neardup_gate 2.82→2.38 s (−16%). Both forms produce the
+#: identical per-doc (n_grams, fph-set) frame (set equality pinned by the
+#: A/B tool and tests/test_winnow.py).
+_winnow_selected = _winnow_selected_arrow
 
 
 #: Shared oracle CTE chain ending in `sel(doc_id, n_grams, wmin)` — the

@@ -399,6 +399,9 @@ def repeat_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_days"),
     ).localCheckpoint(eager=False)
-    view = "repeat_chain_edges_r12"
-    edges.createOrReplaceTempView(view)
-    return spark.sql(_CHAIN_SQL_ENGINE.format(view=view, max_hop=CHAIN_MAX_HOP))
+    # ADVICE r12: bind the DataFrame as a spark.sql parameter instead of
+    # registering a fixed-name temp view — two interleaved invocations in
+    # one session (e.g. different sf_dir) can no longer race between the
+    # catalog mutation and analysis, because no catalog mutation happens.
+    sql = _CHAIN_SQL_ENGINE.format(view="{edges}", max_hop=CHAIN_MAX_HOP)
+    return spark.sql(sql, edges=edges)

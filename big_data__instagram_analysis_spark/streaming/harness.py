@@ -231,4 +231,15 @@ def run_available_now(
     finally:
         _record_progress(name, q)
         q.stop()
-    return sdf.sparkSession.table(name)
+    # r13 (VERDICT r12 #6, guide §1.4/§5): pin the final sink contents
+    # (small by contract — every declared stream ends in an agg/dedup) with
+    # an eager localCheckpoint and DROP the sink's temp view. Memory-sink
+    # tables otherwise accumulate in the session catalog for the session's
+    # lifetime — one per streaming query run — which is what spiked the r12
+    # A/B loops and taxes any long session (the 354-query sweep runs ~19 of
+    # these back to back). Result rows are identical: the checkpoint IS the
+    # sink table at completion.
+    spark = sdf.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
