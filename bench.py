@@ -299,16 +299,18 @@ def run_headline_phase(sf_dir: str, out_path: str) -> None:
     # headline query is scheduling-latency-bound (0.1-0.45 s walls on a
     # ~1 s floor), so the driver's 8-core/32-core ratios come out ~1 and
     # cannot distinguish "SPARK_GRAFT_CPUS honored but saturated" from
-    # "ignored". This probe CAN scale: 128M rows x 8 chained hashes over 32
-    # partitions is pure compute, so its low-core/high-core ratio tracks
-    # the core ratio. A FRESH DataFrame per rep — re-running one instance
-    # would reuse the map stage's registered shuffle output and time only
-    # the 1-row final stage.
+    # "ignored". This probe CAN scale: 512M rows x 8 chained hashes over 32
+    # partitions is pure compute (idle calibration on this box: 2.98 s at
+    # local[8] vs 1.01 s at local[32] — ratio 2.96 against a 4x core
+    # ratio; the residual is all-core frequency behavior, not scheduling).
+    # A FRESH DataFrame per rep — re-running one instance would reuse the
+    # map stage's registered shuffle output and time only the 1-row final
+    # stage.
     def _probe_df():
         e = "id"
         for _ in range(8):
             e = f"xxhash64({e})"
-        return spark.range(0, 32 * 4_000_000, 1, 32).selectExpr(
+        return spark.range(0, 32 * 16_000_000, 1, 32).selectExpr(
             f"bit_xor({e}) as x"
         )
 

@@ -891,6 +891,101 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_DIMS = (16, 32, 64)
 
 
+def _mrl_ranked_sweep(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """One-pass MRL sweep: per Arrow batch of the corpus, prefix-truncate,
+    prefix-normalize and matmul at every MRL dim against the broadcast
+    query matrices, keeping each (dim, query)'s chunk-local top-k band
+    (k=5 at the full dim for the top-5 membership audit, k=1 truncated).
+    One window then ranks (dim, query) with the ann (round-6 sim DESC,
+    neighbor_id) total order. Returns (dim, query_id, neighbor_id, rank)
+    with rank ≤ 5 at the full dim and rank = 1 at truncated dims —
+    exactly the rows the three separate cosine_topk_queries sweeps kept.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        BROADCAST_MATRIX_MAX_BYTES,
+        ROUND_MARGIN,
+        _to_matrix,
+    )
+
+    full_dim = MRL_DIMS[-1]
+    qpdf = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids_q = qpdf["vec_id"].to_numpy().astype(np.int64)
+    qmat = _to_matrix(qpdf, "embedding")
+    if qmat.nbytes * 2 > BROADCAST_MATRIX_MAX_BYTES:
+        raise ValueError(
+            "matryoshka_truncation_audit: query matrix exceeds the "
+            "brute-force broadcast contract (operators/similarity.py)"
+        )
+    qn = {}
+    for d in MRL_DIMS:
+        md = np.ascontiguousarray(qmat[:, :d])
+        qn[d] = md / np.linalg.norm(md, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_q, qn))
+    ks = {d: (5 if d == full_dim else 1) for d in MRL_DIMS}
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids_q, b_qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = _to_matrix(pdf, "embedding")
+            mask = b_ids_q[:, None] != c_ids[None, :]
+            for d, nqd in b_qn.items():
+                cd = np.ascontiguousarray(c_mat[:, :d])
+                nc = cd / np.linalg.norm(cd, axis=1, keepdims=True)
+                sims = nqd @ nc.T
+                k = ks[d]
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(b_ids_q)):
+                    row = sims[qi]
+                    valid = np.nonzero(mask[qi])[0]
+                    if valid.size == 0:
+                        continue
+                    take = valid
+                    if valid.size > k:
+                        vals = row[valid]
+                        kth = np.partition(vals, vals.size - k)[vals.size - k]
+                        take = valid[vals >= kth - ROUND_MARGIN]
+                    out_q.append(np.full(take.size, b_ids_q[qi]))
+                    out_n.append(c_ids[take])
+                    out_s.append(row[take])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "dim": np.full(
+                                sum(a.size for a in out_q), d, dtype=np.int32
+                            ),
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "sim": np.concatenate(out_s),
+                        }
+                    )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        chunk, "dim int, query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("sim_r"), F.asc("neighbor_id")
+    )
+    ranked = (
+        cand.select(
+            "dim", "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r")
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked.where(
+        ((F.col("dim") == full_dim) & (F.col("rank") <= 5))
+        | ((F.col("dim") != full_dim) & (F.col("rank") <= 1))
+    ).select("dim", "query_id", "neighbor_id", "rank")
+
+
 @query(
     "matryoshka_truncation_audit",
     category="L3,E232",
@@ -961,30 +1056,28 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
 
-    def at_dim(d: int):
-        cols = [
-            F.col("vec_id"),
-            F.expr(f"slice(embedding, 1, {d})").alias("embedding"),
-        ]
-        corpus = emb.select(*cols)
-        queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(*cols)
-        return corpus, queries
-
-    def top_at(d: int, k: int) -> DataFrame:
-        corpus, queries = at_dim(d)
-        return cosine_topk_queries(corpus, queries, spark, k=k)
-
-    full_ranked = top_at(64, 5)
-    full1 = full_ranked.where(F.col("rank") == 1).select(
-        "query_id", F.col("neighbor_id").alias("full_top1")
+    # r13 (guide §1.2): ONE corpus sweep for all three dims instead of three
+    # cosine_topk_queries calls. The old form collected the query matrix 3x,
+    # scanned the corpus through mapInPandas 3x, and ranked through 3 window
+    # exchanges (16 jobs / 34 stages, warm 2.24 s at sf0.1); the fused
+    # kernel broadcasts the prefix-normalized query matrices once, computes
+    # the three prefix matmuls per Arrow batch (sharing the corpus
+    # deserialization), and one window ranks (dim, query). Per-dim math is
+    # unchanged: each prefix is sliced THEN normalized (contiguous copies,
+    # so the BLAS inputs match the old per-dim scans bit-for-bit), chunk
+    # pruning keeps the same per-(batch, dim, query) k+margin band, and the
+    # final round/ordering contract is the ann one.
+    ranked = _mrl_ranked_sweep(spark, emb).localCheckpoint(eager=False)
+    full_dim = MRL_DIMS[-1]
+    full1 = ranked.where(
+        (F.col("dim") == full_dim) & (F.col("rank") == 1)
+    ).select("query_id", F.col("neighbor_id").alias("full_top1"))
+    full5 = ranked.where(F.col("dim") == full_dim).select(
+        "query_id", F.col("neighbor_id").alias("n5")
     )
-    full5 = full_ranked.select("query_id", F.col("neighbor_id").alias("n5"))
-    trunc = None
-    for d in MRL_DIMS[:-1]:
-        t = top_at(d, 1).select(
-            F.lit(d).alias("dim"), "query_id", "neighbor_id"
-        )
-        trunc = t if trunc is None else trunc.unionByName(t)
+    trunc = ranked.where(F.col("dim") != full_dim).select(
+        "dim", "query_id", "neighbor_id"
+    )
     in5 = (
         trunc.join(full5, "query_id")
         .where(F.col("neighbor_id") == F.col("n5"))

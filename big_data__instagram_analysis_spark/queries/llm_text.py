@@ -325,19 +325,34 @@ FROM sh
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: md5 over every 5-token shingle, keep the
-    lexicographic minimum. Shingles stay inside one higher-order expression —
-    no explode, no shuffle; md5 is the cross-engine-stable hash."""
+    lexicographic minimum; md5 is the cross-engine-stable hash.
+
+    r13 (guide §4.1, the bpe_pair_counts class): shingles come from
+    arrays_zip of five shifted slices + explode, so every md5 runs as ONE
+    codegen'd call per row instead of inside an interpreted `transform`
+    lambda (ABAB at sf0.1, tools/ab_docfp_r13.py: 2.09 → 1.10 s, −47%).
+    The min-per-doc groupBy partially aggregates map-side — each doc's
+    tokens live in one row, hence one partition, so the exchange carries
+    exactly ONE 16-byte row per document, corpus-size-proportional only in
+    |docs|. explode_outer keeps short docs (z NULL → md5 guarded NULL →
+    min() of nothing = NULL fingerprint) without a join-back."""
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    # Guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    # short docs must short-circuit to NULL before building the sequence.
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 4),
-        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, F.lit(5))), "UTF-8")),
+    ln = F.greatest(F.size(toks) - 4, F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(5)])
+    ex = d.select("doc_id", F.explode_outer(z).alias("z"))
+    fp = F.when(
+        F.col("z").isNotNull(),
+        F.md5(
+            F.encode(
+                F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(5)]), "UTF-8"
+            )
+        ),
     )
-    return d.select(
-        "doc_id",
-        F.when(F.size(toks) >= 5, F.array_min(hashes)).alias("fingerprint"),
+    return (
+        ex.select("doc_id", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.min("fp").alias("fingerprint"))
     )
 
 
