@@ -439,21 +439,30 @@ def bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.arrays_zip(
         F.slice(toks, 1, nminus).alias("w1"), F.slice(toks, 2, nminus).alias("w2")
     )
+    # r13 (guide §1.2): bg feeds 2 lineage branches and us feeds FIVE (ut,
+    # ns, the nt/v scalar, two join sides) — unchecked, every branch re-ran
+    # the corpus explode+aggregate (measured 22 jobs / 111 stages, warm
+    # 2.04 s at sf0.1). One lazy localCheckpoint each truncates that to one
+    # materialization per table; the nt/v scalar becomes the house lazy
+    # 1-row crossJoin instead of an EAGER collect() (a full us pass at
+    # query-construction time — the association_rules r12 fix).
     bg = (
         d.select("source", F.explode(pairs).alias("p"))
         .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("source", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cs"))
+        .localCheckpoint(eager=False)
     )
     bgt = bg.groupBy("w1", "w2").agg(F.sum("cs").alias("ct"))
     un = d.select("source", F.explode(toks).alias("w"))
-    us = un.groupBy("source", "w").agg(F.count(F.lit(1)).alias("us"))
+    us = (
+        un.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("us"))
+        .localCheckpoint(eager=False)
+    )
     ut = us.groupBy("w").agg(F.sum("us").alias("ut"))
     ns = us.groupBy("source").agg(F.sum("us").alias("ns"))
-    tot = us.agg(
-        F.sum("us").alias("nt"), F.countDistinct("w").alias("v")
-    ).collect()[0]
-    nt, v = int(tot["nt"]), int(tot["v"])
+    tot = us.agg(F.sum("us").alias("nt"), F.countDistinct("w").alias("v"))
 
     # Every model table except ns grows with the corpus (bigram table ~
     # unique bigrams, unigram tables ~ vocabulary, which Heaps-grows at
@@ -488,19 +497,21 @@ def bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))  # 1-row (nt, v) scalar
         .select(
             "source",
             "cs",
             (F.col("ct") - F.col("cs")).alias("excl"),
             (F.col("ut1") - F.coalesce("us1", F.lit(0))).alias("c1x"),
             (F.col("ut2") - F.coalesce("us2", F.lit(0))).alias("c2x"),
-            (F.lit(nt) - F.col("ns")).alias("nx"),
+            (F.col("nt") - F.col("ns")).alias("nx"),
+            "v",
         )
     )
     score = F.when(
         F.col("excl") > 0, F.col("excl") / F.col("c1x").cast("double")
     ).otherwise(
-        F.lit(SB_ALPHA) * (F.col("c2x") + 1) / (F.col("nx") + F.lit(v)).cast("double")
+        F.lit(SB_ALPHA) * (F.col("c2x") + 1) / (F.col("nx") + F.col("v")).cast("double")
     )
     # ADVICE r9: a double SUM is merge-order nondeterministic, and rounding
     # it to 4dp for a bit-exact compare leaves a latent half-boundary

@@ -231,15 +231,13 @@ def run_available_now(
     finally:
         _record_progress(name, q)
         q.stop()
-    # r13 (VERDICT r12 #6, guide §1.4/§5): pin the final sink contents
-    # (small by contract — every declared stream ends in an agg/dedup) with
-    # an eager localCheckpoint and DROP the sink's temp view. Memory-sink
-    # tables otherwise accumulate in the session catalog for the session's
-    # lifetime — one per streaming query run — which is what spiked the r12
-    # A/B loops and taxes any long session (the 354-query sweep runs ~19 of
-    # these back to back). Result rows are identical: the checkpoint IS the
-    # sink table at completion.
-    spark = sdf.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    # r13 (VERDICT r12 #6, guide §1.4/§5) — sink-accumulation lever MEASURED
+    # AND DECLINED: a localCheckpoint-then-dropTempView variant (pin the
+    # final rows, free the catalog entry) was pass-level ABAB'd over the
+    # full 19-query stream tail in one session (tools/ab_sink_drop_r13.py):
+    # old min 67.8 s vs variant 68.8 s (+1.5%, means 70.3 vs 73.3). The
+    # accumulated sink tables are post-aggregation small, so the r12
+    # "memory-sink accumulation" spike hypothesis does not reproduce — the
+    # variant's one extra checkpoint job per query costs more than the
+    # accumulation it frees. Kept: the plain memory-sink read.
+    return sdf.sparkSession.table(name)

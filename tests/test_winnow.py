@@ -130,6 +130,52 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
         assert got[i] == (len(fps), sum(fps))
 
 
+def test_winnow_arrow_core_equals_hof_core(spark, tmp_path):
+    """r13: the mapInArrow/NumPy winnow core must produce the identical
+    per-doc (n_grams, fph MULTISET) as the zip_with HOF ladder it replaced
+    — element order inside fph is the one allowed difference (ascending vs
+    first-occurrence; every consumer is order-insensitive). Exercised on
+    the tie/boundary/non-ASCII adversarial strings, not just the fixture
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from big_data__instagram_analysis_spark.queries.llm_text import (
+        _winnow_selected_arrow,
+        _winnow_selected_hof,
+    )
+
+    k, w = _WINNOW_K, _WINNOW_W
+    texts = [
+        "a" * 30,
+        "abcabcabcabcabcabcabcabc",
+        "x" * k,
+        "y" * (k + w - 2),
+        "совершенно другой префикс — non-ASCII codepoints end to end",
+        "The quick brown fox jumps over the lazy dog 0123456789",
+        "short",  # below k: filtered out by BOTH cores
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "docs_ab")
+    df.write.parquet(f"{path}/documents.parquet")
+
+    def canon(frame):
+        return (
+            frame.select(
+                "doc_id", "source", "n_grams", F.sort_array("fph").alias("fph")
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+
+    a = canon(_winnow_selected_hof(spark, path, extra_cols=("source",)))
+    b = canon(_winnow_selected_arrow(spark, path, extra_cols=("source",)))
+    assert len(a) == len(texts) - 1  # the sub-k doc is gone from both
+    assert a == b
+
+
 def test_winnow_plan_is_scan_shaped(spark, sf_dir):
     """No explode and no mid-plan aggregate exchange: the only exchange
     allowed is the final per-doc ORDER BY (rangepartitioning)."""
