@@ -1979,41 +1979,60 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each sketch is one partial-aggregated pass (bytes-sized
     state); the union is sketch-merge, not data movement — audience
     overlap at 100 TB without ever shuffling user ids.
+
+    Round 13 (guide §1.2): the first cut scanned events SEVEN times —
+    three eager exact counts (two distincts + a distinct-distinct join)
+    plus three sketch passes and the union re-scan. Now ONE corpus pass
+    builds the distinct (type, user) table (lazily checkpointed, a few
+    hundred rows); both sketches ride it (HLL register updates are
+    idempotent, so sketch(distinct stream) ≡ sketch(raw stream)
+    bit-for-bit), the union estimate is hll_union sketch-MERGE (register
+    max ≡ single-pass union sketch — the mergeability this query
+    showcases), the exacts are two tiny aggregates (intersection = users
+    holding both type rows), and everything lands lazily via the house
+    1-row crossJoin scalars — no eager job at construction.
     """
     e = load(spark, sf_dir, "events")
-    v = e.where(F.col("event_type") == "view").select("user_id")
-    p = e.where(F.col("event_type") == "purchase").select("user_id")
-
-    sk = lambda df: df.agg(  # noqa: E731
-        F.hll_sketch_agg("user_id").alias("sk")
+    ue = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    est_a = sk(v).select(F.hll_sketch_estimate("sk").alias("ea"))
-    est_b = sk(p).select(F.hll_sketch_estimate("sk").alias("eb"))
-    est_u = (
-        v.unionByName(p)
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .select(F.hll_sketch_estimate("sk").alias("eu"))
+    is_v = F.col("event_type") == "view"
+    ska = ue.where(is_v).agg(F.hll_sketch_agg("user_id").alias("ska"))
+    skb = ue.where(~is_v).agg(F.hll_sketch_agg("user_id").alias("skb"))
+    exact_vp = ue.agg(
+        F.sum(is_v.cast("long")).alias("__exact_v"),
+        F.sum((~is_v).cast("long")).alias("__exact_p"),
     )
-    exact_v = v.distinct().count()
-    exact_p = p.distinct().count()
-    exact_i = v.distinct().join(p.distinct(), "user_id").count()
-
+    exact_i = (
+        ue.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.sum((F.col("nt") == 2).cast("long")).alias("__exact_i"))
+    )
     est = (
-        est_a.crossJoin(est_b)
-        .crossJoin(est_u)
-        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("ei"))
+        ska.crossJoin(skb)
+        .select(
+            (
+                F.hll_sketch_estimate("ska")
+                + F.hll_sketch_estimate("skb")
+                - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+            ).alias("ei")
+        )
     )
-    within = est.select(
-        (
-            F.abs(F.col("ei") - F.lit(exact_i))
-            <= F.lit(max(exact_i, 1)) * 0.10
-        ).alias("ok")
-    )
-    return within.select(
-        F.lit(exact_v).cast("bigint").alias("exact_view_users"),
-        F.lit(exact_p).cast("bigint").alias("exact_purchase_users"),
-        F.lit(exact_i).cast("bigint").alias("exact_intersection"),
-        F.col("ok").alias("estimate_within_10pct"),
+    return (
+        est.crossJoin(F.broadcast(exact_vp))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            F.col("__exact_v").cast("bigint").alias("exact_view_users"),
+            F.col("__exact_p").cast("bigint").alias("exact_purchase_users"),
+            F.col("__exact_i").cast("bigint").alias("exact_intersection"),
+            (
+                F.abs(F.col("ei") - F.col("__exact_i"))
+                <= F.greatest(F.col("__exact_i"), F.lit(1)) * 0.10
+            ).alias("estimate_within_10pct"),
+        )
     )
 
 

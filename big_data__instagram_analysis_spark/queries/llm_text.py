@@ -555,33 +555,40 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the eval suite) — the overlap check run before any serious
     pretraining job.
 
-    Shingle both sides (operators/dedup.token_shingles), equi-join on the
-    shingle string, count hits per candidate doc. The benchmark side is
-    tiny by nature, so its shingle set broadcasts and the candidate
-    corpus — the 100 TB side — streams through map-side: one aggregation
-    shuffle keyed by doc_id, no quadratic pair join anywhere.
+    Shingle both sides (operators/dedup.token_shingles), LEFT-broadcast-join
+    the candidate stream against the benchmark shingle set and count total
+    and matched shingles in ONE doc-keyed aggregation. The benchmark side
+    is tiny by nature (its doc_id < 5 predicate pushes to the scan), so it
+    broadcasts; the candidate corpus — the 100 TB side — is shingled and
+    shuffled exactly once. (Round 13, guide §1.2: the sizes/hits split
+    shingled the corpus twice and paid a doc-keyed join of the two
+    aggregates; the left join keeps every candidate row — bench is
+    distinct on s, so multiplicity is unchanged — and n_hit = count of
+    matched markers, row-identical.)
     """
     from ..operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
     sh = shingle_rows(d, n=4)
-    bench = sh.filter(F.col("doc_id") < 5).select("s").distinct()
-    cand = sh.filter(F.col("doc_id") >= 5)
-    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        cand.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    bench = (
+        sh.filter(F.col("doc_id") < 5)
+        .select("s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    cand = sh.filter(F.col("doc_id") >= 5)
     return (
-        sizes.join(hits, "doc_id", "left")
+        cand.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("__hit").alias("n_hit"),
+        )
         .select(
             "doc_id",
             F.col("n_sh").cast("bigint").alias("n_sh"),
-            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6
-            ).alias("contamination"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("contamination"),
         )
         .filter(F.col("n_hit") > 0)
         .orderBy(F.desc("contamination"), "doc_id")
@@ -636,17 +643,34 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term")
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    total = freq.agg(F.sum("n")).collect()[0][0]
+    # Round 13 (guide §1.2, the bigram_backoff_surprisal fix applied to its
+    # name-giving contract): freq feeds TWO consumers — the corpus-total
+    # scalar and the scoring join's build side — and the total was an EAGER
+    # collect, so the corpus explode+aggregate ran three times per
+    # invocation. One lazy localCheckpoint materializes freq once; the
+    # total rides as the house lazy 1-row crossJoin scalar (sum of exact
+    # longs cast to double ≡ float(total) bit-for-bit — integer < 2^53).
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = freq.agg(F.sum("n").cast("double").alias("__total"))
     # Per-token micro-unit quantization + exact BIGINT sum (round 10): a
     # double AVG is partial-merge-order sensitive and this is the E73
     # contract's name-giver — same order-immunity fix as
     # bigram_backoff_surprisal (ADVICE r9).
     q_nlp = F.floor(
-        -F.log(F.col("n") / F.lit(float(total))) * F.lit(1000000.0)
+        -F.log(F.col("n") / F.col("__total")) * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
-    scored = toks.join(freq, "term").select("doc_id", q_nlp.alias("q_nlp"))
+    scored = (
+        toks.join(freq, "term")
+        # 1-row side: stats-driven BNLJ broadcast, no forced hint (the
+        # vocab-join guard tests reject any broadcast hint in this query).
+        .crossJoin(tot)
+        .select("doc_id", q_nlp.alias("q_nlp"))
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1189,16 +1213,26 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda t: t != "")
         ).alias("term"),
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    total = freq.agg(F.sum("n")).collect()[0][0]
+    # Round 13 (guide §1.2): same lazy-checkpoint + lazy-scalar treatment
+    # as unigram_logprob_score — freq materializes once, the total stops
+    # being an eager third corpus pass (see the E73 query for the
+    # bit-equality argument).
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = freq.agg(F.sum("n").cast("double").alias("__total"))
     # Quantized order-immune nlp (round 10) — the E73/E260 fix applied to
     # this consumer of the same unigram model.
     q_nlp = F.floor(
-        -F.log(F.col("n") / F.lit(float(total))) * F.lit(1000000.0)
+        -F.log(F.col("n") / F.col("__total")) * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
     scored = (
         toks.join(freq, "term")
+        # unhinted 1-row side (see unigram_logprob_score)
+        .crossJoin(tot)
         .select("doc_id", "source", q_nlp.alias("q_nlp"))
         .groupBy("doc_id")
         .agg(

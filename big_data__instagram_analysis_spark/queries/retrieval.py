@@ -192,7 +192,14 @@ def bm25_rational_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: doc lengths and tf are one tokenize pass each (tf pre-filtered
     to the query terms at the scan); df is a 3-row aggregate and the corpus
     stats a 1-row aggregate — both broadcast into the per-doc score, so the
-    only full-data shuffle is groupBy(doc_id). Top-20 finishes with
+    only full-data shuffle is groupBy(doc_id) — and that exchange is
+    docs-sized, not token-sized: a doc's exploded tokens stay in their scan
+    task, so the map-side partial count collapses to ~1 row per doc before
+    the shuffle. Round 13 tried two in-row doclen forms to drop the explode
+    (filter(lambda)+size, then regexp_count of [a-z0-9]{3,} runs — see
+    tools/ab_bm25_r13.py); both measured SLOWER (1.21 vs 1.62 s ABAB min)
+    because the in-row regex work costs more CPU than the already-collapsed
+    exchange saves — declined with numbers. Top-20 finishes with
     TakeOrderedAndProject.
     """
     tok = _tokens(spark, sf_dir)

@@ -546,10 +546,23 @@ def event_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     |users|×|types|), and marginals/pair counts are tiny. PMI is pure
     arithmetic over exact counts — ln of count ratios is identical IEEE
     on both engines, so it hash-checks.
+
+    Round 13 (guide §1.2): ue feeds FOUR consumers (marg, both self-join
+    sides, and the user total — distinct users over events ≡ distinct
+    users over ue), and the total was an EAGER count, so the corpus
+    distinct ran up to four times per invocation. One lazy localCheckpoint
+    materializes ue once; n_users rides as the lazy 1-row crossJoin scalar
+    (exact long cast to double ≡ float(count) bit-for-bit).
     """
     e = load(spark, sf_dir, "events")
-    ue = e.select("user_id", "event_type").distinct()
-    n_users = float(e.select("user_id").distinct().count())
+    ue = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nu = ue.agg(
+        F.countDistinct("user_id").cast("double").alias("__n_users")
+    )
     marg = ue.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("m")
     )
@@ -567,17 +580,19 @@ def event_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = marg.select(F.col("event_type").alias("ta"), F.col("m").alias("mx"))
     y = marg.select(F.col("event_type").alias("tb"), F.col("m").alias("my"))
+    n_users = F.col("__n_users")
     return (
         pairs.join(F.broadcast(x), "ta")
         .join(F.broadcast(y), "tb")
+        .crossJoin(F.broadcast(nu))
         .select(
             "ta",
             "tb",
             F.col("c").cast("bigint").alias("n_users"),
             F.round(
                 F.log(
-                    (F.col("c") / F.lit(n_users))
-                    / ((F.col("mx") / F.lit(n_users)) * (F.col("my") / F.lit(n_users)))
+                    (F.col("c") / n_users)
+                    / ((F.col("mx") / n_users) * (F.col("my") / n_users))
                 ),
                 6,
             ).alias("pmi"),
