@@ -1330,17 +1330,34 @@ def dedup_governance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sa", "sb")
     )
-    ends = lab.select(
-        F.col("sa").alias("source"),
-        (F.col("sa") == F.col("sb")).alias("self"),
-        F.col("sb").alias("other"),
-    ).unionAll(
-        lab.where(F.col("sa") != F.col("sb")).select(
-            F.col("sb").alias("source"),
-            F.lit(False).alias("self"),
-            F.col("sa").alias("other"),
+    # Round 13 (guide §1.2): the two-arm union replayed the whole pair
+    # machinery (shingle explode + SHJ + sizes joins) once per arm; a
+    # conditional in-row explode emits the same endpoint multiset — self
+    # pairs once, cross pairs once per endpoint — from ONE pass.
+    both = F.when(
+        F.col("sa") == F.col("sb"),
+        F.array(
+            F.struct(
+                F.col("sa").alias("source"),
+                F.lit(True).alias("self"),
+                F.col("sb").alias("other"),
+            )
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("sa").alias("source"),
+                F.lit(False).alias("self"),
+                F.col("sb").alias("other"),
+            ),
+            F.struct(
+                F.col("sb").alias("source"),
+                F.lit(False).alias("self"),
+                F.col("sa").alias("other"),
+            ),
         )
     )
+    ends = lab.select(F.explode(both).alias("e")).select("e.*")
     per_src = ends.groupBy("source").agg(
         F.sum(F.when(F.col("self"), 1).otherwise(0))
         .cast("bigint")

@@ -430,6 +430,11 @@ def _ivf_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bc = spark.sparkContext.broadcast(_ivf_train_centroids(emb))
 
+    # Round 13 (guide §8 "move the payload once"): the route pass carries
+    # the embedding THROUGH the Arrow boundary (float32 roundtrips
+    # bit-exactly) instead of emitting bare (vec_id, cell) and paying a
+    # full corpus self-join to re-attach it — that join shuffled every
+    # embedding by vec_id for rows that were already colocated.
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent = bc.value
         for b in batches:
@@ -438,11 +443,16 @@ def _ivf_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             yield pd.DataFrame(
-                {"vec_id": b["vec_id"], "cell": np.argmax(m @ cent.T, axis=1)}
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": b["embedding"],
+                    "cell": np.argmax(m @ cent.T, axis=1),
+                }
             )
 
-    cells = emb.select("vec_id", "embedding").mapInPandas(route, "vec_id long, cell int")
-    corpus_cells = emb.join(cells, "vec_id")
+    corpus_cells = emb.select("vec_id", "embedding").mapInPandas(
+        route, "vec_id long, embedding array<float>, cell int"
+    )
 
     # Queries probe their top-3 cells (nprobe=3 of 8 — the fixture vectors
     # are isotropic, so routing correlation is weak and a real corpus with

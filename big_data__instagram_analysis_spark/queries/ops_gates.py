@@ -638,16 +638,27 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = d.select(key.alias("k")).select(
         assign(_RING_BEFORE).alias("s_before"), assign(_RING_AFTER).alias("s_after")
     )
-    bef = asg.groupBy(F.col("s_before").alias("shard")).agg(
-        F.count(F.lit(1)).alias("docs_before")
+    # Round 13 (guide §1.2): bef/aft/mov each replayed the corpus scan plus
+    # BOTH in-row ring assignments (two 128/136-entry HOF filters per row —
+    # the expensive part); one pass now folds the corpus into a ≤17×17
+    # (s_before, s_after) cross-tab (map-side partial agg — the shuffle
+    # carries ≤289 rows) and the three aggregates re-group that. Counts are
+    # exact sums of exact counts — identical output.
+    xt = (
+        asg.groupBy("s_before", "s_after")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    aft = asg.groupBy(F.col("s_after").alias("shard")).agg(
-        F.count(F.lit(1)).alias("docs_after")
+    bef = xt.groupBy(F.col("s_before").alias("shard")).agg(
+        F.sum("cnt").alias("docs_before")
+    )
+    aft = xt.groupBy(F.col("s_after").alias("shard")).agg(
+        F.sum("cnt").alias("docs_after")
     )
     mov = (
-        asg.where(F.col("s_after") != F.col("s_before"))
+        xt.where(F.col("s_after") != F.col("s_before"))
         .groupBy(F.col("s_after").alias("shard"))
-        .agg(F.count(F.lit(1)).alias("moved_in"))
+        .agg(F.sum("cnt").alias("moved_in"))
     )
     spine = spark.range(CH_SHARDS + 1).select(F.col("id").cast("int").alias("shard"))
     return (
