@@ -195,25 +195,36 @@ ORDER BY a.d, a.h
 """,
 )
 def self_join_cohour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-join: distinct user pairs co-active in the same hour (the
-    follower-graph-ish shape). Equi-join on the hour bucket keys the shuffle;
-    the pair predicate is a cheap residual."""
+    """Distinct user pairs co-active in the same hour (the
+    follower-graph-ish shape).
+
+    Round 13 (guide §1.2): the count of `a.user < b.user` pairs over the
+    distinct users of a bucket is exactly C(n, 2), so the Spark side
+    counts users per bucket and applies `n*(n-1) div 2` — the oracle keeps
+    the literal self-join, the two engines verifying one spec through
+    independent computations (the winnow-oracle precedent). The join form
+    materialized 6.34M pair rows at sf0.1 (95k inputs) only to count
+    them, and its fan-out is QUADRATIC in bucket occupancy — one hot hour
+    with 1M co-active users would expand to 5e11 rows; the closed form is
+    one distinct + one count, linear at any scale. Buckets need n >= 2 to
+    emit, matching the join form (a pair requires two users); the pair
+    count is exact integer math.
+    """
     e = load(spark, sf_dir, "events")
     hourly = e.select(
         F.date_format("ts", "yyyy-MM-dd").alias("d"),
         F.hour("ts").cast("int").alias("h"),
         "user_id",
     ).distinct()
-    a, b = hourly.alias("a"), hourly.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+        hourly.groupBy("d", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            "d",
+            "h",
+            F.expr("n * (n - 1) div 2").alias("n_pairs"),
         )
-        .groupBy(F.col("a.d").alias("d"), F.col("a.h").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("d", "h")
     )
 

@@ -120,9 +120,21 @@ def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
-    # One scan -> 4 (r, bucket) cells per occurrence -> 256-cell agg.
+    # Round 13 (guide §1.2/§2.3): cells and truth each re-exploded the
+    # corpus, and the grid paid 4 md5s PER OCCURRENCE. Both now ride ONE
+    # vocabulary aggregate (lazily checkpointed): the grid is
+    # sum-of-token-counts per (r, bucket) — identical integers, md5 cost
+    # drops to 4 per DISTINCT token (vocab ~ n^0.5 at corpus scale). The
+    # production sketch ingests occurrences map-side, but the AUDIT needs
+    # the vocab counts anyway for truth — one pass serves both.
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     cells = (
-        toks.select(
+        freq.select(
+            "n",
             F.explode(
                 F.array(
                     *[
@@ -133,17 +145,12 @@ def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for r in range(CMS_DEPTH)
                     ]
                 )
-            ).alias("rb")
+            ).alias("rb"),
         )
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
-    truth = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "tok")
-        .limit(CMS_TOPK)
-    )
+    truth = freq.orderBy(F.desc("n"), "tok").limit(CMS_TOPK)
     # Probe: each top token joins its 4 cells; est = min cell count.
     probes = truth.select(
         "tok",

@@ -746,24 +746,34 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    def branch(df, name):
-        return df.select(
-            F.lit(name).alias("join_key"), F.col(name).alias("k")
+    # Round 13 (guide §1.2/§2.4): the three lineitem key columns rode one
+    # union branch each — three full fact scans; an in-row explode of the
+    # three (join_key, k) structs reads the fact table ONCE (same bytes —
+    # parquet reads 3 columns once instead of 1 column three times — but a
+    # third of the scan tasks). And the hottest key needed no row_number
+    # window over the key-cardinality counts table (an exchange + sort that
+    # grows with the key domain): max(struct(n, -k)) picks the same
+    # (n DESC, k ASC) winner inside the existing aggregate.
+    keyed = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("join_key"), F.col(name).alias("k")
+                    )
+                    for name in ("l_orderkey", "l_partkey", "l_suppkey")
+                ]
+            )
+        ).alias("jk")
+    ).select("jk.join_key", "jk.k").unionByName(
+        o.select(
+            F.lit("o_custkey").alias("join_key"), F.col("o_custkey").alias("k")
         )
-
-    keyed = (
-        branch(li, "l_orderkey")
-        .unionByName(branch(li, "l_partkey"))
-        .unionByName(branch(li, "l_suppkey"))
-        .unionByName(branch(o, "o_custkey"))
     )
     counts = keyed.groupBy("join_key", "k").agg(F.count(F.lit(1)).alias("n"))
-    rn = F.row_number().over(
-        Window.partitionBy("join_key").orderBy(F.desc("n"), F.asc("k"))
-    )
-    ranked = counts.withColumn("rn", rn)
+    hottest = F.max(F.struct(F.col("n"), (-F.col("k")).alias("negk")))
     return (
-        ranked.groupBy("join_key")
+        counts.groupBy("join_key")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("n").alias("n_rows"),
@@ -773,7 +783,7 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("skew_x1000"),
-            F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("hottest_key"),
+            (-hottest.getField("negk")).alias("hottest_key"),
         )
         .orderBy("join_key")
     )
